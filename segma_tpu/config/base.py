@@ -1,0 +1,381 @@
+"""Config system: YAML -> per-model auto-merge -> dotlist CLI overrides ->
+strict dataclass validation.
+
+Capability parity with ``src/segma/config/base.py:10-219`` without dacite or
+OmegaConf: ``_from_dict`` performs strict, recursive dataclass instantiation
+with union matching, and ``_apply_dotlist`` implements
+``model.config.encoder_layers=[1,3]``-style CLI overrides (values parsed as
+YAML).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import types
+import typing
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Literal, Union
+
+import yaml
+
+
+class ConfigError(ValueError):
+    """Raised on invalid / non-strict config input."""
+
+
+@dataclass
+class BaseConfig:
+    def as_dict(self) -> dict:
+        return asdict(self)
+
+    def save(self, file_path: str | Path) -> None:
+        """Round-trip the config to a YAML file (experiment snapshots)."""
+        file_path = Path(file_path)
+        try:
+            with file_path.open("w") as f:
+                yaml.dump(asdict(self), f, default_flow_style=False, sort_keys=False)
+        except IOError as e:
+            raise IOError(f"Failed to write configuration to {file_path}: {e}")
+
+
+# ---------------------------------------------------------------------------
+# Schema
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WandbConfig(BaseConfig):
+    offline: bool
+    project: str
+    name: str
+
+
+@dataclass
+class DataConfig(BaseConfig):
+    dataset_path: str
+    classes: list[str]
+    dataset_multiplier: float = 1.0
+
+
+@dataclass
+class AudioConfig(BaseConfig):
+    chunk_duration_s: float
+    sample_rate: int
+    strict_frames: bool
+
+    @property
+    def chunk_duration_f(self) -> int:
+        """Number of samples in one chunk."""
+        return int(self.chunk_duration_s * self.sample_rate)
+
+
+@dataclass
+class DataloaderConfig(BaseConfig):
+    num_workers: int
+
+
+@dataclass
+class SchedulerConfig(BaseConfig):
+    patience: int
+
+
+@dataclass
+class LSTMConfig(BaseConfig):
+    hidden_size: int
+    num_layers: int
+    bidirectional: bool
+    dropout: float
+
+
+@dataclass
+class WhisperidouConfig(BaseConfig):
+    encoder: str
+    linear: list[int]
+    classifier: int
+
+
+@dataclass
+class WhisperimaxConfig(BaseConfig):
+    encoder: str
+    lstm: LSTMConfig
+    linear: list[int]
+    classifier: int
+
+
+@dataclass
+class SurgicalWhisperConfig(BaseConfig):
+    encoder: str
+    encoder_layers: list[int]
+    reduction: Literal["average", "weighted"]
+    linear: list[int]
+    classifier: int
+
+
+@dataclass
+class HydraWhisperConfig(BaseConfig):
+    encoder: str
+    lstm: LSTMConfig
+    classifier: int
+
+
+@dataclass
+class SurgicalHydraConfig(BaseConfig):
+    encoder: str
+    encoder_layers: list[int]
+    reduction: Literal["average", "weighted"]
+    lstm: LSTMConfig
+    classifier: int
+
+
+@dataclass
+class SurgicalHubertHydraConfig(BaseConfig):
+    wav_encoder: str
+    encoder_layers: list[int]
+    reduction: str
+    classifier: int
+    freeze_encoder: bool = False
+
+
+@dataclass
+class ConvVADConfig(BaseConfig):
+    """TPU-first conv-frontend VAD/segmentation model (no pretrained encoder).
+
+    New in segma_tpu: a purely convolutional mel-frontend model whose rf_step
+    matches the Whisper path (320 samples / 20 ms) so it drops into the same
+    chunk geometry; used as the speed-of-light inference baseline.
+    """
+
+    hidden: int = 256
+    depth: int = 4
+
+
+@dataclass
+class ModelConfig(BaseConfig):
+    name: str
+    chkp_path: str | None = None
+    config: (
+        None
+        | WhisperidouConfig
+        | WhisperimaxConfig
+        | SurgicalWhisperConfig
+        | HydraWhisperConfig
+        | SurgicalHydraConfig
+        | SurgicalHubertHydraConfig
+        | ConvVADConfig
+    ) = None
+
+
+@dataclass
+class TrainConfig(BaseConfig):
+    lr: float
+    batch_size: int
+    max_epochs: int
+    validation_metric: str
+    extra_val_metrics: list[str]
+    profiler: str | None
+
+    dataloader: DataloaderConfig
+    scheduler: SchedulerConfig
+    seed: int | None = None
+    precision: str = "bf16"  # compute dtype on TPU: bf16 | f32
+    early_stop_patience: int = 10
+    save_top_k: int = 5
+
+
+@dataclass
+class MeshConfig(BaseConfig):
+    """Device-mesh layout for SPMD execution (segma_tpu addition; the
+    reference is single-GPU only, ``scripts/train.py:163-166``)."""
+
+    data: int = -1  # -1 = all remaining devices
+    model: int = 1
+
+
+@dataclass
+class Config(BaseConfig):
+    wandb: WandbConfig
+    data: DataConfig
+    audio: AudioConfig
+    model: ModelConfig
+    train: TrainConfig
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+# ---------------------------------------------------------------------------
+# Strict dict -> dataclass instantiation (dacite-equivalent, built here)
+# ---------------------------------------------------------------------------
+
+
+def _type_matches(value, tp) -> bool:
+    """Best-effort strict type check used for union arbitration."""
+    origin = typing.get_origin(tp)
+    if tp is typing.Any:
+        return True
+    if tp is None or tp is type(None):
+        return value is None
+    if origin is Literal:
+        return value in typing.get_args(tp)
+    if origin in (Union, types.UnionType):
+        return any(_type_matches(value, a) for a in typing.get_args(tp))
+    if origin in (list, tuple):
+        if not isinstance(value, (list, tuple)):
+            return False
+        args = typing.get_args(tp)
+        if not args:
+            return True
+        return all(_type_matches(v, args[0]) for v in value)
+    if origin is dict:
+        return isinstance(value, dict)
+    if dataclasses.is_dataclass(tp):
+        return isinstance(value, dict) and _dataclass_accepts(tp, value)
+    if tp is float:
+        return isinstance(value, (int, float)) and not isinstance(value, bool)
+    if tp is int:
+        return isinstance(value, int) and not isinstance(value, bool)
+    if tp is bool:
+        return isinstance(value, bool)
+    if isinstance(tp, type):
+        return isinstance(value, tp)
+    return True
+
+
+def _dataclass_accepts(cls, data: dict) -> bool:
+    """True iff ``data`` strictly matches dataclass ``cls`` (keys and types)."""
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    if any(k not in fields for k in data):
+        return False
+    hints = typing.get_type_hints(cls)
+    for name, f in fields.items():
+        if name in data:
+            if not _type_matches(data[name], hints[name]):
+                return False
+        elif (
+            f.default is dataclasses.MISSING
+            and f.default_factory is dataclasses.MISSING
+        ):
+            return False
+    return True
+
+
+def _convert(value, tp, path: str):
+    origin = typing.get_origin(tp)
+    if tp is typing.Any:
+        return value
+    if tp is None or tp is type(None):
+        if value is not None:
+            raise ConfigError(f"{path}: expected null, got {value!r}")
+        return None
+    if origin is Literal:
+        if value not in typing.get_args(tp):
+            raise ConfigError(
+                f"{path}: {value!r} not one of {typing.get_args(tp)}"
+            )
+        return value
+    if origin in (Union, types.UnionType):
+        matches = [a for a in typing.get_args(tp) if _type_matches(value, a)]
+        if len(matches) == 0:
+            raise ConfigError(f"{path}: {value!r} matches no member of {tp}")
+        if len(matches) > 1:
+            # strict_unions_match semantics: ambiguity is an error unless all
+            # matches collapse to the same terminal type.
+            if len(set(matches)) > 1 and any(
+                dataclasses.is_dataclass(m) for m in matches
+            ):
+                raise ConfigError(
+                    f"{path}: {value!r} ambiguously matches several union "
+                    f"members: {matches}"
+                )
+        return _convert(value, matches[0], path)
+    if origin in (list, tuple):
+        args = typing.get_args(tp)
+        elem_tp = args[0] if args else typing.Any
+        seq = [
+            _convert(v, elem_tp, f"{path}[{i}]") for i, v in enumerate(value)
+        ]
+        return tuple(seq) if origin is tuple else seq
+    if dataclasses.is_dataclass(tp):
+        if not isinstance(value, dict):
+            raise ConfigError(f"{path}: expected mapping for {tp.__name__}")
+        return _from_dict(tp, value, path)
+    if tp is float and isinstance(value, int) and not isinstance(value, bool):
+        return float(value)
+    if not _type_matches(value, tp):
+        raise ConfigError(f"{path}: {value!r} is not a valid {tp}")
+    return value
+
+
+def _from_dict(cls, data: dict, path: str = "config"):
+    """Strict recursive dataclass instantiation (unknown keys are errors)."""
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = [k for k in data if k not in fields]
+    if unknown:
+        raise ConfigError(f"{path}: unknown keys {unknown} for {cls.__name__}")
+    hints = typing.get_type_hints(cls)
+    kwargs = {}
+    for name, f in fields.items():
+        if name in data:
+            kwargs[name] = _convert(data[name], hints[name], f"{path}.{name}")
+        elif (
+            f.default is dataclasses.MISSING
+            and f.default_factory is dataclasses.MISSING
+        ):
+            raise ConfigError(f"{path}.{name}: missing required field")
+    return cls(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Dotlist CLI overrides (omegaconf-equivalent, built here)
+# ---------------------------------------------------------------------------
+
+
+def _apply_dotlist(config_d: dict, dotlist: list[str]) -> dict:
+    """Apply ``a.b.c=value`` overrides in place; values parsed as YAML."""
+    for item in dotlist:
+        if "=" not in item:
+            raise ConfigError(
+                f"CLI override {item!r} is not of the form key.path=value"
+            )
+        key_path, _, raw = item.partition("=")
+        value = yaml.safe_load(raw) if raw != "" else None
+        node = config_d
+        keys = key_path.strip().split(".")
+        for key in keys[:-1]:
+            node = node.setdefault(key, {})
+            if not isinstance(node, dict):
+                raise ConfigError(f"cannot override non-mapping node {key!r}")
+        node[keys[-1]] = value
+    return config_d
+
+
+# ---------------------------------------------------------------------------
+# Loader
+# ---------------------------------------------------------------------------
+
+_CONFIG_DIR = Path(__file__).parent
+
+
+def load_config(config_path: Path | str, cli_extra_args: list[str] = []) -> Config:
+    """Load a YAML config, auto-merging the per-model hparam YAML when
+    ``model.config`` is absent, then applying dotlist CLI overrides, then
+    validating strictly into the ``Config`` dataclass tree.
+
+    Mirrors reference semantics (``config/base.py:191-219``) but resolves the
+    per-model YAML relative to this package, not the CWD.
+    """
+    config_path = Path(config_path)
+    with config_path.open("r") as f:
+        config_d = yaml.safe_load(f)
+
+    if "config" not in config_d.get("model", {}):
+        name = config_d["model"]["name"]
+        model_c_p = _CONFIG_DIR / f"{name}.yml"
+        if not model_c_p.exists():
+            raise ConfigError(
+                f"Model config dict of model {name}, could not be loaded"
+            )
+        with model_c_p.open("r") as f:
+            config_d["model"]["config"] = yaml.safe_load(f)
+
+    config_d = _apply_dotlist(config_d, list(cli_extra_args))
+    return _from_dict(Config, config_d)

@@ -1,0 +1,106 @@
+"""Config system tests: per-model auto-merge, dotlist overrides, strict
+validation (reference tests/test_config.py behaviours, fixture-generated)."""
+
+from pathlib import Path
+
+import pytest
+import yaml
+
+from segma_tpu.config import Config, ConfigError, SurgicalHydraConfig, load_config
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+
+MODEL_NAMES = [
+    "whisperidou",
+    "whisperimax",
+    "surgical_whisper",
+    "hydra_whisper",
+    "surgical_hydra",
+    "surgical_hubert_hydra",
+    "conv_vad",
+]
+
+
+@pytest.fixture
+def tmp_config(tmp_path):
+    def make(model_name: str) -> Path:
+        with (CONFIG_DIR / "default.yml").open() as f:
+            cfg = yaml.safe_load(f)
+        cfg["model"]["name"] = model_name
+        cfg["model"].pop("config", None)
+        p = tmp_path / f"{model_name}.yml"
+        with p.open("w") as f:
+            yaml.dump(cfg, f)
+        return p
+
+    return make
+
+
+def test_load_default():
+    cfg = load_config(CONFIG_DIR / "default.yml")
+    assert isinstance(cfg, Config)
+    assert cfg.model.name == "surgical_hydra"
+    assert isinstance(cfg.model.config, SurgicalHydraConfig)
+    assert cfg.audio.chunk_duration_f == 64_000
+    assert cfg.data.classes == ["KCHI", "OCH", "MAL", "FEM"]
+
+
+@pytest.mark.parametrize("name", MODEL_NAMES)
+def test_auto_merge_per_model(tmp_config, name):
+    cfg = load_config(tmp_config(name))
+    assert cfg.model.name == name
+    assert cfg.model.config is not None
+
+
+def test_roundtrip_save_load(tmp_path):
+    cfg = load_config(CONFIG_DIR / "default.yml")
+    out = tmp_path / "saved.yml"
+    cfg.save(out)
+    cfg2 = load_config(out)
+    assert cfg2.as_dict() == cfg.as_dict()
+
+
+def test_cli_override_scalar():
+    cfg = load_config(
+        CONFIG_DIR / "default.yml", ["train.lr=0.01", "train.batch_size=8"]
+    )
+    assert cfg.train.lr == 0.01
+    assert cfg.train.batch_size == 8
+
+
+def test_cli_override_list():
+    cfg = load_config(
+        CONFIG_DIR / "default.yml", ["model.config.encoder_layers=[1,3]"]
+    )
+    assert cfg.model.config.encoder_layers == [1, 3]
+
+
+def test_cli_override_nested_string():
+    cfg = load_config(CONFIG_DIR / "default.yml", ["wandb.name=hello"])
+    assert cfg.wandb.name == "hello"
+
+
+def test_missing_file_raises():
+    with pytest.raises(FileNotFoundError):
+        load_config("does_not_exist.yml")
+
+
+def test_unknown_key_rejected(tmp_path):
+    with (CONFIG_DIR / "default.yml").open() as f:
+        cfg = yaml.safe_load(f)
+    cfg["train"]["not_a_field"] = 1
+    p = tmp_path / "bad.yml"
+    with p.open("w") as f:
+        yaml.dump(cfg, f)
+    with pytest.raises(ConfigError):
+        load_config(p)
+
+
+def test_bad_type_rejected():
+    with pytest.raises(ConfigError):
+        load_config(CONFIG_DIR / "default.yml", ["train.lr=notanumber"])
+
+
+def test_bad_literal_rejected():
+    with pytest.raises(ConfigError):
+        load_config(CONFIG_DIR / "default.yml", ["model.config.reduction=bogus"])
