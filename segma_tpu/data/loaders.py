@@ -1,0 +1,215 @@
+"""Training data pipeline: random-crop sampler producing device-ready batches.
+
+TPU-first re-design of ``src/segma/data/loaders.py:25-313``:
+
+- the per-window InterLap label query (a ~199-iteration python loop per
+  sample) becomes one vectorized ``IntervalIndex.query_windows`` broadcast;
+- batches are assembled as pinned numpy arrays ``x: (B, chunk_f) float32``,
+  ``y: (B, n_windows, n_labels) float32`` and handed to jit as-is — feature
+  extraction (log-mel) runs *inside* the jitted model on device instead of in
+  CPU dataloader workers;
+- a background prefetch thread keeps the host->HBM feed double-buffered.
+
+Virtual-epoch semantics match the reference: ``samples_per_epoch =
+dataset_multiplier * max(total_audio_s / chunk_s, batch_size)``
+(``loaders.py:219-249``), with drop-last batching.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from math import ceil
+from pathlib import Path
+from typing import Callable, Iterator
+
+import numpy as np
+
+from segma_tpu.config import Config
+from segma_tpu.data.file_dataset import DatasetSubset, SegmaFileDataset
+from segma_tpu.models.geometry import ConvolutionSettings
+from segma_tpu.utils.conversions import frames_to_seconds, seconds_to_frames
+from segma_tpu.utils.encoders import LabelEncoder
+from segma_tpu.utils.io import get_samples_in_range
+
+
+class DataLoaderError(Exception): ...
+
+
+def generate_frames(
+    conv_settings: ConvolutionSettings,
+    sample_rate: int,
+    chunk_duration_s: float = 2.0,
+    strict: bool = True,
+) -> np.ndarray:
+    """(n_windows, 2) [rf_start, rf_end] per model output frame, clipped to
+    the chunk (parity: ``loaders.py:259-294``)."""
+    chunk_duration_f = int(seconds_to_frames(chunk_duration_s, sample_rate))
+    n_windows = conv_settings.n_windows(chunk_duration_f, strict=strict)
+    return conv_settings.rf_bounds(n_windows).clip(0, chunk_duration_f)
+
+
+def windows_to_targets(windows: np.ndarray, index) -> np.ndarray:
+    """Multi-hot targets for (offset) windows — one vectorized query."""
+    return index.query_windows(windows)
+
+
+class AudioSegmentationSampler:
+    """Infinite random-crop sampler over one dataset subset.
+
+    Files are drawn with probability proportional to audio duration, then a
+    uniform start offset is drawn (reference ``loaders.py:141-155``).
+    """
+
+    def __init__(
+        self,
+        subset: DatasetSubset,
+        config: Config,
+        conv_settings: ConvolutionSettings,
+        label_encoder: LabelEncoder,
+        seed: int | None = None,
+        host_hook: Callable[[np.ndarray], np.ndarray] | None = None,
+    ) -> None:
+        self.uris = subset.uris
+        self.durations = subset.durations
+        self.indexes = subset.indexes
+        self.config = config
+        self.label_encoder = label_encoder
+        self.host_hook = host_hook
+        self.rng = np.random.default_rng(seed)
+
+        if len(self.uris) != self.durations.shape[0]:
+            raise DataLoaderError("Mismatch between URIs and durations.")
+
+        self.windows = generate_frames(
+            conv_settings=conv_settings,
+            sample_rate=config.audio.sample_rate,
+            chunk_duration_s=config.audio.chunk_duration_s,
+            strict=config.audio.strict_frames,
+        )
+        self.chunk_f = config.audio.chunk_duration_f
+        audio_f = self.durations["audio_duration_f"].astype(np.float64)
+        self._weights = audio_f / audio_f.sum()
+
+    @property
+    def n_windows(self) -> int:
+        return self.windows.shape[0]
+
+    def sample(self) -> tuple[np.ndarray, np.ndarray]:
+        """One (waveform (chunk_f,), targets (n_windows, L)) pair."""
+        uri_i = int(self.rng.choice(len(self.uris), p=self._weights))
+        high = int(self.durations["audio_duration_f"][uri_i]) - self.chunk_f
+        start_f = int(self.rng.integers(low=0, high=max(1, high)))
+
+        audio_path = (
+            Path(self.config.data.dataset_path) / "wav" / self.uris[uri_i]
+        ).with_suffix(".wav")
+        waveform = get_samples_in_range(audio_path, start_f, self.chunk_f)
+        if waveform.shape[0] > 1:  # downmix to mono
+            waveform = waveform.mean(axis=0, keepdims=True)
+        waveform = waveform[0]
+        if waveform.shape[0] < self.chunk_f:  # guard short tail reads
+            waveform = np.pad(waveform, (0, self.chunk_f - waveform.shape[0]))
+
+        y = windows_to_targets(self.windows + start_f, self.indexes[uri_i])
+        if self.host_hook is not None:
+            waveform = self.host_hook(waveform)
+        return waveform.astype(np.float32), y
+
+    def sample_batch(self, batch_size: int) -> dict[str, np.ndarray]:
+        xs, ys = zip(*(self.sample() for _ in range(batch_size)))
+        return {"x": np.stack(xs), "y": np.stack(ys)}
+
+    def samples_per_epoch(self) -> int:
+        """Virtual-epoch size (reference ``loaders.py:219-249``)."""
+        total_audio_s = frames_to_seconds(
+            int(self.durations["audio_duration_f"].sum())
+        )
+        return int(
+            self.config.data.dataset_multiplier
+            * max(
+                ceil(total_audio_s / self.config.audio.chunk_duration_s),
+                self.config.train.batch_size,
+            )
+        )
+
+
+class PrefetchingLoader:
+    """Background-thread batch producer (double-buffered host->device feed)."""
+
+    def __init__(
+        self,
+        sampler: AudioSegmentationSampler,
+        batch_size: int,
+        n_batches: int,
+        prefetch: int = 2,
+    ) -> None:
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.n_batches = n_batches
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return self.n_batches
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for _ in range(self.n_batches):
+                    q.put(self.sampler.sample_batch(self.batch_size))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class SegmentationDataLoader:
+    """Train/val loader factory bound to a loaded ``SegmaFileDataset``
+    (role of the reference LightningDataModule, ``loaders.py:25-89``)."""
+
+    def __init__(
+        self,
+        dataset: SegmaFileDataset,
+        label_encoder: LabelEncoder,
+        config: Config,
+        conv_settings: ConvolutionSettings,
+        host_hook: Callable | None = None,
+        seed: int | None = None,
+    ) -> None:
+        self.dataset = dataset
+        self.label_encoder = label_encoder
+        self.config = config
+        self.conv_settings = conv_settings
+        self.host_hook = host_hook
+        self.seed = seed if seed is not None else config.train.seed
+
+        if not dataset.is_loaded():
+            dataset.load()
+
+    def _loader(self, subset: DatasetSubset, seed_offset: int) -> PrefetchingLoader:
+        sampler = AudioSegmentationSampler(
+            subset=subset,
+            config=self.config,
+            conv_settings=self.conv_settings,
+            label_encoder=self.label_encoder,
+            seed=None if self.seed is None else self.seed + seed_offset,
+            host_hook=self.host_hook,
+        )
+        batch_size = self.config.train.batch_size
+        n_batches = max(1, sampler.samples_per_epoch() // batch_size)  # drop_last
+        return PrefetchingLoader(sampler, batch_size, n_batches)
+
+    def train_dataloader(self) -> PrefetchingLoader:
+        return self._loader(self.dataset.train, seed_offset=0)
+
+    def val_dataloader(self) -> PrefetchingLoader:
+        return self._loader(self.dataset.val, seed_offset=1)

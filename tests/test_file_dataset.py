@@ -1,0 +1,119 @@
+"""Dataset layer tests on synthetic fixtures
+(mirrors reference tests/test_file_dataset.py)."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from segma_tpu.data import SegmaFileDataset, URISubsetLeakageError
+
+CLASSES = ["male", "female", "key_child", "other_child"]
+
+
+@pytest.fixture
+def ds_root(synthetic_dataset, tmp_path):
+    """Private copy of the session fixture so tests can mutate it."""
+    root = tmp_path / "debug_5"
+    shutil.copytree(synthetic_dataset, root)
+    return root
+
+
+def _mk(root, **kw):
+    ds = SegmaFileDataset(root, CLASSES, chunk_duration_s=4.0, **kw)
+    return ds
+
+
+def test_init_loads_uris(ds_root):
+    ds = _mk(ds_root)
+    for subset in ("train", "val", "test"):
+        assert len(ds.subset_to_uris[subset]) == 5
+    assert not ds.is_loaded()
+
+
+def test_missing_dataset_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        SegmaFileDataset(tmp_path / "nope", CLASSES, 4.0)
+
+
+def test_load_populates_metadata(ds_root):
+    ds = _mk(ds_root)
+    ds.load(use_cache=False)
+    assert ds.is_loaded()
+    train = ds.train
+    assert len(train.uris) == 5
+    assert train.durations.shape[0] == 5
+    assert len(train.indexes) == 5
+    # 60 s files at 16 kHz
+    assert np.all(train.durations["audio_duration_f"] == 60 * 16_000)
+    assert np.all(train.durations["annotated_duration_f"] > 0)
+
+
+def test_exclude_txt(ds_root):
+    excluded = ["0000", "0005"]
+    (ds_root / "exclude.txt").write_text("\n".join(excluded) + "\n")
+    ds = _mk(ds_root)
+    assert len(ds.subset_to_uris["train"]) == 4  # 0000 removed
+    assert len(ds.subset_to_uris["val"]) == 4  # 0005 removed
+    assert ds.removed_uris["exclude.txt"] == set(excluded)
+
+
+def test_leakage_detection(ds_root):
+    # put a val uri into train.txt
+    train = (ds_root / "train.txt").read_text()
+    (ds_root / "train.txt").write_text(train + "0005\n")
+    with pytest.raises(URISubsetLeakageError):
+        _mk(ds_root)
+
+
+def test_invalid_audio_removed(ds_root):
+    """A file shorter than one chunk gets dropped at load."""
+    from segma_tpu.utils.io import write_data_to_disk
+
+    short = np.zeros((1, 16_000), np.float32)  # 1 s < 4 s chunk
+    write_data_to_disk(short, ds_root / "wav" / "0000", 16_000)
+    ds = _mk(ds_root)
+    ds.load(use_cache=False)
+    assert "0000" in ds.removed_uris["invalid"]
+    assert len(ds.train.uris) == 4
+
+
+def test_duplicate_tracking(ds_root):
+    train = (ds_root / "train.txt").read_text()
+    (ds_root / "train.txt").write_text(train + "0001\n")
+    ds = _mk(ds_root)
+    assert ds.removed_uris["duplicate.train"] == ["0001"]
+
+
+def test_cache_roundtrip(ds_root, tmp_path, monkeypatch):
+    monkeypatch.setattr(SegmaFileDataset, "CACHE_ROOT", tmp_path / "cache")
+    ds = _mk(ds_root)
+    ds.load(use_cache=True)  # cold -> builds + saves
+    durations_before = {k: v.copy() for k, v in ds.subds_to_durations.items()}
+
+    ds2 = _mk(ds_root)
+    ds2.load(use_cache=True)  # warm -> loads cache
+    for k in durations_before:
+        np.testing.assert_array_equal(
+            ds2.subds_to_durations[k], durations_before[k]
+        )
+
+
+def test_cache_ttl(ds_root, tmp_path, monkeypatch):
+    import os
+    import time
+
+    monkeypatch.setattr(SegmaFileDataset, "CACHE_ROOT", tmp_path / "cache")
+    ds = _mk(ds_root)
+    ds.load(use_cache=True)
+    # age the cache files past the TTL
+    old = time.time() - 3 * 86400
+    for name in ("subds_to_durations", "subds_to_indexes"):
+        p = ds._cache_path / name
+        os.utime(p, (old, old))
+    with pytest.raises(Exception):
+        ds.load_cache(max_days=2.0)
+    # load() transparently rebuilds
+    ds2 = _mk(ds_root)
+    ds2.load(use_cache=True)
+    assert ds2.is_loaded()

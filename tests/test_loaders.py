@@ -1,0 +1,100 @@
+"""Sampler / loader tests on the synthetic dataset."""
+
+import numpy as np
+import pytest
+
+from segma_tpu.config import load_config
+from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+from segma_tpu.data.loaders import AudioSegmentationSampler
+from segma_tpu.models.geometry import ConvolutionSettings
+from segma_tpu.utils.encoders import MultiLabelEncoder
+
+from pathlib import Path
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+CLASSES = ["male", "female", "key_child", "other_child"]
+CS = ConvolutionSettings((400, 3, 3), (160, 1, 2), (200, 1, 1))
+
+
+@pytest.fixture
+def cfg(synthetic_dataset):
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            f"data.dataset_path={synthetic_dataset}",
+            "data.classes=[male,female,key_child,other_child]",
+            "train.batch_size=4",
+            "train.seed=0",
+        ],
+    )
+    return cfg
+
+
+@pytest.fixture
+def loaded_ds(cfg):
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    return ds
+
+
+def test_sampler_shapes(cfg, loaded_ds):
+    enc = MultiLabelEncoder(CLASSES)
+    sampler = AudioSegmentationSampler(loaded_ds.train, cfg, CS, enc, seed=0)
+    x, y = sampler.sample()
+    assert x.shape == (64_000,)
+    assert x.dtype == np.float32
+    assert y.shape == (199, 4)
+    batch = sampler.sample_batch(4)
+    assert batch["x"].shape == (4, 64_000)
+    assert batch["y"].shape == (4, 199, 4)
+
+
+def test_sampler_determinism(cfg, loaded_ds):
+    enc = MultiLabelEncoder(CLASSES)
+    s1 = AudioSegmentationSampler(loaded_ds.train, cfg, CS, enc, seed=42)
+    s2 = AudioSegmentationSampler(loaded_ds.train, cfg, CS, enc, seed=42)
+    b1, b2 = s1.sample_batch(2), s2.sample_batch(2)
+    np.testing.assert_array_equal(b1["x"], b2["x"])
+    np.testing.assert_array_equal(b1["y"], b2["y"])
+
+
+def test_targets_correspond_to_audio(cfg, loaded_ds):
+    """Windows labeled positive must carry sine energy; silence must not."""
+    enc = MultiLabelEncoder(CLASSES)
+    sampler = AudioSegmentationSampler(loaded_ds.train, cfg, CS, enc, seed=3)
+    checked_pos = checked_neg = 0
+    for _ in range(20):
+        x, y = sampler.sample()
+        active = y.sum(axis=1) > 0
+        for w in range(0, 199, 10):
+            seg = x[w * 320 : w * 320 + 320]
+            rms = float(np.sqrt((seg**2).mean()))
+            # interior windows only (boundary windows partially overlap)
+            if w > 0 and active[w] and (w == 0 or active[w - 1]) and active[min(w + 1, 198)]:
+                if rms > 0.05:
+                    checked_pos += 1
+            if not active[max(0, w - 1)] and not active[w] and not active[min(w + 1, 198)]:
+                assert rms < 0.05
+                checked_neg += 1
+    assert checked_neg > 0
+
+
+def test_virtual_epoch_size(cfg, loaded_ds):
+    enc = MultiLabelEncoder(CLASSES)
+    sampler = AudioSegmentationSampler(loaded_ds.train, cfg, CS, enc, seed=0)
+    # 5 files x 60 s / 4 s = 75 samples, multiplier 1.0, batch 4 -> max(75,4)=75
+    assert sampler.samples_per_epoch() == 75
+
+
+def test_dataloader_iteration(cfg, loaded_ds):
+    enc = MultiLabelEncoder(CLASSES)
+    dm = SegmentationDataLoader(loaded_ds, enc, cfg, CS)
+    loader = dm.train_dataloader()
+    assert len(loader) == 75 // 4
+    n = 0
+    for batch in loader:
+        assert batch["x"].shape == (4, 64_000)
+        assert batch["y"].shape == (4, 199, 4)
+        n += 1
+        if n >= 3:
+            break
