@@ -1,0 +1,85 @@
+"""Benchmark: conv-frontend VAD sliding-window inference throughput.
+
+Measures audio-hours of 16 kHz audio segmented per wall-second per chip
+(reported as xRT = audio-seconds/sec), on the full device-resident pipeline:
+overlap-unfold -> log-mel -> ConvVAD forward -> logits. This is the
+BASELINE.json headline config ("conv-frontend VAD frame inference ...
+sliding-window batched inference over long multi-minute wav").
+
+Prints one JSON line:
+    {"metric": ..., "value": xRT, "unit": "x_realtime", "vs_baseline": xRT/500}
+(the rebuild target is >500x real-time per chip, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import numpy as np
+
+from segma_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from segma_tpu.config import load_config
+from segma_tpu.inference import InferencePipeline
+from segma_tpu.models import Models
+from segma_tpu.utils.encoders import MultiLabelEncoder
+
+CONFIG_DIR = Path(__file__).resolve().parent / "segma_tpu" / "config"
+SR = 16_000
+TARGET_XRT = 500.0  # driver north star: >500x real-time per chip
+
+
+def main() -> None:
+    cfg = load_config(CONFIG_DIR / "default.yml", ["model.name=conv_vad"])
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    model.init_params(jax.random.key(0))
+
+    pipe = InferencePipeline(model, model.params, batch_size=128)
+    ck = pipe.chunkyfier
+
+    # ~9 minutes of audio per call (512 chunks), power-of-two bucket
+    n_chunks = 512
+    n_samples = n_chunks * ck.chunk_stride + ck.missing_n_frames
+    audio_s = n_samples / SR
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(n_samples) * 0.1).astype(np.float32)
+
+    # warmup (compile)
+    _ = pipe.logits_for_audio(audio)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        logits = pipe.logits_for_audio(audio)
+    wall = time.perf_counter() - t0
+
+    total_audio_s = iters * audio_s
+    xrt = total_audio_s / wall
+    result = {
+        "metric": "conv-frontend VAD sliding-window inference (audio-sec/sec/chip)",
+        "value": round(xrt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / TARGET_XRT, 4),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "audio_s_per_call": round(audio_s, 1),
+            "iters": iters,
+            "wall_s": round(wall, 3),
+            "frames": int(logits.shape[0]),
+            "audio_hours_per_sec": round(xrt / 3600, 4),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

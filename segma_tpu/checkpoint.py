@@ -1,0 +1,154 @@
+"""Checkpointing: trainable-params trees + metadata, top-k/best/last manager.
+
+Mirrors the reference semantics (Lightning ``ModelCheckpoint`` with
+``save_top_k``, ``save_last`` and best-symlinks, ``scripts/train.py:144-197``)
+on a flax/orbax-style layout:
+
+```
+<run_dir>/checkpoints/
+├── epoch=03-val_loss=0.123/    (one directory per kept checkpoint)
+│   ├── params.msgpack           (trainable params only — frozen encoder
+│   │                             weights are never written, matching the
+│   │                             reference's encoder-excluded state_dicts,
+│   │                             hubert/surgical_hydra.py:203-216)
+│   └── meta.yaml                (epoch, monitored metric, config snapshot)
+├── last/                        (copy of the most recent)
+└── best.ckpt -> <best dir>      (symlink)
+```
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import yaml
+from flax import serialization
+
+from segma_tpu.config import Config
+from segma_tpu.models.base import SegmentationModel
+
+
+def save_params(path: Path, params: Any, meta: dict | None = None) -> Path:
+    """Write one checkpoint directory: msgpack params + YAML metadata."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    params = jax.tree.map(np.asarray, params)
+    (path / "params.msgpack").write_bytes(serialization.to_bytes(params))
+    if meta is not None:
+        with (path / "meta.yaml").open("w") as f:
+            yaml.dump(meta, f, sort_keys=False)
+    return path
+
+
+def load_params(path: Path, template: Any) -> Any:
+    """Restore a params tree (shape/dtype template required by msgpack)."""
+    path = Path(path)
+    if path.is_dir():
+        blob = (path / "params.msgpack").read_bytes()
+    else:
+        blob = path.read_bytes()
+    return serialization.from_bytes(template, blob)
+
+
+def load_meta(path: Path) -> dict:
+    meta_p = Path(path) / "meta.yaml"
+    if not meta_p.exists():
+        return {}
+    with meta_p.open() as f:
+        return yaml.safe_load(f) or {}
+
+
+class CheckpointManager:
+    """top-k + last + best bookkeeping over checkpoint directories."""
+
+    def __init__(
+        self,
+        dirpath: Path,
+        monitor: str = "val/loss",
+        mode: str = "min",
+        save_top_k: int = 5,
+        save_last: bool = True,
+    ) -> None:
+        self.dirpath = Path(dirpath)
+        self.dirpath.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.save_top_k = save_top_k
+        self.save_last = save_last
+        # [(score, path)]
+        self.kept: list[tuple[float, Path]] = []
+        self.best_path: Path | None = None
+        self.best_score: float | None = None
+
+    def _is_better(self, a: float, b: float) -> bool:
+        return a < b if self.mode == "min" else a > b
+
+    def step(
+        self, epoch: int, score: float, trainable_params: Any, meta: dict
+    ) -> None:
+        """Record one epoch's monitored score; persist/evict as needed."""
+        meta = {**meta, "epoch": epoch, "score": float(score)}
+        if self.save_last:
+            last = self.dirpath / "last"
+            tmp = self.dirpath / ".last.tmp"
+            save_params(tmp, trainable_params, meta)
+            shutil.rmtree(last, ignore_errors=True)
+            tmp.rename(last)
+
+        # keep the epoch directory only while it ranks within top-k
+        name = f"epoch={epoch:02d}-{self.monitor.replace('/', '_')}={score:.3f}"
+        path = self.dirpath / name
+        save_params(path, trainable_params, meta)
+        self.kept.append((score, path))
+        self.kept.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
+        while len(self.kept) > self.save_top_k:
+            # the best checkpoint always ranks first, so it is never evicted
+            _, evicted = self.kept.pop()
+            shutil.rmtree(evicted, ignore_errors=True)
+
+        if self.best_score is None or self._is_better(score, self.best_score):
+            self.best_score = float(score)
+            self.best_path = path
+            best_link = self.dirpath / "best.ckpt"
+            best_link.unlink(missing_ok=True)
+            best_link.symlink_to(path.resolve())
+
+    @property
+    def last_path(self) -> Path:
+        return self.dirpath / "last"
+
+
+def resolve_checkpoint(path: Path | str) -> Path:
+    """Follow best.ckpt symlinks / accept run dirs or checkpoint dirs."""
+    path = Path(path)
+    if path.is_symlink():
+        path = path.resolve()
+    if (path / "params.msgpack").exists():
+        return path
+    if (path / "checkpoints").exists():
+        return resolve_checkpoint(path / "checkpoints" / "best.ckpt")
+    raise FileNotFoundError(f"no checkpoint found at {path}")
+
+
+def load_model_for_inference(
+    cfg: Config, checkpoint: Path | str | None, seed: int = 0
+) -> SegmentationModel:
+    """Build the configured model, init params (grafting pretrained encoder
+    weights when configured), and overlay trained head params from a
+    checkpoint (when given)."""
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    l_encoder = MultiLabelEncoder(labels=cfg.data.classes)
+    model = Models[cfg.model.name](l_encoder, cfg)
+    params = model.init_params(jax.random.key(seed))
+    if checkpoint is not None:
+        ckpt_path = resolve_checkpoint(checkpoint)
+        trainable, frozen = model.split_params(params)
+        trainable = load_params(ckpt_path, trainable)
+        model.params = {**trainable, **frozen}
+    return model

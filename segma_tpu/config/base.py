@@ -148,6 +148,7 @@ class ConvVADConfig(BaseConfig):
 
     hidden: int = 256
     depth: int = 4
+    dtype: str = "bf16"  # compute dtype: bf16 | f32
 
 
 @dataclass

@@ -1,0 +1,432 @@
+"""Sliding-window inference over arbitrarily long WAV files.
+
+TPU-first redesign of the reference pipeline (``src/segma/inference.py``):
+instead of a host-side python loop that decodes, unfolds and forwards one
+128-chunk batch at a time (``apply_model_on_audio``, ``inference.py:119-211``),
+the whole file is device_put once as a flat waveform and a single jitted
+program does:
+
+    pad -> overlap-unfold (two reshapes + concat, no gather)
+        -> batched model forward (lax.map over fixed-size batches)
+        -> sigmoid + per-label thresholds
+        -> run-boundary detection (shift/compare)
+
+Host work is reduced to reading WAV bytes, slicing the valid frame count and
+formatting RTTM lines. File lengths are bucketed (in chunks) so the number of
+distinct compiled programs is logarithmic.
+
+Chunk geometry parity (reference ``Chunkyfier``, ``inference.py:21-89``,
+derived here instead of hardcoded 199/320 asserts):
+- chunk stride = chunk_f - missing_n_frames,
+- ``missing_n_frames = chunk_f - n_windows * rf_step``,
+- tail processed iff >= ``TAIL_MIN_SAMPLES`` (400) samples remain,
+- decoded interval = [max(0, rf_start(first)), rf_end(last) + 1] samples.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from math import floor
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from segma_tpu.annotation import AudioAnnotation
+from segma_tpu.config import Config, load_config
+from segma_tpu.models.base import ConvolutionSettings, SegmentationModel
+from segma_tpu.utils.conversions import frames_to_seconds
+from segma_tpu.utils.encoders import MultiLabelEncoder
+from segma_tpu.utils.io import get_all_samples
+
+TAIL_MIN_SAMPLES = 400  # reference inference.py:195
+
+
+class Chunkyfier:
+    """Sliding-chunk bookkeeping, fully derived from geometry.
+
+    The reference hardcodes the 4 s @ 16 kHz numbers via asserts
+    (``inference.py:34-35``); here every quantity follows from
+    ``chunk_duration_f`` and the model's frame step.
+    """
+
+    def __init__(
+        self,
+        batch_size: int,
+        chunk_duration_f: int,
+        cnn_settings: ConvolutionSettings,
+    ) -> None:
+        self.cnn_settings = cnn_settings
+        self.chunk_duration_f = chunk_duration_f
+        self.batch_size = batch_size
+
+        self.n_windows = cnn_settings.n_windows(chunk_duration_f, strict=True)
+        self.missing_n_frames = (
+            chunk_duration_f - self.n_windows * cnn_settings.rf_step
+        )
+        # stride between consecutive chunk starts
+        self.chunk_stride = chunk_duration_f - self.missing_n_frames
+
+    def chunk_start_i(self, i: int) -> int:
+        return i * self.chunk_stride
+
+    def chunk_end_i(self, i: int) -> int:
+        return self.chunk_start_i(i) + self.chunk_duration_f
+
+    def chunk_end_i_coverage(self, i: int) -> int:
+        return (i + 1) * self.chunk_stride
+
+    def batch_start_i(self, i: int) -> int:
+        return i * self.batch_size * self.chunk_stride
+
+    def batch_end_i(self, i: int) -> int:
+        return self.batch_start_i(i) + self.batch_size * self.chunk_duration_f
+
+    def batch_end_i_coverage(self, i: int) -> int:
+        return self.batch_end_i(i) - self.batch_size * self.missing_n_frames
+
+    def get_n_fitting_chunks(self, n_frames: int) -> int:
+        """Complete overlapped chunks that fit in ``n_frames`` samples."""
+        if n_frames < self.chunk_duration_f:
+            return 0
+        return floor((n_frames - self.chunk_duration_f) / self.chunk_stride) + 1
+
+    def total_frames(self, n_frames: int, strict_tail: bool = False) -> int:
+        """Total output frames for a file: full chunks plus the >=400-sample
+        tail (reference ``apply_model_on_audio`` frame accounting)."""
+        n_fit = self.get_n_fitting_chunks(n_frames)
+        tail_start = self.chunk_start_i(n_fit)
+        tail_len = n_frames - tail_start
+        tail_frames = 0
+        if tail_len >= TAIL_MIN_SAMPLES:
+            tail_frames = max(
+                0, self.cnn_settings.n_windows(tail_len, strict=strict_tail)
+            )
+        return n_fit * self.n_windows + tail_frames
+
+
+def _bucket(n: int, minimum: int = 1) -> int:
+    """Round up to the next power of two (bounds jit recompiles)."""
+    n = max(n, minimum)
+    return 1 << (n - 1).bit_length()
+
+
+@dataclass
+class InferencePipeline:
+    """Device-resident batched inference for one model + parameter set."""
+
+    model: SegmentationModel
+    params: Any
+    batch_size: int = 128
+
+    def __post_init__(self) -> None:
+        cfg = self.model.config
+        step = int(self.model.conv_settings.rf_step)
+        # the model's output grid: one frame per rf_step samples
+        # (reference builds ConvolutionSettings((320,),(320,),(0,)),
+        #  inference.py:315-319)
+        self.frame_settings = ConvolutionSettings((step,), (step,), (0,))
+        self.chunkyfier = Chunkyfier(
+            self.batch_size, cfg.audio.chunk_duration_f, self.frame_settings
+        )
+        self.n_windows_chunk = self.model.n_windows
+
+        self._infer_jit = self._build_infer()
+        self._threshold_jit = jax.jit(
+            lambda logits, thr: jax.nn.sigmoid(logits) > thr[None, :]
+        )
+
+    # -- jitted core -----------------------------------------------------------
+    def _build_infer(self):
+        ck = self.chunkyfier
+        stride, chunk_f = ck.chunk_stride, ck.chunk_duration_f
+        overlap = chunk_f - stride
+        apply = self.model.apply
+        batch_size = self.batch_size
+
+        @partial(jax.jit, static_argnums=(2,))
+        def infer(params, audio: jax.Array, n_chunks: int) -> jax.Array:
+            """audio: (n_chunks*stride + chunk_f,) -> (n_chunks*n_w, L) logits."""
+            # overlap-unfold via two aligned reshapes (no gather): chunk i =
+            # audio[i*stride : (i+1)*stride] ++ the next `overlap` samples.
+            body = audio[: n_chunks * stride].reshape(n_chunks, stride)
+            nxt = jax.lax.dynamic_slice(
+                audio, (stride,), (n_chunks * stride,)
+            ).reshape(n_chunks, stride)[:, :overlap]
+            chunks = jnp.concatenate([body, nxt], axis=1)  # (n_chunks, chunk_f)
+
+            bs = min(batch_size, n_chunks)
+            n_batches = n_chunks // bs
+            batched = chunks[: n_batches * bs].reshape(n_batches, bs, chunk_f)
+            logits = jax.lax.map(lambda c: apply(params, c, train=False), batched)
+            logits = logits.reshape(-1, *logits.shape[2:])
+            rem = n_chunks - n_batches * bs
+            if rem:
+                last = apply(params, chunks[-rem:], train=False)
+                logits = jnp.concatenate([logits, last])
+            n_w = logits.shape[1]
+            return logits.reshape(n_chunks * n_w, -1)
+
+        return infer
+
+    def logits_for_audio(self, audio: np.ndarray) -> np.ndarray:
+        """Full-file frame logits (total_frames, n_labels) float32.
+
+        ``audio``: mono float32 (n,) at the configured sample rate.
+        """
+        ck = self.chunkyfier
+        n = int(audio.shape[0])
+        strict_tail = self.model.config.audio.strict_frames
+        total_frames = ck.total_frames(n, strict_tail=strict_tail)
+        if total_frames == 0:
+            return np.zeros((0, self.model.n_labels), np.float32)
+        # chunks needed so the padded grid covers every counted frame
+        n_chunks_needed = -(-total_frames // ck.n_windows)
+        n_chunks = _bucket(n_chunks_needed)
+        padded_len = n_chunks * ck.chunk_stride + ck.chunk_duration_f
+        padded = np.zeros(padded_len, np.float32)
+        padded[:n] = audio
+        logits = self._infer_jit(self.params, jnp.asarray(padded), n_chunks)
+        # consecutive chunks tile the frame grid exactly (stride = n_w * step),
+        # so the flattened logits already live on the global 20 ms grid; the
+        # first `total_frames` rows are the frames backed by real audio.
+        return np.asarray(logits[:total_frames])
+
+    # -- thresholding + decode ---------------------------------------------------
+    def apply_thresholds(
+        self, logits: np.ndarray, thresholds: dict[str, dict[str, float]]
+    ) -> np.ndarray:
+        """sigmoid(logits) > per-label lower_bound (reference
+        ``apply_thresholds``, ``inference.py:214-234``)."""
+        assert logits.shape[-1] == len(thresholds)
+        thr = jnp.asarray(
+            [t["lower_bound"] for t in thresholds.values()], jnp.float32
+        )
+        if logits.shape[0] == 0:
+            return np.zeros(logits.shape, bool)
+        return np.asarray(self._threshold_jit(jnp.asarray(logits), thr))
+
+
+def default_thresholds(labels: tuple[str, ...]) -> dict[str, dict[str, float]]:
+    return {label: {"lower_bound": 0.5, "upper_bound": 1.0} for label in labels}
+
+
+def create_intervals(
+    thresholded: np.ndarray,
+    conv_settings: ConvolutionSettings,
+    label_encoder: MultiLabelEncoder,
+) -> list[tuple[int, int, str]]:
+    """Frame mask (T, L) -> sample intervals [(start_f, end_f, label), ...].
+
+    Runs are found with a vectorized diff (replacing
+    ``np.ma.notmasked_contiguous``, reference ``inference.py:237-263``);
+    decode parity: start = max(0, rf_start(first)), end = rf_end(last) + 1.
+    """
+    intervals: list[tuple[int, int, str]] = []
+    t = thresholded.astype(np.int8)
+    padded = np.concatenate(
+        [np.zeros((1, t.shape[1]), np.int8), t, np.zeros((1, t.shape[1]), np.int8)]
+    )
+    diff = np.diff(padded, axis=0)
+    for label_i, label in enumerate(label_encoder.base_labels):
+        starts = np.where(diff[:, label_i] == 1)[0]
+        ends = np.where(diff[:, label_i] == -1)[0]  # exclusive frame index
+        for s, e in zip(starts, ends):
+            interval_start = max(0, conv_settings.rf_start_i(int(s)))
+            interval_end = conv_settings.rf_end_i(int(e) - 1) + 1
+            intervals.append((interval_start, interval_end, label))
+    return intervals
+
+
+def write_intervals(
+    intervals: list[tuple[int, int, str]],
+    audio_path: Path,
+    output_p: Path,
+    rttm_dirname: str = "raw_rttm",
+) -> Path:
+    """Write intervals as RTTM under ``output_p / rttm_dirname`` (reference
+    emits ``raw_rttm``, ``inference.py:266-283``; override for tools that
+    expect ``rttm``)."""
+    rttm_out = output_p / rttm_dirname
+    rttm_out.mkdir(exist_ok=True, parents=True)
+    uri = audio_path.stem
+    out = rttm_out / f"{uri}.rttm"
+    with out.open("w") as rttm_f:
+        for start_f, end_f, label in intervals:
+            aa = AudioAnnotation(
+                uid=uri,
+                start_time_s=float(frames_to_seconds(start_f)),
+                duration_s=float(frames_to_seconds(end_f - start_f)),
+                label=str(label),
+            )
+            rttm_f.write(aa.to_rttm() + "\n")
+    return out
+
+
+def save_logits(
+    logits: np.ndarray,
+    label_encoder: MultiLabelEncoder,
+    output_p: Path,
+    uri: str,
+) -> Path:
+    """Dump per-label logits for threshold tuning. Format: ``.npz`` keyed by
+    label (replaces the reference's torch ``.pt`` dict,
+    ``inference.py:331-342``; the tuner reads both)."""
+    logits_out = output_p / "logits"
+    logits_out.mkdir(parents=True, exist_ok=True)
+    out = logits_out / f"{uri}-logits_dict_t.npz"
+    np.savez(
+        out,
+        **{
+            label_encoder.inv_transform(i): logits[:, i]
+            for i in range(label_encoder.n_labels)
+        },
+    )
+    return out
+
+
+def infer_file(
+    audio_path: Path,
+    pipeline: InferencePipeline,
+    output_p: Path,
+    thresholds: dict | None = None,
+    dump_logits: bool = False,
+    rttm_dirname: str = "raw_rttm",
+) -> list[tuple[int, int, str]]:
+    """Run the full per-file pipeline: decode WAV -> device logits ->
+    thresholds -> intervals -> RTTM (reference ``infer_file``,
+    ``inference.py:286-357``)."""
+    enc = pipeline.model.label_encoder
+    if thresholds is None:
+        thresholds = default_thresholds(enc.base_labels)
+
+    audio = get_all_samples(audio_path)
+    if audio.shape[0] > 1:
+        audio = audio.mean(axis=0, keepdims=True)
+    logits = pipeline.logits_for_audio(audio[0])
+
+    if dump_logits:
+        save_logits(logits, enc, output_p, audio_path.stem)
+
+    thresholded = pipeline.apply_thresholds(logits, thresholds)
+    intervals = create_intervals(thresholded, pipeline.frame_settings, enc)
+    write_intervals(intervals, audio_path, output_p, rttm_dirname)
+    return intervals
+
+
+def get_list_of_files_to_process(
+    wavs: Path, recursive: bool = False, uris: Path | None = None
+) -> tuple[list[Path], int]:
+    """Resolve the audio file list from a uri list or a glob (reference
+    ``inference.py:360-395``)."""
+    wavs = Path(wavs)
+    if not wavs.exists():
+        raise FileNotFoundError(f"Path `{wavs=}` does not exists")
+    if uris:
+        with Path(uris).open("r") as uri_f:
+            files = [
+                (wavs / uri.strip()).with_suffix(".wav")
+                for uri in uri_f.readlines()
+                if uri.strip()
+            ]
+    else:
+        files = list(wavs.rglob("*.wav") if recursive else wavs.glob("*.wav"))
+    return sorted(files), len(files)
+
+
+def run_inference_on_audios(
+    config: Path | str | Config,
+    wavs: Path | str,
+    checkpoint: Path | str | None,
+    output: Path | str,
+    uris: Path | str | None = None,
+    thresholds: dict | str | Path | None = None,
+    batch_size: int = 128,
+    recursive: bool = False,
+    dump_logits: bool = False,
+    rttm_dirname: str = "raw_rttm",
+    model: SegmentationModel | None = None,
+) -> list[Path]:
+    """Batch entry point: load config + checkpoint, then per-file inference
+    (reference ``run_inference_on_audios``, ``inference.py:398-459``)."""
+    from segma_tpu.checkpoint import load_model_for_inference
+
+    output = Path(output)
+    if isinstance(thresholds, (str, Path)):
+        thr_path = Path(thresholds)
+        if not thr_path.exists():
+            raise ValueError("Path to a valid threshold dict does not exist.")
+        with thr_path.open("r") as f:
+            thresholds = yaml.safe_load(f)
+
+    files_to_infer_on, n_files = get_list_of_files_to_process(
+        Path(wavs), recursive, uris
+    )
+    if model is None:
+        cfg = config if isinstance(config, Config) else load_config(config)
+        if "hydra" not in cfg.model.name and cfg.model.name != "conv_vad":
+            raise ValueError("only MultiLabelEncoder is supported")
+        model = load_model_for_inference(cfg, checkpoint)
+
+    pipeline = InferencePipeline(model, model.params, batch_size=batch_size)
+
+    for i, audio_path in enumerate(files_to_infer_on, 1):
+        t0 = time.perf_counter()
+        infer_file(
+            audio_path,
+            pipeline,
+            output,
+            thresholds=thresholds,
+            dump_logits=dump_logits,
+            rttm_dirname=rttm_dirname,
+        )
+        dt = time.perf_counter() - t0
+        print(
+            f"[log] - ({i:>{len(str(n_files))}}/{n_files}) inference for "
+            f"'{audio_path.stem}' in {dt:.2f}s",
+            flush=True,
+        )
+    return files_to_infer_on
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    from segma_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    parser = argparse.ArgumentParser(description="segma_tpu batch inference")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--uris", help="list of uris to use for prediction")
+    parser.add_argument("--wavs", required=True)
+    parser.add_argument("--checkpoint", default="models/last/best.ckpt")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--thresholds", default=None)
+    parser.add_argument("--batch_size", "--batch-size", default=128, type=int)
+    parser.add_argument("--save-logits", action="store_true")
+    parser.add_argument("--recursive", action="store_true")
+    parser.add_argument("--rttm-dirname", default="raw_rttm")
+    args = parser.parse_args(argv)
+
+    run_inference_on_audios(
+        config=args.config,
+        uris=args.uris,
+        wavs=args.wavs,
+        checkpoint=args.checkpoint,
+        output=args.output,
+        thresholds=args.thresholds,
+        batch_size=args.batch_size,
+        dump_logits=args.save_logits,
+        recursive=args.recursive,
+        rttm_dirname=args.rttm_dirname,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Model wrapper: flax module + receptive-field geometry + loss semantics.
+
+Role of the reference ``BaseSegmentationModel`` (``src/segma/models/base.py:
+145-360``) re-cut for JAX: the wrapper is a thin, picklable description —
+parameters live in explicit pytrees and all compute goes through pure
+functions so entry points can ``jit``/``pjit`` them.
+
+Loss parity notes:
+- hydra models: per-head ``binary_cross_entropy_with_logits`` summed over
+  heads, mean over (batch x windows) rows (``surgical_hydra.py:126-133``);
+- multiclass models: softmax cross-entropy against multi-hot targets with
+  optional class weights (``models/base.py:171-187``). The reference applies
+  ``cross_entropy`` to already-softmaxed outputs (a double-softmax quirk);
+  segma_tpu models return raw logits and use a proper CE — documented
+  deviation, strictly better conditioned.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from segma_tpu.config import Config
+from segma_tpu.models.geometry import ConvolutionSettings
+from segma_tpu.utils.encoders import LabelEncoder
+
+__all__ = [
+    "ConvolutionSettings",
+    "SegmentationModel",
+    "bce_with_logits",
+    "hydra_loss",
+    "softmax_ce_loss",
+]
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise numerically-stable binary cross-entropy with logits."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+
+
+def hydra_loss(
+    logits: jnp.ndarray, targets: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hydra objective: per-label BCE means, summed across labels.
+
+    Args:
+        logits: (..., n_labels) raw head logits.
+        targets: (..., n_labels) multi-hot.
+
+    Returns:
+        (total_loss scalar, per_label (n_labels,) losses)
+    """
+    elt = bce_with_logits(logits, targets)
+    flat = elt.reshape(-1, elt.shape[-1])
+    per_label = flat.mean(axis=0)
+    return per_label.sum(), per_label
+
+
+def softmax_ce_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    class_weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Softmax cross-entropy against (possibly multi-hot) target rows,
+    normalized like ``torch.nn.functional.cross_entropy`` with probabilistic
+    targets and optional per-class weights."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    flat_lp = logp.reshape(-1, logp.shape[-1])
+    flat_t = targets.reshape(-1, targets.shape[-1])
+    if class_weights is not None:
+        flat_t = flat_t * class_weights[None, :]
+    return -(flat_t * flat_lp).sum() / jnp.maximum(flat_t.sum(), 1e-12)
+
+
+@dataclass
+class SegmentationModel:
+    """A segmentation model = flax module + geometry + objective.
+
+    Attributes:
+        name: registry name.
+        module: flax module mapping raw waveforms (B, T) f32 -> frame logits
+            (B, n_windows, n_labels) f32. Feature extraction (log-mel) runs
+            inside the module, on device.
+        conv_settings: receptive-field geometry linking output frames to
+            sample indices.
+        label_encoder: the label vocabulary.
+        config: full framework config.
+        loss_type: 'hydra' (per-label BCE) or 'multiclass' (softmax CE).
+        frozen_prefixes: top-level param collections excluded from training
+            and from checkpoints (pretrained encoders), mirroring the
+            reference's frozen-encoder + checkpoint-exclusion behaviour
+            (``hubert/surgical_hydra.py:203-216``).
+    """
+
+    name: str
+    module: nn.Module
+    conv_settings: ConvolutionSettings
+    label_encoder: LabelEncoder
+    config: Config
+    loss_type: str = "hydra"
+    frozen_prefixes: tuple[str, ...] = ()
+    # populated by init_params / load
+    params: Any = None
+    # optional callable loading pretrained encoder params into a fresh tree
+    pretrained_loader: Callable[[Any], Any] | None = field(default=None, repr=False)
+
+    @property
+    def n_labels(self) -> int:
+        return len(self.label_encoder.base_labels)
+
+    @property
+    def n_windows(self) -> int:
+        return self.conv_settings.n_windows(
+            self.config.audio.chunk_duration_f,
+            strict=self.config.audio.strict_frames,
+        )
+
+    # -- parameter management -------------------------------------------------
+    def init_params(self, key: jax.Array) -> Any:
+        """Initialize the full parameter tree (random heads; pretrained
+        encoder weights grafted in when a loader is configured)."""
+        wav = jnp.zeros((1, self.config.audio.chunk_duration_f), jnp.float32)
+        params = self.module.init({"params": key}, wav, train=False)["params"]
+        if self.pretrained_loader is not None:
+            params = self.pretrained_loader(params)
+        self.params = params
+        return params
+
+    def trainable_mask(self, params: Any | None = None) -> Any:
+        """Pytree of bools: True where the optimizer should update."""
+        params = params if params is not None else self.params
+
+        def mask_subtree(path_head: str, subtree):
+            trainable = path_head not in self.frozen_prefixes
+            return jax.tree.map(lambda _: trainable, subtree)
+
+        return {k: mask_subtree(k, v) for k, v in params.items()}
+
+    def split_params(self, params: Any | None = None) -> tuple[dict, dict]:
+        """(trainable, frozen) top-level split used by checkpointing."""
+        params = params if params is not None else self.params
+        trainable = {
+            k: v for k, v in params.items() if k not in self.frozen_prefixes
+        }
+        frozen = {k: v for k, v in params.items() if k in self.frozen_prefixes}
+        return trainable, frozen
+
+    # -- forward / loss --------------------------------------------------------
+    def apply(
+        self,
+        params: Any,
+        wav: jnp.ndarray,
+        train: bool = False,
+        rngs: dict | None = None,
+    ) -> jnp.ndarray:
+        """Forward pass: (B, T) waveforms -> (B, n_windows, n_labels) logits."""
+        return self.module.apply({"params": params}, wav, train=train, rngs=rngs)
+
+    def loss(
+        self, logits: jnp.ndarray, targets: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(total, per_label) training loss for this model's objective."""
+        if self.loss_type == "hydra":
+            return hydra_loss(logits, targets)
+        total = softmax_ce_loss(logits, targets)
+        return total, jnp.broadcast_to(total, (self.n_labels,))

@@ -1,0 +1,86 @@
+"""Validation metrics in JAX (replaces torchmetrics usage,
+reference ``src/segma/models/base.py:189-317``).
+
+All metrics are computed from device-accumulated sufficient statistics so a
+validation epoch is a stream of jitted batch updates plus one tiny host
+finalize.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def binary_counts(
+    probs: jnp.ndarray, targets: jnp.ndarray, threshold: float = 0.5
+) -> dict[str, jnp.ndarray]:
+    """Per-label TP/FP/FN/TN counts for (N, L) probabilities vs multi-hot."""
+    pred = probs > threshold
+    t = targets > 0.5
+    tp = jnp.sum(pred & t, axis=0)
+    fp = jnp.sum(pred & ~t, axis=0)
+    fn = jnp.sum(~pred & t, axis=0)
+    tn = jnp.sum(~pred & ~t, axis=0)
+    return {"tp": tp, "fp": fp, "fn": fn, "tn": tn}
+
+
+def f1_from_counts(counts: dict[str, np.ndarray], zero_division: float = 0.0) -> np.ndarray:
+    """Per-label binary F1 from accumulated counts."""
+    tp = np.asarray(counts["tp"], np.float64)
+    fp = np.asarray(counts["fp"], np.float64)
+    fn = np.asarray(counts["fn"], np.float64)
+    denom = 2 * tp + fp + fn
+    with np.errstate(invalid="ignore", divide="ignore"):
+        f1 = np.where(denom > 0, 2 * tp / denom, zero_division)
+    return f1
+
+
+def multiclass_f1(
+    preds: np.ndarray, targets: np.ndarray, n_classes: int
+) -> np.ndarray:
+    """Per-class F1 on argmax predictions (torchmetrics
+    ``multiclass_f1_score(average=None, zero_division=0)`` semantics)."""
+    f1 = np.zeros(n_classes)
+    for c in range(n_classes):
+        tp = np.sum((preds == c) & (targets == c))
+        fp = np.sum((preds == c) & (targets != c))
+        fn = np.sum((preds != c) & (targets == c))
+        denom = 2 * tp + fp + fn
+        f1[c] = 2 * tp / denom if denom > 0 else 0.0
+    return f1
+
+
+def binary_auroc(scores: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Exact AUROC per label via the Mann-Whitney U statistic.
+
+    scores: (N, L) real-valued; targets: (N, L) in {0, 1}.
+    Ties handled by average ranks. Labels with no positives or no
+    negatives return 0.5.
+    """
+
+    def one_label(s: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        order = jnp.argsort(s)
+        s_sorted = s[order]
+        t_sorted = t[order]
+        n = s.shape[0]
+        ranks = jnp.arange(1, n + 1, dtype=jnp.float64)
+        # average ranks for ties: segment means over equal-value runs
+        new_group = jnp.concatenate(
+            [jnp.array([True]), s_sorted[1:] != s_sorted[:-1]]
+        )
+        group_id = jnp.cumsum(new_group) - 1
+        group_sum = jax.ops.segment_sum(ranks, group_id, num_segments=n)
+        group_cnt = jax.ops.segment_sum(jnp.ones_like(ranks), group_id, num_segments=n)
+        avg_rank = (group_sum / jnp.maximum(group_cnt, 1))[group_id]
+        n_pos = jnp.sum(t_sorted)
+        n_neg = n - n_pos
+        rank_sum_pos = jnp.sum(avg_rank * t_sorted)
+        u = rank_sum_pos - n_pos * (n_pos + 1) / 2
+        auc = u / jnp.maximum(n_pos * n_neg, 1)
+        return jnp.where((n_pos == 0) | (n_neg == 0), 0.5, auc)
+
+    return jax.vmap(one_label, in_axes=(1, 1))(
+        scores.astype(jnp.float64), targets.astype(jnp.float64)
+    )

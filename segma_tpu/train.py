@@ -1,0 +1,330 @@
+"""Training loop: optax AdamW + plateau LR schedule, jitted SPMD train step,
+checkpoint top-k/best/last, early stopping, metrics.
+
+Functional re-design of the reference Lightning stack (``scripts/train.py:
+48-200``): one jitted, donation-friendly ``train_step`` (forward + loss +
+grads + optimizer) compiled once and driven by the host loop; frozen encoder
+params are masked out of the optimizer (the reference freezes via
+``requires_grad=False``); ``ReduceLROnPlateau`` is reproduced by scaling the
+learning rate through ``optax.inject_hyperparams`` between epochs, which
+changes NO compiled code.
+
+Multi-chip: batches are sharded over the mesh ``data`` axis, parameters are
+replicated — XLA inserts the gradient psum. The same ``fit`` runs on 1 TPU
+chip, N chips, or a host-simulated CPU mesh.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from segma_tpu.checkpoint import CheckpointManager
+from segma_tpu.config import Config
+from segma_tpu.models.base import SegmentationModel
+from segma_tpu.ops.metrics import binary_counts, f1_from_counts
+from segma_tpu.parallel.mesh import replicate, shard_batch
+from segma_tpu.utils.logging import MetricsLogger
+
+
+def get_metric(metric: str) -> tuple[str, str]:
+    """(mode, monitor key) for a validation metric name
+    (reference ``scripts/train.py:34-45``)."""
+    table = {
+        "loss": ("min", "val/loss"),
+        "f1_score": ("max", "val/f1_score"),
+        "auroc": ("max", "val/auroc"),
+    }
+    if metric not in table:
+        raise ValueError(
+            f"metric '{metric}' is not supported, please use 'loss', 'auroc' "
+            "or 'f1_score'."
+        )
+    return table[metric]
+
+
+def make_optimizer(
+    model: SegmentationModel, lr: float
+) -> optax.GradientTransformation:
+    """AdamW over trainable params only; LR injected as a runtime
+    hyperparameter so plateau scaling never recompiles."""
+    opt = optax.inject_hyperparams(optax.adamw)(learning_rate=lr)
+    # callable mask: resolved lazily at optimizer.init time
+    return optax.masked(opt, model.trainable_mask)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected learning rate in a masked-optimizer state."""
+    inner = opt_state.inner_state
+    inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.inner_state.hyperparams["learning_rate"])
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau scheduler (torch semantics: ``factor`` scale after
+    ``patience`` epochs without improvement)."""
+
+    def __init__(self, mode: str, patience: int, factor: float = 0.1) -> None:
+        self.mode = mode
+        self.patience = patience
+        self.factor = factor
+        self.best: float | None = None
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def step(self, value: float) -> bool:
+        """Returns True when the LR was just reduced."""
+        improved = (
+            self.best is None
+            or (self.mode == "min" and value < self.best)
+            or (self.mode == "max" and value > self.best)
+        )
+        if improved:
+            self.best = value
+            self.bad_epochs = 0
+            return False
+        self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.scale *= self.factor
+            self.bad_epochs = 0
+            return True
+        return False
+
+
+class EarlyStopping:
+    """Stop after ``patience`` epochs without improvement
+    (reference ``scripts/train.py:154-161``, patience 10, min_delta 0)."""
+
+    def __init__(self, mode: str, patience: int = 10, min_delta: float = 0.0):
+        self.mode = mode
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best: float | None = None
+        self.bad_epochs = 0
+
+    def step(self, value: float) -> bool:
+        """Returns True when training should stop."""
+        improved = self.best is None or (
+            value < self.best - self.min_delta
+            if self.mode == "min"
+            else value > self.best + self.min_delta
+        )
+        if improved:
+            self.best = value
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+        return self.bad_epochs >= self.patience
+
+
+def make_train_step(
+    model: SegmentationModel, optimizer: optax.GradientTransformation
+) -> Callable:
+    """Build the jitted train step (donated params/opt_state)."""
+
+    def train_step(params, opt_state, batch, dropout_key):
+        def loss_fn(p):
+            logits = model.apply(
+                p, batch["x"], train=True, rngs={"dropout": dropout_key}
+            )
+            total, per_label = model.loss(logits, batch["y"])
+            return total, per_label
+
+        (loss, per_label), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, per_label
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def make_eval_step(model: SegmentationModel) -> Callable:
+    """Jitted validation step: loss terms + F1 sufficient statistics."""
+
+    def eval_step(params, batch):
+        logits = model.apply(params, batch["x"], train=False)
+        total, per_label = model.loss(logits, batch["y"])
+        probs = jax.nn.sigmoid(logits).reshape(-1, logits.shape[-1])
+        targets = batch["y"].reshape(-1, batch["y"].shape[-1])
+        counts = binary_counts(probs, targets)
+        return total, per_label, counts
+
+    return jax.jit(eval_step)
+
+
+@dataclass
+class Trainer:
+    """Host training driver (role of ``pl.Trainer`` in the reference)."""
+
+    model: SegmentationModel
+    config: Config
+    run_dir: Path
+    mesh: Mesh | None = None
+    logger: MetricsLogger | None = None
+    max_epochs: int | None = None
+    state: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.run_dir = Path(self.run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        if self.logger is None:
+            self.logger = MetricsLogger(self.run_dir / "metrics.jsonl")
+        tc = self.config.train
+        self.mode, self.monitor = get_metric(tc.validation_metric)
+        self.optimizer = make_optimizer(self.model, tc.lr)
+        self.train_step = make_train_step(self.model, self.optimizer)
+        self.eval_step = make_eval_step(self.model)
+        self.ckpt = CheckpointManager(
+            self.run_dir / "checkpoints",
+            monitor=self.monitor,
+            mode=self.mode,
+            save_top_k=tc.save_top_k,
+            save_last=True,
+        )
+        self.scheduler = ReduceLROnPlateau(self.mode, tc.scheduler.patience)
+        self.early_stopping = EarlyStopping(
+            self.mode, patience=tc.early_stop_patience
+        )
+
+    # -- data placement ---------------------------------------------------------
+    def _put(self, batch: dict[str, np.ndarray]) -> dict[str, jnp.ndarray]:
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return jax.tree.map(jnp.asarray, batch)
+
+    # -- epochs -------------------------------------------------------------------
+    def _train_epoch(self, params, opt_state, loader, key) -> tuple:
+        losses = []
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, _ = self.train_step(
+                params, opt_state, self._put(batch), sub
+            )
+            losses.append(loss)
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        return params, opt_state, mean_loss, key
+
+    def _val_epoch(self, params, loader) -> dict[str, float]:
+        tc = self.config.train
+        labels = self.model.label_encoder.base_labels
+        losses, per_labels = [], []
+        counts_acc: dict[str, Any] | None = None
+        for batch in loader:
+            total, per_label, counts = self.eval_step(params, self._put(batch))
+            losses.append(total)
+            per_labels.append(per_label)
+            if counts_acc is None:
+                counts_acc = counts
+            else:
+                counts_acc = jax.tree.map(lambda a, b: a + b, counts_acc, counts)
+        metrics: dict[str, float] = {}
+        if losses:
+            metrics["val/loss"] = float(jnp.mean(jnp.stack(losses)))
+            per_label = np.asarray(jnp.mean(jnp.stack(per_labels), axis=0))
+            for i, label in enumerate(labels):
+                metrics[f"val/loss_{label}"] = float(per_label[i])
+        wants_f1 = (
+            tc.validation_metric == "f1_score"
+            or "f1_score" in tc.extra_val_metrics
+        )
+        if counts_acc is not None and wants_f1:
+            f1 = f1_from_counts(jax.tree.map(np.asarray, counts_acc))
+            metrics["val/f1_score"] = float(f1.mean())
+            for i, label in enumerate(labels):
+                metrics[f"val/f1_{label}"] = float(f1[i])
+        return metrics
+
+    # -- fit -------------------------------------------------------------------
+    def fit(
+        self,
+        datamodule,
+        resume_from: Path | None = None,
+    ) -> dict[str, Any]:
+        tc = self.config.train
+        seed = tc.seed if tc.seed is not None else 0
+        key = jax.random.key(seed)
+
+        params = self.model.params
+        if params is None:
+            key, init_key = jax.random.split(key)
+            params = self.model.init_params(init_key)
+        opt_state = self.optimizer.init(params)
+        start_epoch = 0
+
+        if resume_from is not None:
+            from segma_tpu.checkpoint import load_meta, load_params, resolve_checkpoint
+
+            ckpt = resolve_checkpoint(resume_from)
+            trainable, frozen = self.model.split_params(params)
+            trainable = load_params(ckpt, trainable)
+            params = {**trainable, **frozen}
+            start_epoch = int(load_meta(ckpt).get("epoch", -1)) + 1
+
+        if self.mesh is not None:
+            params = replicate(params, self.mesh)
+            opt_state = replicate(opt_state, self.mesh)
+
+        base_lr = tc.lr
+        train_loader = datamodule.train_dataloader()
+        val_loader = datamodule.val_dataloader()
+        max_epochs = self.max_epochs or tc.max_epochs
+
+        history = []
+        for epoch in range(start_epoch, max_epochs):
+            t0 = time.perf_counter()
+            params, opt_state, train_loss, key = self._train_epoch(
+                params, opt_state, train_loader, key
+            )
+            metrics = self._val_epoch(params, val_loader)
+            metrics["train/loss"] = train_loss
+            metrics["lr"] = get_learning_rate(opt_state)
+            metrics["epoch"] = epoch
+            metrics["time_s"] = time.perf_counter() - t0
+            self.logger.log(metrics)
+            history.append(metrics)
+
+            monitored = metrics.get(self.monitor)
+            if monitored is None:
+                raise ValueError(
+                    f"monitored metric {self.monitor!r} missing from val metrics"
+                )
+
+            # plateau scheduler -> scale injected LR (no recompiles)
+            if self.scheduler.step(monitored):
+                opt_state = set_learning_rate(
+                    opt_state, base_lr * self.scheduler.scale
+                )
+
+            trainable, _ = self.model.split_params(params)
+            self.ckpt.step(
+                epoch,
+                monitored,
+                trainable,
+                meta={"config": self.config.as_dict(), "monitor": self.monitor},
+            )
+
+            if self.early_stopping.step(monitored):
+                self.logger.log({"early_stop": epoch})
+                break
+
+        self.model.params = params
+        return {
+            "params": params,
+            "history": history,
+            "best_score": self.ckpt.best_score,
+            "best_path": str(self.ckpt.best_path),
+        }

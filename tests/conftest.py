@@ -7,12 +7,18 @@ in CI without TPUs. Mirrors the test plan in SURVEY.md §4.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pins JAX_PLATFORMS to a TPU plugin
+# (the axon sitecustomize registers the TPU backend at interpreter start).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402  (must come after the env setup above)
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path
@@ -25,6 +31,14 @@ for p in (str(REPO_ROOT), str(REPO_ROOT / "scripts")):
 import numpy as np
 import pytest
 
+# Persistent compilation cache: repeated pytest runs skip XLA recompiles.
+_CACHE_DIR = REPO_ROOT / ".cache" / "jax"
+_CACHE_DIR.mkdir(parents=True, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+FIXTURE_AUDIO_S = 20.0  # duration of each synthetic fixture file
+
 
 @pytest.fixture(scope="session")
 def synthetic_dataset(tmp_path_factory) -> Path:
@@ -32,7 +46,9 @@ def synthetic_dataset(tmp_path_factory) -> Path:
     from scripts.generate_data import gen_classification
 
     root = tmp_path_factory.mktemp("data") / "debug_5"
-    gen_classification(output=root, per_split=5, seed=1234)
+    gen_classification(
+        output=root, per_split=5, seed=1234, audio_duration_s=FIXTURE_AUDIO_S
+    )
     return root
 
 

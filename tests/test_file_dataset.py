@@ -44,8 +44,8 @@ def test_load_populates_metadata(ds_root):
     assert len(train.uris) == 5
     assert train.durations.shape[0] == 5
     assert len(train.indexes) == 5
-    # 60 s files at 16 kHz
-    assert np.all(train.durations["audio_duration_f"] == 60 * 16_000)
+    # 20 s files at 16 kHz
+    assert np.all(train.durations["audio_duration_f"] == 20 * 16_000)
     assert np.all(train.durations["annotated_duration_f"] > 0)
 
 

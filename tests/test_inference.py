@@ -1,0 +1,212 @@
+"""End-to-end inference pipeline tests: chunk geometry parity, device
+pipeline vs naive per-chunk reference computation, interval decode."""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from segma_tpu.config import load_config
+from segma_tpu.inference import (
+    Chunkyfier,
+    InferencePipeline,
+    create_intervals,
+    default_thresholds,
+    infer_file,
+    write_intervals,
+)
+from segma_tpu.models import Models
+from segma_tpu.models.base import ConvolutionSettings
+from segma_tpu.utils.encoders import MultiLabelEncoder
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+FRAME_CS = ConvolutionSettings((320,), (320,), (0,))
+
+
+# ---------------------------------------------------------------------------
+# Chunkyfier geometry parity (reference inference.py:21-89 invariants)
+# ---------------------------------------------------------------------------
+
+
+def test_chunkyfier_derived_invariants():
+    ck = Chunkyfier(128, 64_000, FRAME_CS)
+    assert ck.n_windows == 199
+    assert ck.missing_n_frames == 320
+    assert ck.chunk_stride == 63_680
+    assert ck.chunk_start_i(1) == 63_680
+    assert ck.chunk_end_i(0) == 64_000
+    assert ck.chunk_end_i_coverage(0) == 63_680
+    assert ck.batch_start_i(1) == 128 * 63_680
+    assert ck.batch_end_i(0) == 128 * 64_000
+    assert ck.batch_end_i_coverage(0) == 128 * 64_000 - 128 * 320
+
+
+def test_chunkyfier_fitting_chunks():
+    ck = Chunkyfier(128, 64_000, FRAME_CS)
+    assert ck.get_n_fitting_chunks(64_000) == 1
+    assert ck.get_n_fitting_chunks(63_999) == 0
+    assert ck.get_n_fitting_chunks(64_000 + 63_680) == 2
+    # 60 s file
+    assert ck.get_n_fitting_chunks(960_000) == 15
+
+
+def test_total_frames_exact():
+    ck = Chunkyfier(128, 64_000, FRAME_CS)
+    # one chunk, leftover = 64000 - 63680 = 320 < 400 -> no tail frames
+    assert ck.total_frames(64_000) == 199
+    # tail 400 samples -> non-strict 400 // 321 = 1 frame
+    assert ck.total_frames(63_680 + 400) == 199 + 1
+    # tail 399 -> dropped
+    assert ck.total_frames(63_680 + 399) == 199
+    # 60 s file: 15 chunks + 4800-sample tail -> 4800 // 321 = 14
+    assert ck.total_frames(960_000) == 15 * 199 + 14
+    # shorter than a chunk: pure tail
+    assert ck.total_frames(16_000) == 16_000 // 321
+    assert ck.total_frames(200) == 0
+
+
+# ---------------------------------------------------------------------------
+# Device pipeline
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vad_model():
+    """Tiny f32 ConvVAD on 1 s chunks — all geometry derived, so this also
+    exercises the no-hardcoded-199/320 property (1 s -> 49 windows)."""
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            "model.name=conv_vad",
+            "model.config={hidden: 32, depth: 1, dtype: f32}",
+            "audio.chunk_duration_s=1.0",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    model.init_params(jax.random.key(0))
+    return model
+
+
+CHUNK_1S = 16_000
+STRIDE_1S = 15_680  # 49 windows * 320
+N_W_1S = 49
+
+
+def test_vad_forward_shape(vad_model):
+    wav = np.zeros((2, CHUNK_1S), np.float32)
+    logits = vad_model.apply(vad_model.params, wav)
+    assert logits.shape == (2, N_W_1S, 4)
+    assert logits.dtype == np.float32
+
+
+def test_pipeline_matches_per_chunk_forward(vad_model):
+    """The fused unfold+forward must equal naive per-chunk forwards."""
+    rng = np.random.default_rng(0)
+    n = CHUNK_1S + STRIDE_1S * 2 + 3_000  # 3 chunks + tail
+    audio = (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+    pipe = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    got = pipe.logits_for_audio(audio)
+
+    ck = pipe.chunkyfier
+    assert ck.n_windows == N_W_1S and ck.chunk_stride == STRIDE_1S
+    total = ck.total_frames(n)
+    assert got.shape == (total, 4)
+
+    # naive: forward each chunk separately at its stride offset
+    for i in range(3):
+        chunk = audio[i * STRIDE_1S : i * STRIDE_1S + CHUNK_1S]
+        ref = np.asarray(vad_model.apply(vad_model.params, chunk[None, :]))[0]
+        np.testing.assert_allclose(
+            got[i * N_W_1S : (i + 1) * N_W_1S], ref, rtol=1e-4, atol=1e-5
+        )
+
+
+def test_pipeline_short_file(vad_model):
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(10_000) * 0.1).astype(np.float32)
+    pipe = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    got = pipe.logits_for_audio(audio)
+    assert got.shape == (10_000 // 321, 4)
+
+
+def test_pipeline_empty_for_tiny_file(vad_model):
+    pipe = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    got = pipe.logits_for_audio(np.zeros(300, np.float32))
+    assert got.shape == (0, 4)
+
+
+# ---------------------------------------------------------------------------
+# Thresholds + interval decode
+# ---------------------------------------------------------------------------
+
+
+def test_apply_thresholds(vad_model):
+    pipe = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    logits = np.array([[2.0, -2.0, 0.1, -0.1], [-2.0, 2.0, -0.1, 0.1]], np.float32)
+    thr = default_thresholds(("a", "b", "c", "d"))
+    mask = pipe.apply_thresholds(logits, thr)
+    np.testing.assert_array_equal(
+        mask, [[True, False, True, False], [False, True, False, True]]
+    )
+
+
+def test_create_intervals_decode_math():
+    enc = MultiLabelEncoder(["a", "b"])
+    mask = np.zeros((10, 2), bool)
+    mask[2:5, 0] = True  # frames 2,3,4 of label a
+    mask[0:1, 1] = True  # frame 0 of label b
+    mask[9:10, 1] = True  # last frame of label b
+    out = create_intervals(mask, FRAME_CS, enc)
+    # label a: start = rf_start(2) = 640, end = rf_end(4)+1 = 4*320+320 = 1600
+    assert (640, 1600, "a") in out
+    assert (0, 320, "b") in out
+    assert (2880, 3200, "b") in out
+    assert len(out) == 3
+
+
+def test_create_intervals_negative_start_clamped():
+    enc = MultiLabelEncoder(["a"])
+    cs = ConvolutionSettings((400, 3, 3), (160, 1, 2), (200, 1, 1))  # rf_start(0) < 0
+    mask = np.ones((2, 1), bool)
+    out = create_intervals(mask, cs, enc)
+    assert out[0][0] == 0  # max(0, rf_start)
+
+
+def test_write_intervals_rttm(tmp_path):
+    out = write_intervals(
+        [(0, 16_000, "a"), (32_000, 48_000, "b")],
+        Path("fake/uri_7.wav"),
+        tmp_path,
+    )
+    assert out == tmp_path / "raw_rttm" / "uri_7.rttm"
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 2
+    f0 = lines[0].split(" ")
+    assert f0[0] == "SPEAKER" and f0[1] == "uri_7"
+    assert float(f0[3]) == 0.0 and float(f0[4]) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Full file end-to-end on synthetic data
+# ---------------------------------------------------------------------------
+
+
+def test_infer_file_end_to_end(vad_model, synthetic_dataset, tmp_path):
+    wav = next((synthetic_dataset / "wav").glob("*.wav"))
+    pipe = InferencePipeline(vad_model, vad_model.params, batch_size=16)
+    intervals = infer_file(wav, pipe, tmp_path, dump_logits=True)
+    rttm = tmp_path / "raw_rttm" / f"{wav.stem}.rttm"
+    assert rttm.exists()
+    logits_npz = tmp_path / "logits" / f"{wav.stem}-logits_dict_t.npz"
+    assert logits_npz.exists()
+    loaded = np.load(logits_npz)
+    assert set(loaded.files) == {"KCHI", "OCH", "MAL", "FEM"}
+    ck = pipe.chunkyfier
+    assert loaded["KCHI"].shape == (ck.total_frames(20 * 16_000),)
+    # intervals land on the 320-sample grid, within the audio
+    for s, e, label in intervals:
+        assert 0 <= s < e
+        assert s % 320 == 0 and e % 320 == 0

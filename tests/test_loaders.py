@@ -82,15 +82,15 @@ def test_targets_correspond_to_audio(cfg, loaded_ds):
 def test_virtual_epoch_size(cfg, loaded_ds):
     enc = MultiLabelEncoder(CLASSES)
     sampler = AudioSegmentationSampler(loaded_ds.train, cfg, CS, enc, seed=0)
-    # 5 files x 60 s / 4 s = 75 samples, multiplier 1.0, batch 4 -> max(75,4)=75
-    assert sampler.samples_per_epoch() == 75
+    # 5 files x 20 s / 4 s = 25 samples, multiplier 1.0, batch 4 -> max(25,4)=25
+    assert sampler.samples_per_epoch() == 25
 
 
 def test_dataloader_iteration(cfg, loaded_ds):
     enc = MultiLabelEncoder(CLASSES)
     dm = SegmentationDataLoader(loaded_ds, enc, cfg, CS)
     loader = dm.train_dataloader()
-    assert len(loader) == 75 // 4
+    assert len(loader) == 25 // 4
     n = 0
     for batch in loader:
         assert batch["x"].shape == (4, 64_000)

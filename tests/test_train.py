@@ -1,0 +1,160 @@
+"""Training loop tests: scheduler/early-stop semantics, checkpoint manager,
+and an end-to-end overfit smoke run on synthetic data."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from segma_tpu.checkpoint import (
+    CheckpointManager,
+    load_params,
+    resolve_checkpoint,
+    save_params,
+)
+from segma_tpu.config import load_config
+from segma_tpu.train import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    Trainer,
+    get_metric,
+)
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+
+
+# ---------------------------------------------------------------------------
+# Host-side control logic
+# ---------------------------------------------------------------------------
+
+
+def test_get_metric():
+    assert get_metric("loss") == ("min", "val/loss")
+    assert get_metric("f1_score") == ("max", "val/f1_score")
+    assert get_metric("auroc") == ("max", "val/auroc")
+    with pytest.raises(ValueError):
+        get_metric("bogus")
+
+
+def test_reduce_lr_on_plateau():
+    sched = ReduceLROnPlateau("min", patience=2, factor=0.1)
+    assert not sched.step(1.0)
+    assert not sched.step(0.9)  # improved
+    assert not sched.step(0.95)  # bad 1
+    assert not sched.step(0.95)  # bad 2
+    assert sched.step(0.95)  # bad 3 > patience -> reduce
+    assert sched.scale == pytest.approx(0.1)
+
+
+def test_early_stopping():
+    es = EarlyStopping("min", patience=3)
+    vals = [1.0, 0.9, 0.95, 0.95, 0.95]
+    stops = [es.step(v) for v in vals]
+    assert stops == [False, False, False, False, True]
+
+
+def test_checkpoint_manager_topk_best_last(tmp_path):
+    mgr = CheckpointManager(tmp_path, monitor="val/loss", mode="min", save_top_k=2)
+    params = {"heads": {"kernel": np.ones((2, 2), np.float32)}}
+    for epoch, score in enumerate([0.5, 0.3, 0.4, 0.6]):
+        p = {"heads": {"kernel": np.full((2, 2), score, np.float32)}}
+        mgr.step(epoch, score, p, meta={})
+    # top-2 kept: 0.3 and 0.4
+    kept_scores = sorted(s for s, _ in mgr.kept)
+    assert kept_scores == [0.3, 0.4]
+    assert mgr.best_score == 0.3
+    # best symlink resolves to the 0.3 checkpoint
+    best = resolve_checkpoint(tmp_path / "best.ckpt")
+    restored = load_params(best, params)
+    assert restored["heads"]["kernel"][0, 0] == np.float32(0.3)
+    # last/ holds the most recent (0.6)
+    last = load_params(tmp_path / "last", params)
+    assert last["heads"]["kernel"][0, 0] == np.float32(0.6)
+
+
+def test_save_load_roundtrip(tmp_path):
+    tree = {"a": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    save_params(tmp_path / "ck", tree, meta={"epoch": 3})
+    out = load_params(tmp_path / "ck", tree)
+    np.testing.assert_array_equal(out["a"]["w"], tree["a"]["w"])
+    from segma_tpu.checkpoint import load_meta
+
+    assert load_meta(tmp_path / "ck")["epoch"] == 3
+
+
+# ---------------------------------------------------------------------------
+# End-to-end overfit smoke test
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def train_cfg(synthetic_dataset):
+    return load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            f"data.dataset_path={synthetic_dataset}",
+            "data.classes=[male,female,key_child,other_child]",
+            "data.dataset_multiplier=0.3",
+            "model.name=conv_vad",
+            "model.config={hidden: 32, depth: 1, dtype: f32}",
+            "audio.chunk_duration_s=1.0",
+            "train.batch_size=4",
+            "train.max_epochs=3",
+            "train.seed=0",
+            "train.lr=0.003",
+            "wandb.offline=true",
+        ],
+    )
+
+
+def test_trainer_fit_smoke(train_cfg, tmp_path):
+    """Loss must go down over a few epochs on the sine-tone dataset, and the
+    checkpoint layout must materialize."""
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    enc = MultiLabelEncoder(train_cfg.data.classes)
+    model = Models["conv_vad"](enc, train_cfg)
+    ds = SegmaFileDataset.from_config(train_cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, train_cfg, model.conv_settings)
+
+    trainer = Trainer(model=model, config=train_cfg, run_dir=tmp_path / "run")
+    result = trainer.fit(dm)
+
+    hist = result["history"]
+    assert len(hist) == 3
+    assert hist[-1]["train/loss"] < hist[0]["train/loss"]
+    assert np.isfinite(hist[-1]["val/loss"])
+    assert "val/f1_score" in hist[-1]
+    # checkpoints: best symlink + last + at least one epoch dir
+    ckpt_dir = tmp_path / "run" / "checkpoints"
+    assert (ckpt_dir / "best.ckpt").exists()
+    assert (ckpt_dir / "last" / "params.msgpack").exists()
+    # metrics stream written
+    assert (tmp_path / "run" / "metrics.jsonl").exists()
+
+
+def test_trainer_resume(train_cfg, tmp_path):
+    """Resuming from last.ckpt continues at the right epoch."""
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    enc = MultiLabelEncoder(train_cfg.data.classes)
+    ds = SegmaFileDataset.from_config(train_cfg)
+    ds.load(use_cache=False)
+
+    model = Models["conv_vad"](enc, train_cfg)
+    dm = SegmentationDataLoader(ds, enc, train_cfg, model.conv_settings)
+    t1 = Trainer(model=model, config=train_cfg, run_dir=tmp_path / "run", max_epochs=1)
+    t1.fit(dm)
+
+    model2 = Models["conv_vad"](enc, train_cfg)
+    t2 = Trainer(
+        model=model2, config=train_cfg, run_dir=tmp_path / "run2", max_epochs=2
+    )
+    result = t2.fit(dm, resume_from=tmp_path / "run" / "checkpoints" / "last")
+    # epoch 0 done in run1 -> run2 starts at epoch 1
+    assert result["history"][0]["epoch"] == 1
