@@ -46,21 +46,24 @@ def main() -> None:
     pipe = InferencePipeline(model, model.params, batch_size=128)
     ck = pipe.chunkyfier
 
-    # ~9 minutes of audio per call (512 chunks), power-of-two bucket
+    # ~34 minutes of audio per call (512 chunks), int16 PCM as read from WAV
     n_chunks = 512
     n_samples = n_chunks * ck.chunk_stride + ck.missing_n_frames
     audio_s = n_samples / SR
     rng = np.random.default_rng(0)
-    audio = (rng.standard_normal(n_samples) * 0.1).astype(np.float32)
+    audio = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
 
     # warmup (compile)
     _ = pipe.logits_for_audio(audio)
 
     iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        logits = pipe.logits_for_audio(audio)
+    # pipelined dispatch: queue every transfer+forward, then drain — the
+    # host->device copies of call i+1 overlap the device compute of call i
+    pending = [pipe.logits_for_audio_async(audio) for _ in range(iters)]
+    outs = [np.asarray(lg[:tf]) for lg, tf in pending]
     wall = time.perf_counter() - t0
+    logits = outs[-1]
 
     total_audio_s = iters * audio_s
     xrt = total_audio_s / wall

@@ -42,7 +42,7 @@ from segma_tpu.config import Config, load_config
 from segma_tpu.models.base import ConvolutionSettings, SegmentationModel
 from segma_tpu.utils.conversions import frames_to_seconds
 from segma_tpu.utils.encoders import MultiLabelEncoder
-from segma_tpu.utils.io import get_all_samples
+from segma_tpu.utils.io import get_all_samples, read_pcm16_mono
 
 TAIL_MIN_SAMPLES = 400  # reference inference.py:195
 
@@ -151,7 +151,12 @@ class InferencePipeline:
 
         @partial(jax.jit, static_argnums=(2,))
         def infer(params, audio: jax.Array, n_chunks: int) -> jax.Array:
-            """audio: (n_chunks*stride + chunk_f,) -> (n_chunks*n_w, L) logits."""
+            """audio: (n_chunks*stride + chunk_f,) -> (n_chunks*n_w, L) logits.
+
+            ``audio`` may be int16 PCM — normalization happens here, on
+            device, so the host->HBM copy ships half the bytes."""
+            if audio.dtype == jnp.int16:
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
             # overlap-unfold via two aligned reshapes (no gather): chunk i =
             # audio[i*stride : (i+1)*stride] ++ the next `overlap` samples.
             body = audio[: n_chunks * stride].reshape(n_chunks, stride)
@@ -174,24 +179,37 @@ class InferencePipeline:
 
         return infer
 
-    def logits_for_audio(self, audio: np.ndarray) -> np.ndarray:
-        """Full-file frame logits (total_frames, n_labels) float32.
+    def logits_for_audio_async(
+        self, audio: np.ndarray
+    ) -> tuple[jax.Array | None, int]:
+        """Dispatch full-file inference without blocking.
 
-        ``audio``: mono float32 (n,) at the configured sample rate.
+        ``audio``: mono (n,) float32 in [-1, 1] OR raw int16 PCM (normalized
+        on device — preferred: halves the host->HBM transfer).
+
+        Returns (device logits of shape (grid_frames, L) or None, total_frames):
+        slice the first ``total_frames`` rows after blocking.
         """
         ck = self.chunkyfier
         n = int(audio.shape[0])
         strict_tail = self.model.config.audio.strict_frames
         total_frames = ck.total_frames(n, strict_tail=strict_tail)
         if total_frames == 0:
-            return np.zeros((0, self.model.n_labels), np.float32)
+            return None, 0
         # chunks needed so the padded grid covers every counted frame
         n_chunks_needed = -(-total_frames // ck.n_windows)
         n_chunks = _bucket(n_chunks_needed)
         padded_len = n_chunks * ck.chunk_stride + ck.chunk_duration_f
-        padded = np.zeros(padded_len, np.float32)
+        padded = np.zeros(padded_len, audio.dtype)
         padded[:n] = audio
         logits = self._infer_jit(self.params, jnp.asarray(padded), n_chunks)
+        return logits, total_frames
+
+    def logits_for_audio(self, audio: np.ndarray) -> np.ndarray:
+        """Full-file frame logits (total_frames, n_labels) float32."""
+        logits, total_frames = self.logits_for_audio_async(audio)
+        if logits is None:
+            return np.zeros((0, self.model.n_labels), np.float32)
         # consecutive chunks tile the frame grid exactly (stride = n_w * step),
         # so the flattened logits already live on the global 20 ms grid; the
         # first `total_frames` rows are the frames backed by real audio.
@@ -305,10 +323,15 @@ def infer_file(
     if thresholds is None:
         thresholds = default_thresholds(enc.base_labels)
 
-    audio = get_all_samples(audio_path)
-    if audio.shape[0] > 1:
-        audio = audio.mean(axis=0, keepdims=True)
-    logits = pipeline.logits_for_audio(audio[0])
+    # int16 fast path for mono PCM16 (half the host->device bytes)
+    raw = read_pcm16_mono(audio_path)
+    if raw is not None:
+        logits = pipeline.logits_for_audio(raw)
+    else:
+        audio = get_all_samples(audio_path)
+        if audio.shape[0] > 1:
+            audio = audio.mean(axis=0, keepdims=True)
+        logits = pipeline.logits_for_audio(audio[0])
 
     if dump_logits:
         save_logits(logits, enc, output_p, audio_path.stem)

@@ -210,3 +210,13 @@ def test_infer_file_end_to_end(vad_model, synthetic_dataset, tmp_path):
     for s, e, label in intervals:
         assert 0 <= s < e
         assert s % 320 == 0 and e % 320 == 0
+
+
+def test_int16_path_matches_f32(vad_model):
+    """int16 PCM input (device-normalized) must match f32/32768 input."""
+    rng = np.random.default_rng(5)
+    pcm = (rng.standard_normal(40_000) * 3000).astype(np.int16)
+    pipe = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    got_i16 = pipe.logits_for_audio(pcm)
+    got_f32 = pipe.logits_for_audio(pcm.astype(np.float32) / 32768.0)
+    np.testing.assert_allclose(got_i16, got_f32, rtol=1e-5, atol=1e-6)
