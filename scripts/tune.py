@@ -1,0 +1,11 @@
+"""Threshold tuning CLI (see ``segma_tpu.tune``)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from segma_tpu.tune import main
+
+if __name__ == "__main__":
+    main()

@@ -368,7 +368,13 @@ def load_config(config_path: Path | str, cli_extra_args: list[str] = []) -> Conf
     with config_path.open("r") as f:
         config_d = yaml.safe_load(f)
 
-    if "config" not in config_d.get("model", {}):
+    # whether the YAML itself carried a model.config (CLI overrides may
+    # create a partial one, which still needs the per-model defaults)
+    had_config = isinstance(config_d.get("model", {}).get("config"), dict)
+    # overrides first, so a CLI `model.name=...` selects the right
+    # per-model YAML below
+    config_d = _apply_dotlist(config_d, list(cli_extra_args))
+    if not had_config:
         name = config_d["model"]["name"]
         model_c_p = _CONFIG_DIR / f"{name}.yml"
         if not model_c_p.exists():
@@ -376,7 +382,8 @@ def load_config(config_path: Path | str, cli_extra_args: list[str] = []) -> Conf
                 f"Model config dict of model {name}, could not be loaded"
             )
         with model_c_p.open("r") as f:
-            config_d["model"]["config"] = yaml.safe_load(f)
-
-    config_d = _apply_dotlist(config_d, list(cli_extra_args))
+            merged = yaml.safe_load(f)
+        # CLI-supplied model.config.* values win over per-model defaults
+        partial = config_d["model"].get("config") or {}
+        config_d["model"]["config"] = {**merged, **partial}
     return _from_dict(Config, config_d)

@@ -1,0 +1,183 @@
+"""Macro-average F-measure evaluation of RTTM predictions, pyannote-free.
+
+Re-implementation of the reference evaluator (``scripts/evaluate.py:36-129``,
+which wraps ``pyannote.audio...MacroAverageFMeasure``): for every class, the
+reference and hypothesis annotations are restricted to that class, merged
+into disjoint timelines, and scored by detection precision/recall on
+durations, accumulated over all shared uris:
+
+    P = dur(ref ∩ hyp) / dur(hyp),  R = dur(ref ∩ hyp) / dur(ref),
+    F = 2PR / (P + R)
+
+The macro average over classes is the headline number. Results are printed
+per label and written to ``fscore.csv``.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+from segma_tpu.annotation import AudioAnnotation
+from segma_tpu.structs.interval import Intervals
+
+
+def load_rttm_dir(path: Path) -> dict[str, list[AudioAnnotation]]:
+    """uri -> annotations for every .rttm in a directory (empty files ok)."""
+    out: dict[str, list[AudioAnnotation]] = {}
+    for rttm in sorted(Path(path).glob("*.rttm")):
+        annots = []
+        for line in rttm.read_text().splitlines():
+            if line.strip():
+                annots.append(AudioAnnotation.from_rttm(line))
+        out[rttm.stem] = annots
+    return out
+
+
+def _merged_segments(
+    annots: list[AudioAnnotation], label: str
+) -> list[tuple[float, float]]:
+    """Disjoint (start, end) segments of one label, overlaps merged."""
+    iv = Intervals(
+        [(a.start_time_s, a.end_time_s, label) for a in annots if a.label == label]
+    )
+    return [(s, e) for s, e, _ in iv]
+
+
+def _intersection_duration(
+    a: list[tuple[float, float]], b: list[tuple[float, float]]
+) -> float:
+    """Total overlap duration between two disjoint sorted segment lists."""
+    total = 0.0
+    i = j = 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if hi > lo:
+            total += hi - lo
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return total
+
+
+def _duration(segs: list[tuple[float, float]]) -> float:
+    return sum(e - s for s, e in segs)
+
+
+class MacroAverageFMeasure:
+    """Accumulating per-class detection F-measure (duration-based)."""
+
+    def __init__(self, classes: list[str]) -> None:
+        self.classes = list(classes)
+        # per class: [relevant (ref dur), retrieved (hyp dur), relevant_retrieved]
+        self._acc = {c: [0.0, 0.0, 0.0] for c in self.classes}
+        self._rows: list[dict] = []
+
+    def __call__(
+        self,
+        reference: list[AudioAnnotation],
+        hypothesis: list[AudioAnnotation],
+        uri: str = "?",
+    ) -> float:
+        row = {"uri": uri}
+        for c in self.classes:
+            ref = _merged_segments(reference, c)
+            hyp = _merged_segments(hypothesis, c)
+            inter = _intersection_duration(ref, hyp)
+            self._acc[c][0] += _duration(ref)
+            self._acc[c][1] += _duration(hyp)
+            self._acc[c][2] += inter
+            row[c] = _f(_duration(ref), _duration(hyp), inter)
+        row["macro"] = sum(row[c] for c in self.classes) / len(self.classes)
+        self._rows.append(row)
+        return row["macro"]
+
+    def class_scores(self) -> dict[str, float]:
+        return {
+            c: _f(rel, ret, rr) for c, (rel, ret, rr) in self._acc.items()
+        }
+
+    def __abs__(self) -> float:
+        scores = self.class_scores()
+        return sum(scores.values()) / len(scores) if scores else 0.0
+
+    def report_csv(self, path: Path) -> None:
+        path = Path(path)
+        scores = self.class_scores()
+        with path.open("w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["item", *self.classes, "macro"])
+            for row in self._rows:
+                writer.writerow(
+                    [row["uri"]]
+                    + [f"{row[c]:.6f}" for c in self.classes]
+                    + [f"{row['macro']:.6f}"]
+                )
+            writer.writerow(
+                ["TOTAL"]
+                + [f"{scores[c]:.6f}" for c in self.classes]
+                + [f"{abs(self):.6f}"]
+            )
+
+
+def _f(relevant: float, retrieved: float, relevant_retrieved: float) -> float:
+    p = relevant_retrieved / retrieved if retrieved > 0 else 1.0
+    r = relevant_retrieved / relevant if relevant > 0 else 1.0
+    return 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+
+
+def eval_model_output(
+    rttm_true_p: Path,
+    rttm_pred_p: Path,
+    classes: list[str],
+    scores_output: Path = Path("fscore.csv"),
+) -> dict[str, float]:
+    """Score predicted RTTMs against ground truth over shared uris."""
+    rttm_true_p, rttm_pred_p = Path(rttm_true_p), Path(rttm_pred_p)
+    for p in (rttm_true_p, rttm_pred_p):
+        if not p.is_dir():
+            raise FileNotFoundError(f"Folder Path '{p}' not found.")
+
+    metric = MacroAverageFMeasure(classes)
+    truth = load_rttm_dir(rttm_true_p)
+    preds = load_rttm_dir(rttm_pred_p)
+    for uri in sorted(set(truth) & set(preds)):
+        print(f"[log] - evaluating file: '{uri}'", flush=True)
+        metric(truth[uri], preds[uri], uri=uri)
+
+    metric.report_csv(scores_output)
+
+    final = {"Total": abs(metric), **metric.class_scores()}
+    width = max(len(k) for k in final) + 1
+    print("=====================")
+    print("[log] - Results\n")
+    for k, fscore in final.items():
+        print(f"{k:<{width}}: {round(fscore, 5)}")
+    print("=====================", flush=True)
+    return final
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    from segma_tpu.config import load_config
+
+    parser = argparse.ArgumentParser(description="evaluate RTTM predictions")
+    parser.add_argument("--gt", required=True)
+    parser.add_argument("--pred", required=True)
+    parser.add_argument("-c", "--config", required=True)
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config)
+    eval_model_output(
+        rttm_true_p=Path(args.gt),
+        rttm_pred_p=Path(args.pred),
+        classes=cfg.data.classes,
+        scores_output=Path(args.pred).parent / "fscore.csv",
+    )
+
+
+if __name__ == "__main__":
+    main()

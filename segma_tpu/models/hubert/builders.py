@@ -1,0 +1,127 @@
+"""surgical_hubert_hydra: HuBERT encoder + layer-weighted reduction + hydra
+heads on raw waveforms.
+
+Re-design of the reference ``SurgicalHydraHubert``
+(``src/segma/models/hubert/surgical_hydra.py:15-216``):
+
+- the CNN feature extractor is ALWAYS frozen (reference ``:38-39``), the
+  transformer optionally via ``freeze_encoder`` (``:42-45``);
+- the reference initializes surgical layer weights but its forward actually
+  uses only ``hidden_states[-1]`` (``:99-102``) — segma_tpu applies the
+  configured weighted reduction for real (set ``encoder_layers: [12]`` with
+  ``reduction: average`` to reproduce the reference's last-layer behaviour);
+- dropout on the reduced features, fused hydra heads on 768-d.
+
+Frame geometry: conv stack (10,3,3,3,3,2,2)/(5,2,2,2,2,2,2) -> rf_step 320,
+199 frames per 4 s chunk (strict).
+"""
+
+from __future__ import annotations
+
+import warnings
+from pathlib import Path
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from segma_tpu.config import Config
+from segma_tpu.models.base import ConvolutionSettings, SegmentationModel
+from segma_tpu.models.hubert.convert import convert_hubert_params, read_hubert_config
+from segma_tpu.models.hubert.encoder import (
+    FeatureExtractor,
+    HubertEncoderConfig,
+    HubertTransformer,
+)
+from segma_tpu.models.layers import HydraHeads, LayerWeightedSum
+from segma_tpu.utils.encoders import LabelEncoder
+
+HUBERT_CONV_SETTINGS = ConvolutionSettings(
+    kernels=(10, 3, 3, 3, 3, 2, 2),
+    strides=(5, 2, 2, 2, 2, 2, 2),
+    paddings=(0, 0, 0, 0, 0, 0, 0),
+)
+
+
+class HubertSegModule(nn.Module):
+    """(B, T) waveform -> (B, frames, n_labels) logits."""
+
+    enc_cfg: HubertEncoderConfig
+    n_labels: int
+    reduction: str = "weighted"
+    encoder_layers: tuple[int, ...] = ()
+    freeze_encoder: bool = False
+    dropout: float = 0.5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        feats = FeatureExtractor(self.enc_cfg, self.dtype, name="feature_extractor")(
+            wav
+        )
+        feats = jax.lax.stop_gradient(feats)  # CNN frontend always frozen
+        _, hidden = HubertTransformer(self.enc_cfg, self.dtype, name="encoder")(
+            feats, output_hidden_states=True
+        )
+        layer_outputs = hidden[1:]
+        picks = (
+            sorted(i - 1 for i in self.encoder_layers)
+            if self.encoder_layers
+            else list(range(self.enc_cfg.n_layers))
+        )
+        stacked = jnp.stack([layer_outputs[i] for i in picks], axis=0)
+        if self.freeze_encoder:
+            stacked = jax.lax.stop_gradient(stacked)
+        x = LayerWeightedSum(
+            n_layers=len(picks), reduction=self.reduction, name="layer_mix"
+        )(stacked)
+        if train and self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=False)(x)
+        return HydraHeads(self.n_labels, name="heads")(x).astype(jnp.float32)
+
+
+def build_hubert_model(
+    name: str, label_encoder: LabelEncoder, config: Config
+) -> SegmentationModel:
+    assert name == "surgical_hubert_hydra"
+    mc = config.model.config
+    enc_path = Path(mc.wav_encoder)
+    has_snapshot = enc_path.exists()
+    enc_cfg = read_hubert_config(enc_path) if has_snapshot else HubertEncoderConfig.base()
+
+    dtype = jnp.float32 if config.train.precision == "f32" else jnp.bfloat16
+    module = HubertSegModule(
+        enc_cfg=enc_cfg,
+        n_labels=len(label_encoder.base_labels),
+        reduction=mc.reduction,
+        encoder_layers=tuple(mc.encoder_layers or ()),
+        freeze_encoder=mc.freeze_encoder,
+        dtype=dtype,
+    )
+
+    pretrained_loader = None
+    if has_snapshot:
+
+        def pretrained_loader(params: Any) -> Any:
+            _, fe, tr = convert_hubert_params(enc_path)
+            return {**params, "feature_extractor": fe, "encoder": tr}
+
+    else:
+        warnings.warn(
+            f"hubert snapshot {str(enc_path)!r} not found — encoder randomly "
+            "initialized (fine for tests, wrong for real training)",
+            stacklevel=2,
+        )
+
+    frozen = ("feature_extractor",) + (("encoder",) if mc.freeze_encoder else ())
+    return SegmentationModel(
+        name=name,
+        module=module,
+        conv_settings=HUBERT_CONV_SETTINGS,
+        label_encoder=label_encoder,
+        config=config,
+        loss_type="hydra",
+        frozen_prefixes=frozen,
+        pretrained_loader=pretrained_loader,
+    )

@@ -1,0 +1,153 @@
+"""Whisper audio encoder in flax, TPU-native.
+
+Architecture parity with the HF ``WhisperEncoder`` the reference loads
+frozen (``src/segma/models/whisper/utils.py:7-12``): two convs (k3/s1,
+k3/s2) with GELU, sinusoidal position table, pre-LN transformer layers
+(MHA with q/v/out bias and bias-free k), final LayerNorm. Hidden-state
+collection follows HF semantics so the reference's "surgical" layer taps
+(``surgical_hydra.py:81-85``) index identically:
+
+    hidden_states[0]   = conv + positions output
+    hidden_states[i]   = output of layer i           (1 <= i < n_layers)
+    hidden_states[n]   = LayerNorm(output of layer n)
+
+Everything is expressed as batched matmuls/convs in a configurable compute
+dtype (bf16 by default) with f32 accumulation; attention is einsum-based so
+XLA tiles it straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class WhisperEncoderConfig:
+    d_model: int = 512
+    n_heads: int = 8
+    n_layers: int = 6
+    ffn_dim: int = 2048
+    n_mels: int = 80
+    max_positions: int = 1500
+
+    @classmethod
+    def tiny(cls) -> "WhisperEncoderConfig":
+        return cls(d_model=384, n_heads=6, n_layers=4, ffn_dim=1536)
+
+    @classmethod
+    def base(cls) -> "WhisperEncoderConfig":
+        return cls(d_model=512, n_heads=8, n_layers=6, ffn_dim=2048)
+
+
+def sinusoidal_positions(length: int, channels: int) -> np.ndarray:
+    """Whisper's sinusoid table: [sin | cos] halves, log-spaced timescales."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(
+        -log_timescale_increment * np.arange(channels // 2, dtype=np.float64)
+    )
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate(
+        [np.sin(scaled_time), np.cos(scaled_time)], axis=1
+    ).astype(np.float32)
+
+
+class MultiHeadAttention(nn.Module):
+    """Transformer MHA: q scaled by head_dim**-0.5. Whisper's k_proj is
+    bias-free (``k_bias=False``); HuBERT's carries a bias."""
+
+    d_model: int
+    n_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+    k_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        head_dim = self.d_model // self.n_heads
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(
+            self.d_model, use_bias=self.k_bias, dtype=self.dtype, name="k_proj"
+        )(x)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(x)
+
+        def split(t):
+            b, s, _ = t.shape
+            return t.reshape(b, s, self.n_heads, head_dim)
+
+        q, k, v = split(q) * (head_dim**-0.5), split(k), split(v)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        attn = nn.softmax(scores, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(x.shape[0], x.shape[1], self.d_model)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-LN transformer block (self-attn + GELU MLP)."""
+
+    cfg: WhisperEncoderConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="self_attn_layer_norm")(x)
+        x = x + MultiHeadAttention(
+            self.cfg.d_model, self.cfg.n_heads, self.dtype, name="self_attn"
+        )(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
+        h = nn.Dense(self.cfg.ffn_dim, dtype=self.dtype, name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.cfg.d_model, dtype=self.dtype, name="fc2")(h)
+        return x + h
+
+
+class WhisperEncoder(nn.Module):
+    """(B, n_mels, frames) log-mel -> per-layer hidden states.
+
+    Returns (last_hidden_state, tuple of n_layers+1 hidden states) with HF
+    indexing semantics (see module docstring).
+    """
+
+    cfg: WhisperEncoderConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, mel: jnp.ndarray, output_hidden_states: bool = False
+    ) -> tuple[jnp.ndarray, tuple[jnp.ndarray, ...]]:
+        cfg = self.cfg
+        x = jnp.swapaxes(mel, 1, 2).astype(self.dtype)  # (B, frames, n_mels)
+        x = nn.gelu(
+            nn.Conv(cfg.d_model, (3,), padding=1, dtype=self.dtype, name="conv1")(x),
+            approximate=False,
+        )
+        x = nn.gelu(
+            nn.Conv(
+                cfg.d_model, (3,), strides=(2,), padding=1, dtype=self.dtype,
+                name="conv2",
+            )(x),
+            approximate=False,
+        )
+        # fixed sinusoidal positions, stored as a (frozen) parameter so HF
+        # snapshots (which persist the table) restore bit-identically
+        pos = self.param(
+            "embed_positions",
+            lambda _key: sinusoidal_positions(cfg.max_positions, cfg.d_model),
+        )
+        x = x + pos[None, : x.shape[1], :].astype(self.dtype)
+
+        hidden_states: list[jnp.ndarray] = [x]
+        for i in range(cfg.n_layers):
+            x = EncoderLayer(cfg, self.dtype, name=f"layers_{i}")(x)
+            hidden_states.append(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
+        hidden_states[-1] = x  # HF: final entry carries the last LayerNorm
+        if output_hidden_states:
+            return x, tuple(hidden_states)
+        return x, ()

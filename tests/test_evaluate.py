@@ -1,0 +1,82 @@
+"""Macro-average F-measure evaluator tests."""
+
+from pathlib import Path
+
+import pytest
+
+from segma_tpu.annotation import AudioAnnotation
+from segma_tpu.evaluate import (
+    MacroAverageFMeasure,
+    _intersection_duration,
+    eval_model_output,
+    load_rttm_dir,
+)
+
+
+def test_intersection_duration():
+    a = [(0.0, 2.0), (5.0, 6.0)]
+    b = [(1.0, 5.5)]
+    assert _intersection_duration(a, b) == pytest.approx(1.5)
+    assert _intersection_duration(a, []) == 0.0
+
+
+def test_perfect_prediction_scores_one():
+    ref = [AudioAnnotation("u", 0.0, 1.0, "a"), AudioAnnotation("u", 2.0, 1.0, "b")]
+    m = MacroAverageFMeasure(["a", "b"])
+    m(ref, list(ref), uri="u")
+    assert abs(m) == pytest.approx(1.0)
+    assert m.class_scores() == {"a": pytest.approx(1.0), "b": pytest.approx(1.0)}
+
+
+def test_half_overlap_fscore():
+    ref = [AudioAnnotation("u", 0.0, 2.0, "a")]
+    hyp = [AudioAnnotation("u", 1.0, 2.0, "a")]  # 1 s overlap of 2 s each
+    m = MacroAverageFMeasure(["a"])
+    m(ref, hyp, uri="u")
+    # P = R = 0.5 -> F = 0.5
+    assert m.class_scores()["a"] == pytest.approx(0.5)
+
+
+def test_missing_class_in_hyp():
+    ref = [AudioAnnotation("u", 0.0, 1.0, "a")]
+    m = MacroAverageFMeasure(["a", "b"])
+    m(ref, [], uri="u")
+    scores = m.class_scores()
+    assert scores["a"] == pytest.approx(0.0)  # recall 0
+    assert scores["b"] == pytest.approx(1.0)  # nothing to find, nothing found
+
+
+def test_accumulates_across_uris():
+    m = MacroAverageFMeasure(["a"])
+    m([AudioAnnotation("u1", 0.0, 1.0, "a")], [AudioAnnotation("u1", 0.0, 1.0, "a")], "u1")
+    m([AudioAnnotation("u2", 0.0, 1.0, "a")], [], "u2")
+    # accumulated: ref 2 s, hyp 1 s, inter 1 s -> P=1, R=0.5, F=2/3
+    assert m.class_scores()["a"] == pytest.approx(2 / 3)
+
+
+def test_eval_model_output_csv(tmp_path):
+    gt, pred = tmp_path / "gt", tmp_path / "pred"
+    gt.mkdir()
+    pred.mkdir()
+    a = AudioAnnotation("u", 0.0, 1.0, "a")
+    (gt / "u.rttm").write_text(a.to_rttm() + "\n")
+    (pred / "u.rttm").write_text(a.to_rttm() + "\n")
+    (pred / "only_pred.rttm").write_text("")  # no matching gt -> skipped
+    out_csv = tmp_path / "fscore.csv"
+    final = eval_model_output(gt, pred, ["a", "b"], scores_output=out_csv)
+    assert final["Total"] == pytest.approx(1.0)
+    assert out_csv.exists()
+    lines = out_csv.read_text().strip().split("\n")
+    assert lines[0] == "item,a,b,macro"
+    assert lines[-1].startswith("TOTAL,1.000000,1.000000")
+
+
+def test_load_rttm_dir_empty_file(tmp_path):
+    (tmp_path / "empty.rttm").write_text("")
+    out = load_rttm_dir(tmp_path)
+    assert out == {"empty": []}
+
+
+def test_missing_dir_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        eval_model_output(tmp_path / "nope", tmp_path, ["a"])
