@@ -1,0 +1,31 @@
+# Developer workflow (role of reference Makefile:1-59, TPU-flavored).
+
+.PHONY: format lint type-check test debug profile bench native clean
+
+format:
+	ruff format segma_tpu tests scripts || true
+
+lint:
+	ruff check segma_tpu tests scripts
+
+type-check:
+	python -m mypy segma_tpu --ignore-missing-imports || true
+
+test:
+	python -m pytest tests/ -x -q
+
+debug:
+	bash scripts/debug.sh
+
+# jax profiler trace of the inference hot path -> profiles/ (xprof-compatible)
+profile:
+	python scripts/profile_inference.py --trace-dir profiles
+
+bench:
+	python bench.py
+
+native:
+	$(MAKE) -C native
+
+clean:
+	rm -rf .cache __pycache__ **/__pycache__ profiles

@@ -93,6 +93,12 @@ def _parse_wav_header(audio_p: Path) -> _WavLayout:
 
 def get_audio_info(audio_p: Path | str) -> AudioInfo:
     """Header-only probe: sample rate, sample count, channel count."""
+    from segma_tpu.utils import native
+
+    info = native.probe(audio_p)
+    if info is not None:
+        sr, channels, _bits, _fmt, n_frames = info
+        return AudioInfo(sample_rate=sr, n_samples=n_frames, n_channels=channels)
     layout = _parse_wav_header(Path(audio_p))
     return AudioInfo(
         sample_rate=layout.sample_rate,
@@ -133,8 +139,16 @@ def get_samples_in_range(
     ``(n_channels, n_samples)``. ``duration_f == -1`` reads to the end.
 
     Matches the reference contract (``io.py:30-47``) without decoding the
-    rest of the file.
+    rest of the file. Uses the native decoder when built.
     """
+    from segma_tpu.utils import native
+
+    if native.available():
+        info = native.probe(audio_p)
+        if info is not None:
+            out = native.read_range(audio_p, start_f, duration_f, channels=info[1])
+            return np.ascontiguousarray(out.T)
+
     audio_p = Path(audio_p)
     layout = _parse_wav_header(audio_p)
     total = layout.n_samples
@@ -164,6 +178,11 @@ def read_pcm16_mono(audio_p: Path | str) -> np.ndarray | None:
     host->HBM transfer, which is the measured bottleneck of long-file
     inference (the TPU math itself runs two orders of magnitude faster
     than the copy)."""
+    from segma_tpu.utils import native
+
+    if native.available():
+        return native.read_pcm16(audio_p)
+
     audio_p = Path(audio_p)
     layout = _parse_wav_header(audio_p)
     if layout.audio_format != _PCM or layout.bits_per_sample != 16:
