@@ -118,11 +118,18 @@ def _bucket(n: int, minimum: int = 1) -> int:
 
 @dataclass
 class InferencePipeline:
-    """Device-resident batched inference for one model + parameter set."""
+    """Device-resident batched inference for one model + parameter set.
+
+    With a ``mesh``, the chunk axis (the embarrassingly-parallel window
+    dimension of long-file inference, SURVEY.md §5.7) is sharded over the
+    ``data`` mesh axis and parameters follow the tensor-parallel rules —
+    one jitted program scales the same file across all chips.
+    """
 
     model: SegmentationModel
     params: Any
     batch_size: int = 128
+    mesh: Any = None  # jax.sharding.Mesh | None
 
     def __post_init__(self) -> None:
         cfg = self.model.config
@@ -135,6 +142,10 @@ class InferencePipeline:
             self.batch_size, cfg.audio.chunk_duration_f, self.frame_settings
         )
         self.n_windows_chunk = self.model.n_windows
+        if self.mesh is not None:
+            from segma_tpu.parallel.sharding import shard_params
+
+            self.params = shard_params(self.params, self.mesh)
 
         self._infer_jit = self._build_infer()
         self._threshold_jit = jax.jit(
@@ -148,6 +159,7 @@ class InferencePipeline:
         overlap = chunk_f - stride
         apply = self.model.apply
         batch_size = self.batch_size
+        mesh = self.mesh
 
         @partial(jax.jit, static_argnums=(2,))
         def infer(params, audio: jax.Array, n_chunks: int) -> jax.Array:
@@ -164,6 +176,18 @@ class InferencePipeline:
                 audio, (stride,), (n_chunks * stride,)
             ).reshape(n_chunks, stride)[:, :overlap]
             chunks = jnp.concatenate([body, nxt], axis=1)  # (n_chunks, chunk_f)
+
+            if mesh is not None:
+                # shard the window axis across chips; XLA splits the whole
+                # forward (and TP-sharded params add head/ffn parallelism)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                chunks = jax.lax.with_sharding_constraint(
+                    chunks, NamedSharding(mesh, P("data", None))
+                )
+                logits = apply(params, chunks, train=False)
+                n_w = logits.shape[1]
+                return logits.reshape(n_chunks * n_w, -1)
 
             bs = min(batch_size, n_chunks)
             n_batches = n_chunks // bs
@@ -198,7 +222,8 @@ class InferencePipeline:
             return None, 0
         # chunks needed so the padded grid covers every counted frame
         n_chunks_needed = -(-total_frames // ck.n_windows)
-        n_chunks = _bucket(n_chunks_needed)
+        min_chunks = self.mesh.shape["data"] if self.mesh is not None else 1
+        n_chunks = _bucket(n_chunks_needed, minimum=min_chunks)
         padded_len = n_chunks * ck.chunk_stride + ck.chunk_duration_f
         padded = np.zeros(padded_len, audio.dtype)
         padded[:n] = audio

@@ -31,7 +31,7 @@ from segma_tpu.checkpoint import CheckpointManager
 from segma_tpu.config import Config
 from segma_tpu.models.base import SegmentationModel
 from segma_tpu.ops.metrics import binary_counts, f1_from_counts
-from segma_tpu.parallel.mesh import replicate, shard_batch
+from segma_tpu.parallel.mesh import shard_batch
 from segma_tpu.utils.logging import MetricsLogger
 
 
@@ -262,7 +262,6 @@ class Trainer:
         if params is None:
             key, init_key = jax.random.split(key)
             params = self.model.init_params(init_key)
-        opt_state = self.optimizer.init(params)
         start_epoch = 0
 
         if resume_from is not None:
@@ -275,8 +274,14 @@ class Trainer:
             start_epoch = int(load_meta(ckpt).get("epoch", -1)) + 1
 
         if self.mesh is not None:
-            params = replicate(params, self.mesh)
-            opt_state = replicate(opt_state, self.mesh)
+            # tensor-parallel rules where they apply, replication elsewhere;
+            # optimizer state inherits the param shardings through jit
+            from segma_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, self.mesh)
+            opt_state = jax.jit(self.optimizer.init)(params)
+        else:
+            opt_state = self.optimizer.init(params)
 
         base_lr = tc.lr
         train_loader = datamodule.train_dataloader()
