@@ -36,6 +36,15 @@ def _lazy_hubert(name: str) -> ModelBuilder:
     return build
 
 
+def _lazy_wavlm(name: str) -> ModelBuilder:
+    def build(label_encoder: LabelEncoder, config: Config) -> SegmentationModel:
+        from segma_tpu.models.wavlm import build_wavlm_model
+
+        return build_wavlm_model(name, label_encoder, config)
+
+    return build
+
+
 Models: dict[str, ModelBuilder] = {
     "whisperidou": _lazy_whisper("whisperidou"),
     "whisperimax": _lazy_whisper("whisperimax"),
@@ -43,6 +52,7 @@ Models: dict[str, ModelBuilder] = {
     "hydra_whisper": _lazy_whisper("hydra_whisper"),
     "surgical_hydra": _lazy_whisper("surgical_hydra"),
     "surgical_hubert_hydra": _lazy_hubert("surgical_hubert_hydra"),
+    "surgical_wavlm_hydra": _lazy_wavlm("surgical_wavlm_hydra"),
     "conv_vad": build_conv_vad,
 }
 
