@@ -53,6 +53,8 @@ def run_training(
     from segma_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if cfg.train.debug_nans:
+        __import__("jax").config.update("jax_debug_nans", True)
     if cfg.train.seed:
         set_seed(cfg.train.seed)
 

@@ -182,6 +182,10 @@ class TrainConfig(BaseConfig):
     precision: str = "bf16"  # compute dtype on TPU: bf16 | f32
     early_stop_patience: int = 10
     save_top_k: int = 5
+    # numerical-sanity debug mode (the TPU analog of the reference's
+    # deterministic-algorithms switch, utils/__init__.py:17-18): aborts on
+    # the first NaN produced by any jitted computation
+    debug_nans: bool = False
 
 
 @dataclass
