@@ -142,6 +142,13 @@ class InferencePipeline:
             self.batch_size, cfg.audio.chunk_duration_f, self.frame_settings
         )
         self.n_windows_chunk = self.model.n_windows
+        if self.n_windows_chunk != self.chunkyfier.n_windows:
+            raise ValueError(
+                f"model produces {self.n_windows_chunk} frames per "
+                f"{cfg.audio.chunk_duration_s}s chunk but the frame grid "
+                f"expects {self.chunkyfier.n_windows}; check "
+                "audio.strict_frames for this model family"
+            )
         if self.mesh is not None:
             from segma_tpu.parallel.sharding import shard_params
 
@@ -333,6 +340,18 @@ def save_logits(
     return out
 
 
+def _load_mono(audio_path: Path) -> np.ndarray:
+    """Decode one file: int16 fast path for mono PCM16 (half the
+    host->device bytes), float32 mono downmix otherwise."""
+    raw = read_pcm16_mono(audio_path)
+    if raw is not None:
+        return raw
+    audio = get_all_samples(audio_path)
+    if audio.shape[0] > 1:
+        audio = audio.mean(axis=0, keepdims=True)
+    return audio[0]
+
+
 def infer_file(
     audio_path: Path,
     pipeline: InferencePipeline,
@@ -340,6 +359,7 @@ def infer_file(
     thresholds: dict | None = None,
     dump_logits: bool = False,
     rttm_dirname: str = "raw_rttm",
+    audio: np.ndarray | None = None,
 ) -> list[tuple[int, int, str]]:
     """Run the full per-file pipeline: decode WAV -> device logits ->
     thresholds -> intervals -> RTTM (reference ``infer_file``,
@@ -348,15 +368,9 @@ def infer_file(
     if thresholds is None:
         thresholds = default_thresholds(enc.base_labels)
 
-    # int16 fast path for mono PCM16 (half the host->device bytes)
-    raw = read_pcm16_mono(audio_path)
-    if raw is not None:
-        logits = pipeline.logits_for_audio(raw)
-    else:
-        audio = get_all_samples(audio_path)
-        if audio.shape[0] > 1:
-            audio = audio.mean(axis=0, keepdims=True)
-        logits = pipeline.logits_for_audio(audio[0])
+    if audio is None:
+        audio = _load_mono(audio_path)
+    logits = pipeline.logits_for_audio(audio)
 
     if dump_logits:
         save_logits(logits, enc, output_p, audio_path.stem)
@@ -423,7 +437,29 @@ def run_inference_on_audios(
 
     pipeline = InferencePipeline(model, model.params, batch_size=batch_size)
 
-    for i, audio_path in enumerate(files_to_infer_on, 1):
+    # decode-ahead: read file i+1 from disk while the device processes i
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=2)
+    stop = object()
+
+    def producer():
+        try:
+            for audio_path in files_to_infer_on:
+                q.put((audio_path, _load_mono(audio_path)))
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    i = 0
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        i += 1
+        audio_path, audio = item
         t0 = time.perf_counter()
         infer_file(
             audio_path,
@@ -432,6 +468,7 @@ def run_inference_on_audios(
             thresholds=thresholds,
             dump_logits=dump_logits,
             rttm_dirname=rttm_dirname,
+            audio=audio,
         )
         dt = time.perf_counter() - t0
         print(

@@ -52,6 +52,48 @@ def multiclass_f1(
     return f1
 
 
+def binary_auroc_np(scores: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    """Exact per-label AUROC (Mann-Whitney U with tie handling), numpy.
+
+    scores: (N, L) real-valued; targets: (N, L) in {0, 1}. Labels with no
+    positives or no negatives return 0.5.
+    """
+    n, n_labels = scores.shape
+    out = np.full(n_labels, 0.5)
+    for li in range(n_labels):
+        s = scores[:, li].astype(np.float64)
+        t = targets[:, li] > 0.5
+        n_pos = int(t.sum())
+        n_neg = n - n_pos
+        if n_pos == 0 or n_neg == 0:
+            continue
+        order = np.argsort(s)
+        ranks = np.empty(n, np.float64)
+        ranks[order] = np.arange(1, n + 1)
+        # average ranks over ties
+        s_sorted = s[order]
+        _, inv, counts = np.unique(s_sorted, return_inverse=True, return_counts=True)
+        group_sums = np.bincount(inv, weights=np.arange(1, n + 1))
+        avg = (group_sums / counts)[inv]
+        ranks[order] = avg
+        u = ranks[t].sum() - n_pos * (n_pos + 1) / 2
+        out[li] = u / (n_pos * n_neg)
+    return out
+
+
+def roc_curve_np(
+    scores: np.ndarray, targets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(fpr, tpr) arrays for one label's scores (descending thresholds)."""
+    order = np.argsort(-scores)
+    t = (targets[order] > 0.5).astype(np.float64)
+    tps = np.cumsum(t)
+    fps = np.cumsum(1 - t)
+    n_pos = max(t.sum(), 1e-12)
+    n_neg = max((1 - t).sum(), 1e-12)
+    return fps / n_neg, tps / n_pos
+
+
 def binary_auroc(scores: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Exact AUROC per label via the Mann-Whitney U statistic.
 

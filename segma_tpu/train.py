@@ -161,7 +161,7 @@ def make_eval_step(model: SegmentationModel) -> Callable:
         probs = jax.nn.sigmoid(logits).reshape(-1, logits.shape[-1])
         targets = batch["y"].reshape(-1, batch["y"].shape[-1])
         counts = binary_counts(probs, targets)
-        return total, per_label, counts
+        return total, per_label, counts, probs
 
     return jax.jit(eval_step)
 
@@ -221,32 +221,76 @@ class Trainer:
     def _val_epoch(self, params, loader) -> dict[str, float]:
         tc = self.config.train
         labels = self.model.label_encoder.base_labels
+        wants = lambda m: (  # noqa: E731
+            tc.validation_metric == m or m in tc.extra_val_metrics
+        )
+        need_scores = wants("auroc") or "roc" in tc.extra_val_metrics
+
         losses, per_labels = [], []
         counts_acc: dict[str, Any] | None = None
+        all_probs, all_targets = [], []
         for batch in loader:
-            total, per_label, counts = self.eval_step(params, self._put(batch))
+            total, per_label, counts, probs = self.eval_step(
+                params, self._put(batch)
+            )
             losses.append(total)
             per_labels.append(per_label)
             if counts_acc is None:
                 counts_acc = counts
             else:
                 counts_acc = jax.tree.map(lambda a, b: a + b, counts_acc, counts)
+            if need_scores:
+                all_probs.append(np.asarray(probs))
+                all_targets.append(batch["y"].reshape(-1, len(labels)))
         metrics: dict[str, float] = {}
         if losses:
             metrics["val/loss"] = float(jnp.mean(jnp.stack(losses)))
             per_label = np.asarray(jnp.mean(jnp.stack(per_labels), axis=0))
             for i, label in enumerate(labels):
                 metrics[f"val/loss_{label}"] = float(per_label[i])
-        wants_f1 = (
-            tc.validation_metric == "f1_score"
-            or "f1_score" in tc.extra_val_metrics
-        )
-        if counts_acc is not None and wants_f1:
+        if counts_acc is not None and wants("f1_score"):
             f1 = f1_from_counts(jax.tree.map(np.asarray, counts_acc))
             metrics["val/f1_score"] = float(f1.mean())
             for i, label in enumerate(labels):
                 metrics[f"val/f1_{label}"] = float(f1[i])
+        if need_scores and all_probs:
+            from segma_tpu.ops.metrics import binary_auroc_np
+
+            probs = np.concatenate(all_probs)
+            targets = np.concatenate(all_targets)
+            if wants("auroc"):
+                auroc = binary_auroc_np(probs, targets)
+                metrics["val/auroc"] = float(auroc.mean())
+                for i, label in enumerate(labels):
+                    metrics[f"val/auroc_{label}"] = float(auroc[i])
+            if "roc" in tc.extra_val_metrics:
+                self._plot_roc(probs, targets, labels)
         return metrics
+
+    def _plot_roc(self, probs, targets, labels) -> None:
+        """Per-label ROC curves -> <run_dir>/roc_epoch.png (role of the
+        reference's wandb ROC figures, models/base.py:319-357)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+        from segma_tpu.ops.metrics import binary_auroc_np, roc_curve_np
+
+        auroc = binary_auroc_np(probs, targets)
+        fig, ax = plt.subplots(figsize=(10, 5))
+        for i, label in enumerate(labels):
+            fpr, tpr = roc_curve_np(probs[:, i], targets[:, i])
+            ax.plot(fpr, tpr, label=f"{label} - AUC={auroc[i]:.4f}")
+        ax.plot([0, 1], [0, 1], "k--", label="Random classifier: AUC=0.5")
+        ax.set_xlabel("False Positive Rate")
+        ax.set_ylabel("True Positive Rate")
+        ax.legend(loc="lower right")
+        fig.tight_layout()
+        fig.savefig(self.run_dir / "roc_latest.png", dpi=120)
+        plt.close(fig)
 
     # -- fit -------------------------------------------------------------------
     def fit(

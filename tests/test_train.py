@@ -158,3 +158,37 @@ def test_trainer_resume(train_cfg, tmp_path):
     result = t2.fit(dm, resume_from=tmp_path / "run" / "checkpoints" / "last")
     # epoch 0 done in run1 -> run2 starts at epoch 1
     assert result["history"][0]["epoch"] == 1
+
+
+def test_trainer_auroc_metric(train_cfg, tmp_path):
+    """validation_metric=auroc computes per-label AUROC and monitors it."""
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    cfg = train_cfg
+    cfg.train.validation_metric = "auroc"
+    cfg.train.extra_val_metrics = ["loss"]
+    cfg.train.max_epochs = 1
+
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+    trainer = Trainer(model=model, config=cfg, run_dir=tmp_path / "run")
+    result = trainer.fit(dm)
+    m = result["history"][0]
+    assert 0.0 <= m["val/auroc"] <= 1.0
+    assert "val/auroc_male" in m
+
+
+def test_auroc_np_exact():
+    from segma_tpu.ops.metrics import binary_auroc_np
+
+    scores = np.array([[0.9], [0.8], [0.3], [0.1]])
+    targets = np.array([[1], [0], [1], [0]])
+    # pairs: (0.9,0.8)+, (0.9,0.1)+, (0.3,0.8)-, (0.3,0.1)+ -> 3/4
+    assert binary_auroc_np(scores, targets)[0] == pytest.approx(0.75)
+    # degenerate labels -> 0.5
+    assert binary_auroc_np(scores, np.zeros((4, 1)))[0] == 0.5
