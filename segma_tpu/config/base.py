@@ -93,6 +93,10 @@ class WhisperidouConfig(BaseConfig):
     encoder: str
     linear: list[int]
     classifier: int
+    # run the encoder on just the chunk's frames instead of Whisper's fixed
+    # 30 s context (~7.5x less attention/MLP work at 4 s; numerics differ
+    # slightly from the padded reference behaviour)
+    fast_context: bool = False
 
 
 @dataclass
@@ -101,6 +105,10 @@ class WhisperimaxConfig(BaseConfig):
     lstm: LSTMConfig
     linear: list[int]
     classifier: int
+    # run the encoder on just the chunk's frames instead of Whisper's fixed
+    # 30 s context (~7.5x less attention/MLP work at 4 s; numerics differ
+    # slightly from the padded reference behaviour)
+    fast_context: bool = False
 
 
 @dataclass
@@ -110,6 +118,10 @@ class SurgicalWhisperConfig(BaseConfig):
     reduction: Literal["average", "weighted"]
     linear: list[int]
     classifier: int
+    # run the encoder on just the chunk's frames instead of Whisper's fixed
+    # 30 s context (~7.5x less attention/MLP work at 4 s; numerics differ
+    # slightly from the padded reference behaviour)
+    fast_context: bool = False
 
 
 @dataclass
@@ -117,6 +129,10 @@ class HydraWhisperConfig(BaseConfig):
     encoder: str
     lstm: LSTMConfig
     classifier: int
+    # run the encoder on just the chunk's frames instead of Whisper's fixed
+    # 30 s context (~7.5x less attention/MLP work at 4 s; numerics differ
+    # slightly from the padded reference behaviour)
+    fast_context: bool = False
 
 
 @dataclass
@@ -126,6 +142,10 @@ class SurgicalHydraConfig(BaseConfig):
     reduction: Literal["average", "weighted"]
     lstm: LSTMConfig
     classifier: int
+    # run the encoder on just the chunk's frames instead of Whisper's fixed
+    # 30 s context (~7.5x less attention/MLP work at 4 s; numerics differ
+    # slightly from the padded reference behaviour)
+    fast_context: bool = False
 
 
 @dataclass

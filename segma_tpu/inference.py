@@ -159,6 +159,18 @@ class InferencePipeline:
             lambda logits, thr: jax.nn.sigmoid(logits) > thr[None, :]
         )
 
+        def _decode(logits, thr):
+            """thresholding + run-boundary detection, all on device."""
+            mask = jax.nn.sigmoid(logits) > thr[None, :]
+            zero = jnp.zeros((1, mask.shape[1]), bool)
+            prev = jnp.concatenate([zero, mask[:-1]])
+            nxt = jnp.concatenate([mask[1:], zero])
+            starts = mask & ~prev
+            ends = mask & ~nxt
+            return mask, starts, ends
+
+        self._decode_jit = jax.jit(_decode)
+
     # -- jitted core -----------------------------------------------------------
     def _build_infer(self):
         ck = self.chunkyfier
@@ -261,9 +273,54 @@ class InferencePipeline:
             return np.zeros(logits.shape, bool)
         return np.asarray(self._threshold_jit(jnp.asarray(logits), thr))
 
+    def decode_boundaries(
+        self, logits: np.ndarray | jax.Array, thresholds: dict[str, dict[str, float]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """On-device thresholding + run-boundary detection.
+
+        Returns (starts, ends): (T, L) bool masks marking the first and last
+        frame of each active run — the host only converts the (tiny) masks
+        into interval lists.
+        """
+        thr = jnp.asarray(
+            [t["lower_bound"] for t in thresholds.values()], jnp.float32
+        )
+        if logits.shape[0] == 0:
+            z = np.zeros(logits.shape, bool)
+            return z, z
+        _, starts, ends = self._decode_jit(jnp.asarray(logits), thr)
+        return np.asarray(starts), np.asarray(ends)
+
 
 def default_thresholds(labels: tuple[str, ...]) -> dict[str, dict[str, float]]:
     return {label: {"lower_bound": 0.5, "upper_bound": 1.0} for label in labels}
+
+
+def intervals_from_boundaries(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    conv_settings: ConvolutionSettings,
+    label_encoder: MultiLabelEncoder,
+) -> list[tuple[int, int, str]]:
+    """Device-computed run boundaries -> sample intervals.
+
+    ``starts``/``ends`` are (T, L) bool masks marking the first/last frame
+    of each run (from ``InferencePipeline.decode_boundaries``). Decode
+    parity: start = max(0, rf_start(first)), end = rf_end(last) + 1.
+    """
+    intervals: list[tuple[int, int, str]] = []
+    for label_i, label in enumerate(label_encoder.base_labels):
+        run_starts = np.where(starts[:, label_i])[0]
+        run_ends = np.where(ends[:, label_i])[0]  # inclusive last frame
+        for s, e in zip(run_starts, run_ends):
+            intervals.append(
+                (
+                    max(0, conv_settings.rf_start_i(int(s))),
+                    conv_settings.rf_end_i(int(e)) + 1,
+                    label,
+                )
+            )
+    return intervals
 
 
 def create_intervals(
@@ -375,8 +432,10 @@ def infer_file(
     if dump_logits:
         save_logits(logits, enc, output_p, audio_path.stem)
 
-    thresholded = pipeline.apply_thresholds(logits, thresholds)
-    intervals = create_intervals(thresholded, pipeline.frame_settings, enc)
+    starts, ends = pipeline.decode_boundaries(logits, thresholds)
+    intervals = intervals_from_boundaries(
+        starts, ends, pipeline.frame_settings, enc
+    )
     write_intervals(intervals, audio_path, output_p, rttm_dirname)
     return intervals
 

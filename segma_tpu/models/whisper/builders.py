@@ -68,13 +68,23 @@ class WhisperSegModule(nn.Module):
     encoder_layers: tuple[int, ...] = ()  # 1-indexed layer picks; () = all
     lstm: LSTMConfig | None = None
     classifier_hidden: int = 256
+    # fast_context: skip Whisper's fixed 30 s padding and run the encoder on
+    # just the chunk's frames — ~(1500/ceil(chunk_f/320))x less attention
+    # and MLP work; numerics differ slightly from the padded reference
+    fast_context: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         tap, mixer, head, trunc = VARIANTS[self.variant]
 
-        feats = whisper_input_features(wav)  # (B, n_mels, 3000), on device
+        if self.fast_context:
+            from segma_tpu.ops.melspec import log_mel_spectrogram
+
+            mel = log_mel_spectrogram(wav)  # (B, T/160, 80)
+            feats = jnp.swapaxes(mel, 1, 2)
+        else:
+            feats = whisper_input_features(wav)  # (B, n_mels, 3000)
         last, hidden = WhisperEncoder(self.enc_cfg, self.dtype, name="encoder")(
             feats, output_hidden_states=(tap == "weighted")
         )
@@ -158,6 +168,7 @@ def build_whisper_model(
         encoder_layers=tuple(getattr(mc, "encoder_layers", ()) or ()),
         lstm=getattr(mc, "lstm", None),
         classifier_hidden=getattr(mc, "classifier", 256),
+        fast_context=getattr(mc, "fast_context", False),
         dtype=dtype,
     )
 

