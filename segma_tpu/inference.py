@@ -496,9 +496,12 @@ def run_inference_on_audios(
 
     pipeline = InferencePipeline(model, model.params, batch_size=batch_size)
 
-    # decode-ahead: read file i+1 from disk while the device processes i
+    # two-level pipelining: a thread reads file i+2 from disk while file
+    # i+1's host->device transfer and forward are in flight and file i's
+    # results are being finalized on host
     import queue
     import threading
+    from collections import deque
 
     q: queue.Queue = queue.Queue(maxsize=2)
     stop = object()
@@ -512,29 +515,46 @@ def run_inference_on_audios(
 
     threading.Thread(target=producer, daemon=True).start()
 
+    enc = model.label_encoder
+    thr = thresholds or default_thresholds(enc.base_labels)
+    pending: deque = deque()
     i = 0
-    while True:
-        item = q.get()
-        if item is stop:
-            break
+
+    def finalize(item) -> None:
+        nonlocal i
         i += 1
-        audio_path, audio = item
-        t0 = time.perf_counter()
-        infer_file(
-            audio_path,
-            pipeline,
-            output,
-            thresholds=thresholds,
-            dump_logits=dump_logits,
-            rttm_dirname=rttm_dirname,
-            audio=audio,
+        audio_path, t0, logits_dev, total_frames = item
+        logits = (
+            np.asarray(logits_dev[:total_frames])
+            if logits_dev is not None
+            else np.zeros((0, model.n_labels), np.float32)
         )
+        if dump_logits:
+            save_logits(logits, enc, output, audio_path.stem)
+        starts, ends = pipeline.decode_boundaries(logits, thr)
+        intervals = intervals_from_boundaries(
+            starts, ends, pipeline.frame_settings, enc
+        )
+        write_intervals(intervals, audio_path, output, rttm_dirname)
         dt = time.perf_counter() - t0
         print(
             f"[log] - ({i:>{len(str(n_files))}}/{n_files}) inference for "
             f"'{audio_path.stem}' in {dt:.2f}s",
             flush=True,
         )
+
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        audio_path, audio = item
+        t0 = time.perf_counter()
+        logits_dev, total_frames = pipeline.logits_for_audio_async(audio)
+        pending.append((audio_path, t0, logits_dev, total_frames))
+        if len(pending) >= 2:  # keep one file in flight
+            finalize(pending.popleft())
+    while pending:
+        finalize(pending.popleft())
     return files_to_infer_on
 
 

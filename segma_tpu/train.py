@@ -9,9 +9,11 @@ params are masked out of the optimizer (the reference freezes via
 learning rate through ``optax.inject_hyperparams`` between epochs, which
 changes NO compiled code.
 
-Multi-chip: batches are sharded over the mesh ``data`` axis, parameters are
-replicated — XLA inserts the gradient psum. The same ``fit`` runs on 1 TPU
-chip, N chips, or a host-simulated CPU mesh.
+Multi-chip: batches shard over the mesh ``data`` axis and parameters follow
+the tensor-parallel rules (``parallel/sharding.py``: encoder attention/MLP
+over ``model``, everything else replicated) — XLA inserts the gradient
+psums and TP collectives. The same ``fit`` runs on 1 TPU chip, N chips, or
+a host-simulated CPU mesh.
 """
 
 from __future__ import annotations

@@ -220,3 +220,23 @@ def test_int16_path_matches_f32(vad_model):
     got_i16 = pipe.logits_for_audio(pcm)
     got_f32 = pipe.logits_for_audio(pcm.astype(np.float32) / 32768.0)
     np.testing.assert_allclose(got_i16, got_f32, rtol=1e-5, atol=1e-6)
+
+
+def test_run_inference_on_audios_pipelined(vad_model, synthetic_dataset, tmp_path):
+    """The pipelined batch entry writes one RTTM per file and logits dumps."""
+    from segma_tpu.inference import run_inference_on_audios
+
+    files = run_inference_on_audios(
+        config=vad_model.config,
+        wavs=synthetic_dataset / "wav",
+        checkpoint=None,
+        output=tmp_path,
+        uris=synthetic_dataset / "test.txt",
+        batch_size=16,
+        dump_logits=True,
+        model=vad_model,
+    )
+    assert len(files) == 5
+    for f in files:
+        assert (tmp_path / "raw_rttm" / f"{f.stem}.rttm").exists()
+        assert (tmp_path / "logits" / f"{f.stem}-logits_dict_t.npz").exists()
