@@ -202,6 +202,8 @@ class TrainConfig(BaseConfig):
     precision: str = "bf16"  # compute dtype on TPU: bf16 | f32
     early_stop_patience: int = 10
     save_top_k: int = 5
+    # optional per-class loss weights (reference weight_loss vector)
+    class_weights: list[float] | None = None
     # numerical-sanity debug mode (the TPU analog of the reference's
     # deterministic-algorithms switch, utils/__init__.py:17-18): aborts on
     # the first NaN produced by any jitted computation

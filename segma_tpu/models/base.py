@@ -45,13 +45,18 @@ def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 
 def hydra_loss(
-    logits: jnp.ndarray, targets: jnp.ndarray
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    class_weights: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Hydra objective: per-label BCE means, summed across labels.
 
     Args:
         logits: (..., n_labels) raw head logits.
         targets: (..., n_labels) multi-hot.
+        class_weights: optional (n_labels,) loss weights (role of the
+            reference's ``weight_loss`` vector ``[0.4, 1, 1, ...]``,
+            ``models/base.py:152-161`` — without its hardcoded-device bug).
 
     Returns:
         (total_loss scalar, per_label (n_labels,) losses)
@@ -59,6 +64,8 @@ def hydra_loss(
     elt = bce_with_logits(logits, targets)
     flat = elt.reshape(-1, elt.shape[-1])
     per_label = flat.mean(axis=0)
+    if class_weights is not None:
+        per_label = per_label * class_weights
     return per_label.sum(), per_label
 
 
@@ -105,6 +112,8 @@ class SegmentationModel:
     config: Config
     loss_type: str = "hydra"
     frozen_prefixes: tuple[str, ...] = ()
+    # optional (n_labels,) per-class loss weights
+    class_weights: Any = None
     # populated by init_params / load
     params: Any = None
     # optional callable loading pretrained encoder params into a fresh tree
@@ -166,7 +175,12 @@ class SegmentationModel:
         self, logits: jnp.ndarray, targets: jnp.ndarray
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(total, per_label) training loss for this model's objective."""
+        weights = (
+            jnp.asarray(self.class_weights, jnp.float32)
+            if self.class_weights is not None
+            else None
+        )
         if self.loss_type == "hydra":
-            return hydra_loss(logits, targets)
-        total = softmax_ce_loss(logits, targets)
+            return hydra_loss(logits, targets, class_weights=weights)
+        total = softmax_ce_loss(logits, targets, class_weights=weights)
         return total, jnp.broadcast_to(total, (self.n_labels,))

@@ -122,6 +122,7 @@ def build_hubert_model(
         label_encoder=label_encoder,
         config=config,
         loss_type="hydra",
+        class_weights=config.train.class_weights,
         frozen_prefixes=frozen,
         pretrained_loader=pretrained_loader,
     )

@@ -89,4 +89,5 @@ def build_conv_vad(
         label_encoder=label_encoder,
         config=config,
         loss_type="hydra",
+        class_weights=config.train.class_weights,
     )

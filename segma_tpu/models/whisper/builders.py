@@ -194,6 +194,7 @@ def build_whisper_model(
         label_encoder=label_encoder,
         config=config,
         loss_type="hydra" if head == "hydra" else "multiclass",
+        class_weights=config.train.class_weights,
         frozen_prefixes=("encoder",),
         pretrained_loader=pretrained_loader,
     )

@@ -192,3 +192,20 @@ def test_auroc_np_exact():
     assert binary_auroc_np(scores, targets)[0] == pytest.approx(0.75)
     # degenerate labels -> 0.5
     assert binary_auroc_np(scores, np.zeros((4, 1)))[0] == 0.5
+
+
+def test_class_weighted_loss():
+    """train.class_weights scales per-label hydra losses."""
+    import jax.numpy as jnp
+
+    from segma_tpu.models.base import hydra_loss
+
+    logits = jnp.zeros((2, 3, 2))
+    targets = jnp.ones((2, 3, 2))
+    total_u, per_u = hydra_loss(logits, targets)
+    total_w, per_w = hydra_loss(
+        logits, targets, class_weights=jnp.array([0.4, 1.0])
+    )
+    assert float(per_w[0]) == pytest.approx(0.4 * float(per_u[0]))
+    assert float(per_w[1]) == pytest.approx(float(per_u[1]))
+    assert float(total_w) < float(total_u)
