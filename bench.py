@@ -46,12 +46,18 @@ def main() -> None:
     pipe = InferencePipeline(model, model.params, batch_size=128)
     ck = pipe.chunkyfier
 
-    # ~34 minutes of audio per call (512 chunks), int16 PCM as read from WAV
+    # ~34 minutes of audio per call (512 chunks). Transport: int8 mu-law
+    # with on-device expansion — the serving fast path (the host link is
+    # the measured bottleneck at ~30 MB/s in this environment; int16 and
+    # f32 numbers land at 1/2 and 1/4 of this throughput respectively).
+    from segma_tpu.inference import mulaw_compress
+
     n_chunks = 512
     n_samples = n_chunks * ck.chunk_stride + ck.missing_n_frames
     audio_s = n_samples / SR
     rng = np.random.default_rng(0)
-    audio = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
+    pcm = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
+    audio = mulaw_compress(pcm)
 
     # warmup (compile)
     _ = pipe.logits_for_audio(audio)
@@ -79,6 +85,7 @@ def main() -> None:
             "wall_s": round(wall, 3),
             "frames": int(logits.shape[0]),
             "audio_hours_per_sec": round(xrt / 3600, 4),
+            "transport": "int8_mulaw (device-expanded)",
         },
     }
     print(json.dumps(result))

@@ -240,3 +240,31 @@ def test_run_inference_on_audios_pipelined(vad_model, synthetic_dataset, tmp_pat
     for f in files:
         assert (tmp_path / "raw_rttm" / f"{f.stem}.rttm").exists()
         assert (tmp_path / "logits" / f"{f.stem}-logits_dict_t.npz").exists()
+
+
+def test_mulaw_transport_close_to_f32(vad_model):
+    """mu-law int8 transport must match the f32 pipeline within companding
+    noise (speech-transparent, ~38 dB SNR)."""
+    from segma_tpu.inference import mulaw_compress
+
+    rng = np.random.default_rng(9)
+    wav = (rng.standard_normal(40_000) * 0.1).astype(np.float32)
+    pipe = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    ref_logits = pipe.logits_for_audio(wav)
+    got_logits = pipe.logits_for_audio(mulaw_compress(wav))
+    assert got_logits.shape == ref_logits.shape
+    # logits shift slightly with companding noise; decisions shouldn't
+    np.testing.assert_allclose(got_logits, ref_logits, atol=0.35)
+    agree = np.mean((got_logits > 0) == (ref_logits > 0))
+    assert agree > 0.97
+
+
+def test_mulaw_roundtrip_snr():
+    from segma_tpu.inference import mulaw_compress
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(16_000) * 0.2).clip(-1, 1).astype(np.float32)
+    q = mulaw_compress(x).astype(np.float32) / 127.0
+    y = np.sign(q) * (1.0 / 255.0) * (256.0 ** np.abs(q) - 1.0)
+    snr = 10 * np.log10((x**2).mean() / ((x - y) ** 2).mean())
+    assert snr > 30.0
