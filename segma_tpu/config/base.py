@@ -202,6 +202,10 @@ class TrainConfig(BaseConfig):
     precision: str = "bf16"  # compute dtype on TPU: bf16 | f32
     early_stop_patience: int = 10
     save_top_k: int = 5
+    # rematerialize encoder transformer layers in the backward pass
+    # (jax.checkpoint): trades compute for activation memory when an
+    # encoder is trainable
+    remat: bool = False
     # optional per-class loss weights (reference weight_loss vector)
     class_weights: list[float] | None = None
     # numerical-sanity debug mode (the TPU analog of the reference's

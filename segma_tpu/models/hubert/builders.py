@@ -53,6 +53,7 @@ class HubertSegModule(nn.Module):
     encoder_layers: tuple[int, ...] = ()
     freeze_encoder: bool = False
     dropout: float = 0.5
+    remat: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -61,7 +62,9 @@ class HubertSegModule(nn.Module):
             wav
         )
         feats = jax.lax.stop_gradient(feats)  # CNN frontend always frozen
-        _, hidden = HubertTransformer(self.enc_cfg, self.dtype, name="encoder")(
+        _, hidden = HubertTransformer(
+            self.enc_cfg, self.dtype, remat=self.remat, name="encoder"
+        )(
             feats, output_hidden_states=True
         )
         layer_outputs = hidden[1:]
@@ -97,6 +100,7 @@ def build_hubert_model(
         reduction=mc.reduction,
         encoder_layers=tuple(mc.encoder_layers or ()),
         freeze_encoder=mc.freeze_encoder,
+        remat=config.train.remat,
         dtype=dtype,
     )
 

@@ -90,10 +90,16 @@ class HubertTransformerLayer(nn.Module):
 
 
 class HubertTransformer(nn.Module):
-    """Projected features -> hidden states (HF HubertEncoder semantics)."""
+    """Projected features -> hidden states (HF HubertEncoder semantics).
+
+    ``remat=True`` rematerializes each transformer layer in the backward
+    pass (``jax.checkpoint``) — trades FLOPs for activation memory when the
+    encoder is trained (``freeze_encoder: false``).
+    """
 
     cfg: HubertEncoderConfig
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -116,10 +122,13 @@ class HubertTransformer(nn.Module):
         x = x + nn.gelu(pos, approximate=False)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
 
+        layer_cls = (
+            nn.remat(HubertTransformerLayer) if self.remat else HubertTransformerLayer
+        )
         hidden_states: list[jnp.ndarray] = []
         for i in range(cfg.n_layers):
             hidden_states.append(x)
-            x = HubertTransformerLayer(cfg, self.dtype, name=f"layers_{i}")(x)
+            x = layer_cls(cfg, self.dtype, name=f"layers_{i}")(x)
         hidden_states.append(x)
         if output_hidden_states:
             return x, tuple(hidden_states)

@@ -41,6 +41,7 @@ class WavLMSegModule(nn.Module):
     encoder_layers: tuple[int, ...] = ()
     freeze_encoder: bool = False
     dropout: float = 0.5
+    remat: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -49,7 +50,9 @@ class WavLMSegModule(nn.Module):
             wav
         )
         feats = jax.lax.stop_gradient(feats)
-        _, hidden = WavLMTransformer(self.enc_cfg, self.dtype, name="encoder")(
+        _, hidden = WavLMTransformer(
+            self.enc_cfg, self.dtype, remat=self.remat, name="encoder"
+        )(
             feats, output_hidden_states=True
         )
         layer_outputs = hidden[1:]
@@ -85,6 +88,7 @@ def build_wavlm_model(
         reduction=mc.reduction,
         encoder_layers=tuple(mc.encoder_layers or ()),
         freeze_encoder=mc.freeze_encoder,
+        remat=config.train.remat,
         dtype=dtype,
     )
 

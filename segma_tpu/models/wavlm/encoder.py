@@ -171,6 +171,7 @@ class WavLMTransformer(nn.Module):
 
     cfg: WavLMEncoderConfig
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -195,11 +196,14 @@ class WavLMTransformer(nn.Module):
         x = x + nn.gelu(pos, approximate=False)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
 
+        layer_cls = (
+            nn.remat(WavLMTransformerLayer) if self.remat else WavLMTransformerLayer
+        )
         hidden_states: list[jnp.ndarray] = []
         position_bias = None
         for i in range(cfg.n_layers):
             hidden_states.append(x)
-            x, position_bias = WavLMTransformerLayer(
+            x, position_bias = layer_cls(
                 cfg,
                 has_relative_position_bias=(i == 0),
                 dtype=self.dtype,

@@ -169,3 +169,25 @@ def test_hubert_freeze_encoder_flag():
     with pytest.warns(UserWarning):
         model = Models["surgical_hubert_hydra"](enc, cfg)
     assert model.frozen_prefixes == ("feature_extractor", "encoder")
+
+
+def test_remat_gradients_match():
+    """remat must not change values or gradients (only memory)."""
+    import jax.numpy as jnp
+
+    from segma_tpu.models.hubert.encoder import HubertTransformer
+
+    feats = np.random.default_rng(0).standard_normal((1, 49, 32)).astype(np.float32)
+    tr = HubertTransformer(TINY, dtype=jnp.float32, remat=False)
+    params = tr.init(jax.random.key(0), jnp.asarray(feats))["params"]
+    tr_r = HubertTransformer(TINY, dtype=jnp.float32, remat=True)
+
+    def loss(p, mod):
+        out, _ = mod.apply({"params": p}, jnp.asarray(feats))
+        return jnp.sum(out**2)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, tr))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, tr_r))(params)
+    assert float(v0) == float(v1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
