@@ -69,6 +69,7 @@ class AudioSegmentationSampler:
         label_encoder: LabelEncoder,
         seed: int | None = None,
         host_hook: Callable[[np.ndarray], np.ndarray] | None = None,
+        cache_audio_gb: float = 8.0,
     ) -> None:
         self.uris = subset.uris
         self.durations = subset.durations
@@ -77,6 +78,14 @@ class AudioSegmentationSampler:
         self.label_encoder = label_encoder
         self.host_hook = host_hook
         self.rng = np.random.default_rng(seed)
+        # decoded-audio RAM cache (int16): random crops re-read the same
+        # files constantly; decoding each file once removes the dominant
+        # host cost of the sampling loop. Disabled when the subset exceeds
+        # the budget.
+        self._audio_cache: dict[int, np.ndarray] | None = None
+        total_bytes = int(subset.durations["audio_duration_f"].sum()) * 2
+        if cache_audio_gb > 0 and total_bytes <= cache_audio_gb * 1e9:
+            self._audio_cache = {}
 
         if len(self.uris) != self.durations.shape[0]:
             raise DataLoaderError("Mismatch between URIs and durations.")
@@ -104,10 +113,7 @@ class AudioSegmentationSampler:
         audio_path = (
             Path(self.config.data.dataset_path) / "wav" / self.uris[uri_i]
         ).with_suffix(".wav")
-        waveform = get_samples_in_range(audio_path, start_f, self.chunk_f)
-        if waveform.shape[0] > 1:  # downmix to mono
-            waveform = waveform.mean(axis=0, keepdims=True)
-        waveform = waveform[0]
+        waveform = self._read_crop(uri_i, audio_path, start_f)
         if waveform.shape[0] < self.chunk_f:  # guard short tail reads
             waveform = np.pad(waveform, (0, self.chunk_f - waveform.shape[0]))
 
@@ -115,6 +121,31 @@ class AudioSegmentationSampler:
         if self.host_hook is not None:
             waveform = self.host_hook(waveform)
         return waveform.astype(np.float32), y
+
+    def _read_crop(self, uri_i: int, audio_path: Path, start_f: int) -> np.ndarray:
+        """chunk_f mono samples at start_f, from the RAM cache when enabled."""
+        if self._audio_cache is not None:
+            cached = self._audio_cache.get(uri_i)
+            if cached is None:
+                from segma_tpu.utils.io import read_pcm16_mono
+
+                raw = read_pcm16_mono(audio_path)
+                if raw is None:  # non-PCM16: cache as float32 mono
+                    full = get_samples_in_range(audio_path, 0, -1)
+                    cached = (
+                        full.mean(axis=0) if full.shape[0] > 1 else full[0]
+                    ).astype(np.float32)
+                else:
+                    cached = raw
+                self._audio_cache[uri_i] = cached
+            crop = cached[start_f : start_f + self.chunk_f]
+            if crop.dtype == np.int16:
+                return crop.astype(np.float32) / 32768.0
+            return np.array(crop, np.float32)
+        waveform = get_samples_in_range(audio_path, start_f, self.chunk_f)
+        if waveform.shape[0] > 1:  # downmix to mono
+            waveform = waveform.mean(axis=0, keepdims=True)
+        return waveform[0]
 
     def sample_batch(self, batch_size: int) -> dict[str, np.ndarray]:
         xs, ys = zip(*(self.sample() for _ in range(batch_size)))

@@ -373,6 +373,37 @@ def create_intervals(
     return intervals
 
 
+def postprocess_intervals(
+    intervals: list[tuple[int, int, str]],
+    min_duration_f: int = 0,
+    merge_gap_f: int = 0,
+) -> list[tuple[int, int, str]]:
+    """Optional production post-processing (segma_tpu extension; the
+    reference emits raw thresholded runs only):
+
+    1. merge same-label intervals separated by < ``merge_gap_f`` samples;
+    2. drop intervals shorter than ``min_duration_f`` samples.
+    """
+    if merge_gap_f > 0:
+        from collections import defaultdict
+
+        by_label: dict[str, list[tuple[int, int]]] = defaultdict(list)
+        for s, e, label in sorted(intervals):
+            runs = by_label[label]
+            if runs and s - runs[-1][1] < merge_gap_f:
+                runs[-1] = (runs[-1][0], max(runs[-1][1], e))
+            else:
+                runs.append((s, e))
+        intervals = sorted(
+            (s, e, label) for label, runs in by_label.items() for s, e in runs
+        )
+    if min_duration_f > 0:
+        intervals = [
+            (s, e, label) for s, e, label in intervals if e - s >= min_duration_f
+        ]
+    return intervals
+
+
 def write_intervals(
     intervals: list[tuple[int, int, str]],
     audio_path: Path,
@@ -440,6 +471,8 @@ def infer_file(
     dump_logits: bool = False,
     rttm_dirname: str = "raw_rttm",
     audio: np.ndarray | None = None,
+    min_duration_s: float = 0.0,
+    merge_gap_s: float = 0.0,
 ) -> list[tuple[int, int, str]]:
     """Run the full per-file pipeline: decode WAV -> device logits ->
     thresholds -> intervals -> RTTM (reference ``infer_file``,
@@ -458,6 +491,12 @@ def infer_file(
     starts, ends = pipeline.decode_boundaries(logits, thresholds)
     intervals = intervals_from_boundaries(
         starts, ends, pipeline.frame_settings, enc
+    )
+    sr = pipeline.model.config.audio.sample_rate
+    intervals = postprocess_intervals(
+        intervals,
+        min_duration_f=int(min_duration_s * sr),
+        merge_gap_f=int(merge_gap_s * sr),
     )
     write_intervals(intervals, audio_path, output_p, rttm_dirname)
     return intervals
@@ -495,6 +534,8 @@ def run_inference_on_audios(
     dump_logits: bool = False,
     rttm_dirname: str = "raw_rttm",
     model: SegmentationModel | None = None,
+    min_duration_s: float = 0.0,
+    merge_gap_s: float = 0.0,
 ) -> list[Path]:
     """Batch entry point: load config + checkpoint, then per-file inference
     (reference ``run_inference_on_audios``, ``inference.py:398-459``)."""
@@ -558,6 +599,12 @@ def run_inference_on_audios(
         intervals = intervals_from_boundaries(
             starts, ends, pipeline.frame_settings, enc
         )
+        sr = model.config.audio.sample_rate
+        intervals = postprocess_intervals(
+            intervals,
+            min_duration_f=int(min_duration_s * sr),
+            merge_gap_f=int(merge_gap_s * sr),
+        )
         write_intervals(intervals, audio_path, output, rttm_dirname)
         dt = time.perf_counter() - t0
         print(
@@ -599,6 +646,14 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--save-logits", action="store_true")
     parser.add_argument("--recursive", action="store_true")
     parser.add_argument("--rttm-dirname", default="raw_rttm")
+    parser.add_argument(
+        "--min-duration", type=float, default=0.0,
+        help="drop intervals shorter than this many seconds",
+    )
+    parser.add_argument(
+        "--merge-gap", type=float, default=0.0,
+        help="merge same-label intervals separated by less than this many seconds",
+    )
     args = parser.parse_args(argv)
 
     run_inference_on_audios(
@@ -612,6 +667,8 @@ def main(argv: list[str] | None = None) -> None:
         dump_logits=args.save_logits,
         recursive=args.recursive,
         rttm_dirname=args.rttm_dirname,
+        min_duration_s=args.min_duration,
+        merge_gap_s=args.merge_gap,
     )
 
 

@@ -345,6 +345,10 @@ class Trainer:
             metrics["lr"] = get_learning_rate(opt_state)
             metrics["epoch"] = epoch
             metrics["time_s"] = time.perf_counter() - t0
+            n_train_samples = len(train_loader) * tc.batch_size
+            metrics["samples_per_s"] = round(
+                n_train_samples / max(metrics["time_s"], 1e-9), 2
+            )
             self.logger.log(metrics)
             history.append(metrics)
 

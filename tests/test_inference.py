@@ -268,3 +268,18 @@ def test_mulaw_roundtrip_snr():
     y = np.sign(q) * (1.0 / 255.0) * (256.0 ** np.abs(q) - 1.0)
     snr = 10 * np.log10((x**2).mean() / ((x - y) ** 2).mean())
     assert snr > 30.0
+
+
+def test_postprocess_intervals():
+    from segma_tpu.inference import postprocess_intervals
+
+    iv = [(0, 320, "a"), (640, 960, "a"), (5000, 5100, "a"), (0, 320, "b")]
+    # merge gaps < 400 samples: (0,320)+(640,960) -> (0,960); 5000 too far
+    merged = postprocess_intervals(iv, merge_gap_f=400)
+    assert (0, 960, "a") in merged and (5000, 5100, "a") in merged
+    assert (0, 320, "b") in merged
+    # then drop < 200-sample intervals
+    out = postprocess_intervals(iv, min_duration_f=200, merge_gap_f=400)
+    assert (5000, 5100, "a") not in out
+    # no-op passthrough
+    assert postprocess_intervals(iv) == iv

@@ -98,3 +98,21 @@ def test_dataloader_iteration(cfg, loaded_ds):
         n += 1
         if n >= 3:
             break
+
+
+def test_audio_cache_matches_uncached(cfg, loaded_ds):
+    """RAM-cached crops must equal direct ranged reads."""
+    enc = MultiLabelEncoder(CLASSES)
+    cached = AudioSegmentationSampler(
+        loaded_ds.train, cfg, CS, enc, seed=11, cache_audio_gb=8.0
+    )
+    uncached = AudioSegmentationSampler(
+        loaded_ds.train, cfg, CS, enc, seed=11, cache_audio_gb=0.0
+    )
+    assert cached._audio_cache is not None
+    assert uncached._audio_cache is None
+    for _ in range(5):
+        xc, yc = cached.sample()
+        xu, yu = uncached.sample()
+        np.testing.assert_allclose(xc, xu, atol=1e-7)
+        np.testing.assert_array_equal(yc, yu)
