@@ -1,0 +1,161 @@
+"""Online (streaming) segmentation with bounded latency.
+
+A segma_tpu extension beyond the reference's offline-only pipeline: audio
+arrives in arbitrary-sized pushes; whenever a full chunk (stride boundary)
+is available it is forwarded through the same jitted model, frames are
+thresholded, and intervals are emitted as soon as their runs close. Open
+runs stay pending until more audio (or ``flush``) decides them.
+
+Produces byte-identical intervals to the offline pipeline on the same
+audio for frame-local models (same chunk geometry, same tail rule, same
+decode math) — asserted in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segma_tpu.inference import TAIL_MIN_SAMPLES, Chunkyfier, default_thresholds
+from segma_tpu.models.base import ConvolutionSettings, SegmentationModel
+
+
+class StreamingSegmenter:
+    """Push samples in, get finalized ``(start_f, end_f, label)`` out."""
+
+    def __init__(
+        self,
+        model: SegmentationModel,
+        params: Any,
+        thresholds: dict[str, dict[str, float]] | None = None,
+    ) -> None:
+        self.model = model
+        self.params = params
+        cfg = model.config
+        step = int(model.conv_settings.rf_step)
+        self.frame_settings = ConvolutionSettings((step,), (step,), (0,))
+        self.ck = Chunkyfier(1, cfg.audio.chunk_duration_f, self.frame_settings)
+        self.strict_tail = cfg.audio.strict_frames
+        enc = model.label_encoder
+        thresholds = thresholds or default_thresholds(enc.base_labels)
+        self.thr = np.asarray(
+            [t["lower_bound"] for t in thresholds.values()], np.float32
+        )
+        self.labels = enc.base_labels
+
+        self._buffer = np.zeros(0, np.float32)
+        self._consumed = 0  # absolute sample index of buffer[0]
+        self._n_chunks = 0
+        # per-label open-run start frame (or -1)
+        self._open = np.full(len(self.labels), -1, np.int64)
+        self._n_frames = 0  # frames decoded so far
+        self._finalized: list[tuple[int, int, str]] = []
+        self._done = False
+
+        apply = model.apply
+
+        @partial(jax.jit, static_argnums=())
+        def forward(params, chunk):
+            return apply(params, chunk[None, :], train=False)[0]
+
+        self._forward = forward
+
+    # -- internals ---------------------------------------------------------------
+    def _emit_frames(self, probs_mask: np.ndarray) -> list[tuple[int, int, str]]:
+        """Advance the run state over new frames; return closed intervals."""
+        out: list[tuple[int, int, str]] = []
+        base = self._n_frames
+        for li, label in enumerate(self.labels):
+            col = probs_mask[:, li]
+            open_start = self._open[li]
+            # transitions relative to the carry state
+            prev = open_start >= 0
+            for f in range(col.shape[0]):
+                if col[f] and not prev:
+                    open_start = base + f
+                elif not col[f] and prev:
+                    out.append(
+                        (
+                            max(0, self.frame_settings.rf_start_i(int(open_start))),
+                            self.frame_settings.rf_end_i(base + f - 1) + 1,
+                            label,
+                        )
+                    )
+                    open_start = -1
+                prev = bool(col[f])
+            self._open[li] = open_start
+        self._n_frames += probs_mask.shape[0]
+        return out
+
+    def _process_chunk(self, chunk: np.ndarray, keep_frames: int) -> np.ndarray:
+        logits = np.asarray(self._forward(self.params, jnp.asarray(chunk)))
+        probs = 1.0 / (1.0 + np.exp(-logits[:keep_frames]))
+        return probs > self.thr[None, :]
+
+    # -- public API ---------------------------------------------------------------
+    def push(self, samples: np.ndarray) -> list[tuple[int, int, str]]:
+        """Feed more mono float32 samples; returns newly finalized intervals."""
+        assert not self._done, "flush() already called"
+        self._buffer = np.concatenate([self._buffer, samples.astype(np.float32)])
+        out: list[tuple[int, int, str]] = []
+        ck = self.ck
+        while True:
+            chunk_start = ck.chunk_start_i(self._n_chunks)
+            avail = self._consumed + self._buffer.shape[0] - chunk_start
+            if avail < ck.chunk_duration_f:
+                break
+            off = chunk_start - self._consumed
+            chunk = self._buffer[off : off + ck.chunk_duration_f]
+            out.extend(self._emit_frames(self._process_chunk(chunk, ck.n_windows)))
+            self._n_chunks += 1
+            # drop samples no later chunk needs
+            next_start = ck.chunk_start_i(self._n_chunks)
+            drop = next_start - self._consumed
+            if drop > 0:
+                self._buffer = self._buffer[drop:]
+                self._consumed = next_start
+        self._finalized.extend(out)
+        return out
+
+    def flush(self) -> list[tuple[int, int, str]]:
+        """Process the tail (>= 400 samples) and close all open runs."""
+        assert not self._done, "flush() already called"
+        self._done = True
+        ck = self.ck
+        out: list[tuple[int, int, str]] = []
+        tail_start = ck.chunk_start_i(self._n_chunks)
+        tail_len = self._consumed + self._buffer.shape[0] - tail_start
+        if tail_len >= TAIL_MIN_SAMPLES:
+            tail_frames = self.frame_settings.n_windows(
+                int(tail_len), strict=self.strict_tail
+            )
+            if tail_frames > 0:
+                off = tail_start - self._consumed
+                tail = self._buffer[off:]
+                chunk = np.zeros(ck.chunk_duration_f, np.float32)
+                chunk[: tail.shape[0]] = tail
+                out.extend(
+                    self._emit_frames(self._process_chunk(chunk, tail_frames))
+                )
+        # close open runs at the final frame
+        for li, label in enumerate(self.labels):
+            if self._open[li] >= 0:
+                out.append(
+                    (
+                        max(0, self.frame_settings.rf_start_i(int(self._open[li]))),
+                        self.frame_settings.rf_end_i(self._n_frames - 1) + 1,
+                        label,
+                    )
+                )
+                self._open[li] = -1
+        self._finalized.extend(out)
+        return out
+
+    @property
+    def intervals(self) -> list[tuple[int, int, str]]:
+        """Everything finalized so far."""
+        return sorted(self._finalized)
