@@ -149,3 +149,16 @@ def test_mesh_sharded_inference_matches_single_device(tp_model):
 
     assert got_single.shape == got_sharded.shape
     np.testing.assert_allclose(got_single, got_sharded, rtol=2e-4, atol=2e-5)
+
+
+def test_maybe_init_distributed_noop(monkeypatch):
+    """Single-host environments must be a clean no-op."""
+    from segma_tpu.parallel.distributed import maybe_init_distributed, process_shard
+
+    monkeypatch.delenv("SEGMA_TPU_MULTIHOST", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert maybe_init_distributed() is False
+    # single process: shard = identity
+    assert process_shard([1, 2, 3]) == [1, 2, 3]
+    assert process_shard([1, 2, 3, 4], process_index=0) == [1, 2, 3, 4]
