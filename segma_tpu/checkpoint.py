@@ -54,6 +54,22 @@ def load_params(path: Path, template: Any) -> Any:
     return serialization.from_bytes(template, blob)
 
 
+def load_opt_state(path: Path, template: Any) -> Any | None:
+    """Restore optimizer state from a ``last/`` checkpoint, or None."""
+    p = Path(path) / "opt_state.msgpack"
+    if not p.exists():
+        return None
+    return serialization.from_bytes(template, p.read_bytes())
+
+
+def load_train_state(path: Path) -> dict:
+    p = Path(path) / "train_state.yaml"
+    if not p.exists():
+        return {}
+    with p.open() as f:
+        return yaml.safe_load(f) or {}
+
+
 def load_meta(path: Path) -> dict:
     meta_p = Path(path) / "meta.yaml"
     if not meta_p.exists():
@@ -88,14 +104,33 @@ class CheckpointManager:
         return a < b if self.mode == "min" else a > b
 
     def step(
-        self, epoch: int, score: float, trainable_params: Any, meta: dict
+        self,
+        epoch: int,
+        score: float,
+        trainable_params: Any,
+        meta: dict,
+        opt_state: Any = None,
+        train_state: dict | None = None,
     ) -> None:
-        """Record one epoch's monitored score; persist/evict as needed."""
+        """Record one epoch's monitored score; persist/evict as needed.
+
+        ``opt_state``/``train_state`` (optimizer moments, scheduler and
+        early-stop counters) are persisted in ``last/`` only — they make
+        resume exact (Lightning-checkpoint parity) without bloating the
+        top-k dirs."""
         meta = {**meta, "epoch": epoch, "score": float(score)}
         if self.save_last:
             last = self.dirpath / "last"
             tmp = self.dirpath / ".last.tmp"
             save_params(tmp, trainable_params, meta)
+            if opt_state is not None:
+                host_opt = jax.tree.map(np.asarray, opt_state)
+                (tmp / "opt_state.msgpack").write_bytes(
+                    serialization.to_bytes(host_opt)
+                )
+            if train_state is not None:
+                with (tmp / "train_state.yaml").open("w") as f:
+                    yaml.dump(train_state, f)
             shutil.rmtree(last, ignore_errors=True)
             tmp.rename(last)
 

@@ -310,14 +310,15 @@ class Trainer:
             params = self.model.init_params(init_key)
         start_epoch = 0
 
+        resume_ckpt = None
         if resume_from is not None:
             from segma_tpu.checkpoint import load_meta, load_params, resolve_checkpoint
 
-            ckpt = resolve_checkpoint(resume_from)
+            resume_ckpt = resolve_checkpoint(resume_from)
             trainable, frozen = self.model.split_params(params)
-            trainable = load_params(ckpt, trainable)
+            trainable = load_params(resume_ckpt, trainable)
             params = {**trainable, **frozen}
-            start_epoch = int(load_meta(ckpt).get("epoch", -1)) + 1
+            start_epoch = int(load_meta(resume_ckpt).get("epoch", -1)) + 1
 
         if self.mesh is not None:
             # tensor-parallel rules where they apply, replication elsewhere;
@@ -328,6 +329,24 @@ class Trainer:
             opt_state = jax.jit(self.optimizer.init)(params)
         else:
             opt_state = self.optimizer.init(params)
+
+        if resume_ckpt is not None:
+            # exact resume: optimizer moments + scheduler/early-stop counters
+            # (Lightning-checkpoint parity); older checkpoints without these
+            # files resume with fresh state
+            from segma_tpu.checkpoint import load_opt_state, load_train_state
+
+            restored = load_opt_state(resume_ckpt, opt_state)
+            if restored is not None:
+                opt_state = restored
+            ts = load_train_state(resume_ckpt)
+            if ts:
+                for obj, section in (
+                    (self.scheduler, "scheduler"),
+                    (self.early_stopping, "early_stopping"),
+                ):
+                    for attr, val in (ts.get(section) or {}).items():
+                        setattr(obj, attr, val)
 
         base_lr = tc.lr
         train_loader = datamodule.train_dataloader()
@@ -370,6 +389,18 @@ class Trainer:
                 monitored,
                 trainable,
                 meta={"config": self.config.as_dict(), "monitor": self.monitor},
+                opt_state=opt_state,
+                train_state={
+                    "scheduler": {
+                        "best": self.scheduler.best,
+                        "bad_epochs": self.scheduler.bad_epochs,
+                        "scale": self.scheduler.scale,
+                    },
+                    "early_stopping": {
+                        "best": self.early_stopping.best,
+                        "bad_epochs": self.early_stopping.bad_epochs,
+                    },
+                },
             )
 
             if self.early_stopping.step(monitored):

@@ -209,3 +209,41 @@ def test_class_weighted_loss():
     assert float(per_w[0]) == pytest.approx(0.4 * float(per_u[0]))
     assert float(per_w[1]) == pytest.approx(float(per_u[1]))
     assert float(total_w) < float(total_u)
+
+
+def test_resume_restores_optimizer_and_scheduler(train_cfg, tmp_path):
+    """Exact resume: adam moments + scheduler/early-stop counters persist."""
+    import jax.numpy as jnp
+
+    from segma_tpu.checkpoint import load_opt_state, load_train_state
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    enc = MultiLabelEncoder(train_cfg.data.classes)
+    ds = SegmaFileDataset.from_config(train_cfg)
+    ds.load(use_cache=False)
+    model = Models["conv_vad"](enc, train_cfg)
+    dm = SegmentationDataLoader(ds, enc, train_cfg, model.conv_settings)
+    t1 = Trainer(model=model, config=train_cfg, run_dir=tmp_path / "r1", max_epochs=2)
+    t1.fit(dm)
+
+    last = tmp_path / "r1" / "checkpoints" / "last"
+    ts = load_train_state(last)
+    assert ts["scheduler"]["best"] is not None
+    assert "early_stopping" in ts
+
+    # restoring opt_state yields nonzero adam moments
+    model2 = Models["conv_vad"](enc, train_cfg)
+    model2.init_params(__import__("jax").random.key(0))
+    t2 = Trainer(model=model2, config=train_cfg, run_dir=tmp_path / "r2", max_epochs=3)
+    template = t2.optimizer.init(model2.params)
+    restored = load_opt_state(last, template)
+    assert restored is not None
+    mu_leaves = __import__("jax").tree.leaves(restored.inner_state.inner_state[0].mu)
+    assert any(float(jnp.abs(m).sum()) > 0 for m in mu_leaves)
+
+    # and the resumed fit picks up scheduler state without crashing
+    result = t2.fit(dm, resume_from=last)
+    assert result["history"][0]["epoch"] == 2
+    assert t2.scheduler.best is not None
