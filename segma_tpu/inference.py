@@ -654,10 +654,12 @@ def main(argv: list[str] | None = None) -> None:
         "--merge-gap", type=float, default=0.0,
         help="merge same-label intervals separated by less than this many seconds",
     )
-    args = parser.parse_args(argv)
+    # unknown args flow to the config loader as key.path=value overrides
+    # (same convention as the training CLIs)
+    args, extra_args = parser.parse_known_args(argv)
 
     run_inference_on_audios(
-        config=args.config,
+        config=load_config(args.config, extra_args),
         uris=args.uris,
         wavs=args.wavs,
         checkpoint=args.checkpoint,
