@@ -159,6 +159,40 @@ def eval_model_output(
     return final
 
 
+def frame_f1(
+    rttm_true_p: Path,
+    rttm_pred_p: Path,
+    classes: list[str],
+    frame_resolution_s: float = 0.02,
+) -> dict[str, float]:
+    """Per-label frame-level F1 of predicted vs true RTTMs at the model's
+    20 ms grid (the BASELINE "frame-F1" metric): both annotation sets are
+    rasterized to multi-hot frame tensors and scored per label."""
+    import numpy as np
+
+    from segma_tpu.tune import rttm_to_frame_tensor
+
+    truth = {p.stem: p for p in sorted(Path(rttm_true_p).glob("*.rttm"))}
+    preds = {p.stem: p for p in sorted(Path(rttm_pred_p).glob("*.rttm"))}
+    tp = np.zeros(len(classes))
+    fp = np.zeros(len(classes))
+    fn = np.zeros(len(classes))
+    for uri in sorted(set(truth) & set(preds)):
+        t = rttm_to_frame_tensor(truth[uri], classes, frame_resolution_s)
+        p = rttm_to_frame_tensor(preds[uri], classes, frame_resolution_s)
+        n = max(t.shape[0], p.shape[0])
+        t = np.pad(t, ((0, n - t.shape[0]), (0, 0))) > 0.5
+        p = np.pad(p, ((0, n - p.shape[0]), (0, 0))) > 0.5
+        tp += (t & p).sum(axis=0)
+        fp += (~t & p).sum(axis=0)
+        fn += (t & ~p).sum(axis=0)
+    denom = 2 * tp + fp + fn
+    f1 = np.where(denom > 0, 2 * tp / np.maximum(denom, 1), 1.0)
+    out = {c: float(f1[i]) for i, c in enumerate(classes)}
+    out["Total"] = float(f1.mean())
+    return out
+
+
 def main(argv: list[str] | None = None) -> None:
     import argparse
 
@@ -168,15 +202,25 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--gt", required=True)
     parser.add_argument("--pred", required=True)
     parser.add_argument("-c", "--config", required=True)
-    args = parser.parse_args(argv)
+    parser.add_argument(
+        "--frame-f1",
+        action="store_true",
+        help="also report frame-level F1 at the 20 ms grid",
+    )
+    args, extra_args = parser.parse_known_args(argv)
 
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, extra_args)
     eval_model_output(
         rttm_true_p=Path(args.gt),
         rttm_pred_p=Path(args.pred),
         classes=cfg.data.classes,
         scores_output=Path(args.pred).parent / "fscore.csv",
     )
+    if args.frame_f1:
+        scores = frame_f1(Path(args.gt), Path(args.pred), cfg.data.classes)
+        print("[log] - frame-level F1 (20 ms grid)")
+        for k, v in scores.items():
+            print(f"{k:<12}: {round(v, 5)}")
 
 
 if __name__ == "__main__":

@@ -80,3 +80,18 @@ def test_load_rttm_dir_empty_file(tmp_path):
 def test_missing_dir_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         eval_model_output(tmp_path / "nope", tmp_path, ["a"])
+
+
+def test_frame_f1(tmp_path):
+    from segma_tpu.evaluate import frame_f1
+
+    gt, pred = tmp_path / "gt", tmp_path / "pred"
+    gt.mkdir()
+    pred.mkdir()
+    # gt: label a active 0-1 s; prediction covers 0-0.5 s -> recall 0.5
+    (gt / "u.rttm").write_text(AudioAnnotation("u", 0.0, 1.0, "a").to_rttm() + "\n")
+    (pred / "u.rttm").write_text(AudioAnnotation("u", 0.0, 0.5, "a").to_rttm() + "\n")
+    scores = frame_f1(gt, pred, ["a", "b"])
+    # tp=25 frames, fn=25, fp=0 -> F1 = 2*25/(50+25) = 2/3
+    assert scores["a"] == pytest.approx(2 / 3)
+    assert scores["b"] == pytest.approx(1.0)  # nothing to find, nothing found
