@@ -27,5 +27,12 @@ bench:
 native:
 	$(MAKE) -C native
 
+# interactive TPU shell (role of the reference's SLURM `it` target):
+# queued-up dev VM attach on a provisioned xpk/GKE cluster
+it:
+	xpk workload create --workload segma-dev --tpu-type v5litepod-8 \
+	  --docker-image segma-tpu:latest --command "sleep infinity" && \
+	  echo "attach with: kubectl exec -it <pod> -- bash"
+
 clean:
 	rm -rf .cache __pycache__ **/__pycache__ profiles

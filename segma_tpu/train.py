@@ -353,12 +353,23 @@ class Trainer:
         val_loader = datamodule.val_dataloader()
         max_epochs = self.max_epochs or tc.max_epochs
 
+        # config-gated profiler (role of the reference's pl.Trainer
+        # profiler slot, scripts/train.py:175): trace the first post-compile
+        # epoch to <run_dir>/profile, xprof-compatible
+        profile_epoch = start_epoch + 1 if tc.profiler else None
+
         history = []
         for epoch in range(start_epoch, max_epochs):
+            if epoch == profile_epoch:
+                jax.profiler.start_trace(str(self.run_dir / "profile"))
             t0 = time.perf_counter()
             params, opt_state, train_loss, key = self._train_epoch(
                 params, opt_state, train_loader, key
             )
+            if epoch == profile_epoch:
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+                self.logger.log({"profile_dir": str(self.run_dir / "profile")})
             metrics = self._val_epoch(params, val_loader)
             metrics["train/loss"] = train_loss
             metrics["lr"] = get_learning_rate(opt_state)

@@ -247,3 +247,22 @@ def test_resume_restores_optimizer_and_scheduler(train_cfg, tmp_path):
     result = t2.fit(dm, resume_from=last)
     assert result["history"][0]["epoch"] == 2
     assert t2.scheduler.best is not None
+
+
+def test_profiler_config_slot(train_cfg, tmp_path):
+    """train.profiler traces one epoch to <run_dir>/profile."""
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    cfg = train_cfg
+    cfg.train.profiler = "jax"
+    cfg.train.max_epochs = 2
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+    trainer = Trainer(model=model, config=cfg, run_dir=tmp_path / "run")
+    trainer.fit(dm)
+    assert (tmp_path / "run" / "profile").exists()
