@@ -74,7 +74,7 @@ def load_pred_logits(
         if uri in uris_to_load and uri not in uri_to_logits:
             import torch
 
-            d = torch.load(f, map_location="cpu", weights_only=False)
+            d = torch.load(f, map_location="cpu", weights_only=True)
             uri_to_logits[uri] = np.stack(
                 [np.asarray(d[label]) for label in labels], axis=1
             )
