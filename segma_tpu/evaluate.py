@@ -34,6 +34,37 @@ def load_rttm_dir(path: Path) -> dict[str, list[AudioAnnotation]]:
     return out
 
 
+def load_uem_dir(path: Path) -> dict[str, list[tuple[float, float]]]:
+    """uri -> annotated (start, end) regions from .uem files.
+
+    UEM line format: ``<uri> <channel> <start_s> <end_s>``.
+    """
+    out: dict[str, list[tuple[float, float]]] = {}
+    for uem in sorted(Path(path).glob("*.uem")):
+        regions = []
+        for line in uem.read_text().splitlines():
+            parts = line.split()
+            if len(parts) >= 4:
+                regions.append((float(parts[2]), float(parts[3])))
+        out[uem.stem] = sorted(regions)
+    return out
+
+
+def _crop_segments(
+    segs: list[tuple[float, float]], regions: list[tuple[float, float]] | None
+) -> list[tuple[float, float]]:
+    """Intersect disjoint sorted segments with UEM regions (None = keep all)."""
+    if regions is None:
+        return segs
+    out = []
+    for s, e in segs:
+        for rs, re_ in regions:
+            lo, hi = max(s, rs), min(e, re_)
+            if hi > lo:
+                out.append((lo, hi))
+    return sorted(out)
+
+
 def _merged_segments(
     annots: list[AudioAnnotation], label: str
 ) -> list[tuple[float, float]]:
@@ -80,11 +111,12 @@ class MacroAverageFMeasure:
         reference: list[AudioAnnotation],
         hypothesis: list[AudioAnnotation],
         uri: str = "?",
+        uem: list[tuple[float, float]] | None = None,
     ) -> float:
         row = {"uri": uri}
         for c in self.classes:
-            ref = _merged_segments(reference, c)
-            hyp = _merged_segments(hypothesis, c)
+            ref = _crop_segments(_merged_segments(reference, c), uem)
+            hyp = _crop_segments(_merged_segments(hypothesis, c), uem)
             inter = _intersection_duration(ref, hyp)
             self._acc[c][0] += _duration(ref)
             self._acc[c][1] += _duration(hyp)
@@ -133,8 +165,12 @@ def eval_model_output(
     rttm_pred_p: Path,
     classes: list[str],
     scores_output: Path = Path("fscore.csv"),
+    uem_p: Path | None = None,
 ) -> dict[str, float]:
-    """Score predicted RTTMs against ground truth over shared uris."""
+    """Score predicted RTTMs against ground truth over shared uris.
+
+    ``uem_p``: optional directory of .uem files restricting the scoring
+    regions per uri (the reference's pyannote call infers UEM instead)."""
     rttm_true_p, rttm_pred_p = Path(rttm_true_p), Path(rttm_pred_p)
     for p in (rttm_true_p, rttm_pred_p):
         if not p.is_dir():
@@ -143,9 +179,10 @@ def eval_model_output(
     metric = MacroAverageFMeasure(classes)
     truth = load_rttm_dir(rttm_true_p)
     preds = load_rttm_dir(rttm_pred_p)
+    uems = load_uem_dir(uem_p) if uem_p else {}
     for uri in sorted(set(truth) & set(preds)):
         print(f"[log] - evaluating file: '{uri}'", flush=True)
-        metric(truth[uri], preds[uri], uri=uri)
+        metric(truth[uri], preds[uri], uri=uri, uem=uems.get(uri))
 
     metric.report_csv(scores_output)
 
@@ -207,6 +244,9 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="also report frame-level F1 at the 20 ms grid",
     )
+    parser.add_argument(
+        "--uem", default=None, help="directory of .uem scoring-region files"
+    )
     args, extra_args = parser.parse_known_args(argv)
 
     cfg = load_config(args.config, extra_args)
@@ -215,6 +255,7 @@ def main(argv: list[str] | None = None) -> None:
         rttm_pred_p=Path(args.pred),
         classes=cfg.data.classes,
         scores_output=Path(args.pred).parent / "fscore.csv",
+        uem_p=Path(args.uem) if args.uem else None,
     )
     if args.frame_f1:
         scores = frame_f1(Path(args.gt), Path(args.pred), cfg.data.classes)

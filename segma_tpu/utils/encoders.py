@@ -49,6 +49,92 @@ class LabelEncoder(ABC):
         raise NotImplementedError
 
 
+class PowersetEncoder(LabelEncoder):
+    """Powerset multi-class encoder: every subset of <= ``max_set_size``
+    simultaneously-active labels becomes ONE class.
+
+    The reference's ``LabelEncoder`` ABC documents powerset classes but
+    ships no implementation (``encoders.py:39-45`` vestige); this completes
+    the capability (pyannote-3-style powerset segmentation). Class 0 is the
+    empty set ("no speaker").
+    """
+
+    def __init__(
+        self, labels: list[str] | tuple[str, ...], max_set_size: int = 2
+    ) -> None:
+        from itertools import combinations
+
+        self._base = tuple(labels)
+        self.max_set_size = max_set_size
+        subsets: list[tuple[str, ...]] = [()]
+        for k in range(1, max_set_size + 1):
+            subsets.extend(combinations(self._base, k))
+        self._subsets = tuple(subsets)
+        self.map = {s: i for i, s in enumerate(self._subsets)}
+        self.rev_map = {i: s for s, i in self.map.items()}
+
+    @property
+    def labels(self) -> tuple[tuple[str, ...], ...]:
+        return self._subsets
+
+    @property
+    def base_labels(self) -> tuple[str, ...]:
+        return self._base
+
+    def _canonical(self, labels) -> tuple[str, ...]:
+        if isinstance(labels, str):
+            labels = (labels,)
+        ordered = tuple(label for label in self._base if label in set(labels))
+        extra = set(labels) - set(self._base)
+        if extra:
+            raise KeyError(f"unknown labels: {sorted(extra)}")
+        if len(ordered) > self.max_set_size:
+            # keep the first max_set_size in vocabulary order (rare overlap
+            # beyond the modeled set size)
+            ordered = ordered[: self.max_set_size]
+        return ordered
+
+    def transform(self, label) -> int:
+        return self.map[self._canonical(label if label != () else ())]
+
+    def inv_transform(self, i: int) -> tuple[str, ...]:
+        if not (0 <= i < len(self._subsets)):
+            raise ValueError(
+                f"transformed index '{i}' is not assigned, only "
+                f"{len(self._subsets)} classes are available."
+            )
+        return self.rev_map[i]
+
+    def one_hot(self, labels: Iterable[str] | str) -> np.ndarray:
+        vec = np.zeros(len(self._subsets), dtype=int)
+        vec[self.transform(tuple(labels) if not isinstance(labels, str) else labels)] = 1
+        return vec
+
+    def i_to_one_hot(self, i: int) -> np.ndarray:
+        vec = np.zeros(len(self._subsets), dtype=int)
+        vec[i] = 1
+        return vec
+
+    def to_multilabel(self, class_probs: np.ndarray) -> np.ndarray:
+        """(..., n_classes) powerset probabilities -> (..., n_base) marginal
+        per-label probabilities (sum of subset probs containing the label)."""
+        member = np.zeros((len(self._subsets), len(self._base)), np.float32)
+        for i, subset in enumerate(self._subsets):
+            for label in subset:
+                member[i, self._base.index(label)] = 1.0
+        return class_probs @ member
+
+    def __len__(self) -> int:
+        return len(self._subsets)
+
+    def __contains__(self, label) -> bool:
+        if isinstance(label, list):
+            label = tuple(label)
+        if isinstance(label, tuple):
+            return label in self.map
+        return label in self._base
+
+
 class MultiLabelEncoder(LabelEncoder):
     """Maps each label to an integer index; targets are multi-hot vectors."""
 

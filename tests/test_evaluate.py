@@ -95,3 +95,25 @@ def test_frame_f1(tmp_path):
     # tp=25 frames, fn=25, fp=0 -> F1 = 2*25/(50+25) = 2/3
     assert scores["a"] == pytest.approx(2 / 3)
     assert scores["b"] == pytest.approx(1.0)  # nothing to find, nothing found
+
+
+def test_uem_cropping(tmp_path):
+    """UEM regions restrict scoring: mismatches outside UEM are ignored."""
+    from segma_tpu.evaluate import MacroAverageFMeasure, load_uem_dir
+
+    ref = [AudioAnnotation("u", 0.0, 2.0, "a")]
+    # hyp matches in [0, 2] but hallucinates in [5, 10]
+    hyp = [
+        AudioAnnotation("u", 0.0, 2.0, "a"),
+        AudioAnnotation("u", 5.0, 5.0, "a"),
+    ]
+    # without UEM the false alarm hurts precision
+    m = MacroAverageFMeasure(["a"])
+    m(ref, hyp, uri="u")
+    assert m.class_scores()["a"] < 1.0
+    # with UEM restricted to [0, 2] the score is perfect
+    (tmp_path / "u.uem").write_text("u NA 0.0 2.0\n")
+    uems = load_uem_dir(tmp_path)
+    m2 = MacroAverageFMeasure(["a"])
+    m2(ref, hyp, uri="u", uem=uems["u"])
+    assert m2.class_scores()["a"] == pytest.approx(1.0)

@@ -283,3 +283,23 @@ def test_postprocess_intervals():
     assert (5000, 5100, "a") not in out
     # no-op passthrough
     assert postprocess_intervals(iv) == iv
+
+
+def test_total_frames_property_random_lengths():
+    """total_frames == full-chunk frames + tail frames for random lengths,
+    and every counted frame's receptive field starts within the audio."""
+    ck = Chunkyfier(128, 64_000, FRAME_CS)
+    rng = np.random.default_rng(0)
+    for n in rng.integers(0, 2_000_000, size=200):
+        n = int(n)
+        total = ck.total_frames(n)
+        # enumerate: full chunks then the tail rule
+        n_fit = ck.get_n_fitting_chunks(n)
+        expect = n_fit * ck.n_windows
+        tail = n - ck.chunk_start_i(n_fit)
+        if tail >= 400:
+            expect += ck.cnn_settings.n_windows(tail, strict=False)
+        assert total == expect, n
+        if total > 0:
+            # last counted frame's grid start lies inside the audio
+            assert (total - 1) * 320 < n
