@@ -265,15 +265,24 @@ class InferencePipeline:
         return np.asarray(logits[:total_frames])
 
     # -- thresholding + decode ---------------------------------------------------
+    def _threshold_vector(self, thresholds: dict[str, dict[str, float]]) -> jnp.ndarray:
+        """Per-label lower bounds in LABEL-ENCODER order (robust to the key
+        order of hand-edited YAMLs; the reference trusts insertion order,
+        ``inference.py:229-233``)."""
+        labels = self.model.label_encoder.base_labels
+        if set(thresholds) == set(labels):
+            values = [thresholds[label]["lower_bound"] for label in labels]
+        else:
+            values = [t["lower_bound"] for t in thresholds.values()]
+        return jnp.asarray(values, jnp.float32)
+
     def apply_thresholds(
         self, logits: np.ndarray, thresholds: dict[str, dict[str, float]]
     ) -> np.ndarray:
         """sigmoid(logits) > per-label lower_bound (reference
         ``apply_thresholds``, ``inference.py:214-234``)."""
         assert logits.shape[-1] == len(thresholds)
-        thr = jnp.asarray(
-            [t["lower_bound"] for t in thresholds.values()], jnp.float32
-        )
+        thr = self._threshold_vector(thresholds)
         if logits.shape[0] == 0:
             return np.zeros(logits.shape, bool)
         return np.asarray(self._threshold_jit(jnp.asarray(logits), thr))
@@ -287,9 +296,7 @@ class InferencePipeline:
         frame of each active run — the host only converts the (tiny) masks
         into interval lists.
         """
-        thr = jnp.asarray(
-            [t["lower_bound"] for t in thresholds.values()], jnp.float32
-        )
+        thr = self._threshold_vector(thresholds)
         if logits.shape[0] == 0:
             z = np.zeros(logits.shape, bool)
             return z, z

@@ -303,3 +303,20 @@ def test_total_frames_property_random_lengths():
         if total > 0:
             # last counted frame's grid start lies inside the audio
             assert (total - 1) * 320 < n
+
+
+def test_threshold_dict_key_order_robust(vad_model):
+    """A reordered thresholds YAML must still map bounds to the right labels
+    (dict insertion order != label order)."""
+    pipe = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    logits = np.array([[3.0, 3.0, 3.0, 3.0]], np.float32)  # probs ~0.95
+    # classes order: KCHI, OCH, MAL, FEM; give MAL an impossible bound but
+    # list it FIRST in the dict
+    thr = {
+        "MAL": {"lower_bound": 0.99, "upper_bound": 1.0},
+        "KCHI": {"lower_bound": 0.5, "upper_bound": 1.0},
+        "OCH": {"lower_bound": 0.5, "upper_bound": 1.0},
+        "FEM": {"lower_bound": 0.5, "upper_bound": 1.0},
+    }
+    mask = pipe.apply_thresholds(logits, thr)
+    np.testing.assert_array_equal(mask, [[True, True, False, True]])

@@ -266,3 +266,16 @@ def test_profiler_config_slot(train_cfg, tmp_path):
     trainer = Trainer(model=model, config=cfg, run_dir=tmp_path / "run")
     trainer.fit(dm)
     assert (tmp_path / "run" / "profile").exists()
+
+
+def test_resolve_checkpoint_run_dir(tmp_path):
+    """resolve_checkpoint accepts a run dir (follows checkpoints/best.ckpt)."""
+    from segma_tpu.checkpoint import resolve_checkpoint, save_params
+
+    run = tmp_path / "run"
+    ck = run / "checkpoints" / "epoch=00-val_loss=0.5"
+    save_params(ck, {"a": np.zeros(2, np.float32)})
+    (run / "checkpoints" / "best.ckpt").symlink_to(ck.resolve())
+    assert resolve_checkpoint(run) == ck.resolve()
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint(tmp_path / "nothing")
