@@ -169,6 +169,8 @@ class ConvVADConfig(BaseConfig):
     hidden: int = 256
     depth: int = 4
     dtype: str = "bf16"  # compute dtype: bf16 | f32
+    # powerset_vad only: max simultaneous labels modeled per subset class
+    max_set_size: int = 2
 
 
 @dataclass

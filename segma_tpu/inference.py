@@ -201,6 +201,7 @@ class InferencePipeline:
             ).reshape(n_chunks, stride)[:, :overlap]
             chunks = jnp.concatenate([body, nxt], axis=1)  # (n_chunks, chunk_f)
 
+            transform = self.model.inference_transform
             if mesh is not None:
                 # shard the window axis across chips; XLA splits the whole
                 # forward (and TP-sharded params add head/ffn parallelism)
@@ -209,18 +210,20 @@ class InferencePipeline:
                 chunks = jax.lax.with_sharding_constraint(
                     chunks, NamedSharding(mesh, P("data", None))
                 )
-                logits = apply(params, chunks, train=False)
+                logits = transform(apply(params, chunks, train=False))
                 n_w = logits.shape[1]
                 return logits.reshape(n_chunks * n_w, -1)
 
             bs = min(batch_size, n_chunks)
             n_batches = n_chunks // bs
             batched = chunks[: n_batches * bs].reshape(n_batches, bs, chunk_f)
-            logits = jax.lax.map(lambda c: apply(params, c, train=False), batched)
+            logits = jax.lax.map(
+                lambda c: transform(apply(params, c, train=False)), batched
+            )
             logits = logits.reshape(-1, *logits.shape[2:])
             rem = n_chunks - n_batches * bs
             if rem:
-                last = apply(params, chunks[-rem:], train=False)
+                last = transform(apply(params, chunks[-rem:], train=False))
                 logits = jnp.concatenate([logits, last])
             n_w = logits.shape[1]
             return logits.reshape(n_chunks * n_w, -1)

@@ -12,7 +12,7 @@ from typing import Callable
 
 from segma_tpu.config import Config
 from segma_tpu.models.base import ConvolutionSettings, SegmentationModel
-from segma_tpu.models.vad import build_conv_vad
+from segma_tpu.models.vad import build_conv_vad, build_powerset_vad
 from segma_tpu.utils.encoders import LabelEncoder
 
 ModelBuilder = Callable[[LabelEncoder, Config], SegmentationModel]
@@ -54,6 +54,7 @@ Models: dict[str, ModelBuilder] = {
     "surgical_hubert_hydra": _lazy_hubert("surgical_hubert_hydra"),
     "surgical_wavlm_hydra": _lazy_wavlm("surgical_wavlm_hydra"),
     "conv_vad": build_conv_vad,
+    "powerset_vad": build_powerset_vad,
 }
 
 __all__ = ["ConvolutionSettings", "Models", "SegmentationModel"]

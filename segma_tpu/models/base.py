@@ -114,6 +114,10 @@ class SegmentationModel:
     frozen_prefixes: tuple[str, ...] = ()
     # optional (n_labels,) per-class loss weights
     class_weights: Any = None
+    # powerset models: the PowersetEncoder driving subset<->label mapping;
+    # module outputs subset logits, `inference_transform` marginalizes them
+    # back to per-label logits so the decode pipeline is unchanged
+    powerset: Any = None
     # populated by init_params / load
     params: Any = None
     # optional callable loading pretrained encoder params into a fresh tree
@@ -171,15 +175,41 @@ class SegmentationModel:
         """Forward pass: (B, T) waveforms -> (B, n_windows, n_labels) logits."""
         return self.module.apply({"params": params}, wav, train=train, rngs=rngs)
 
+    def inference_transform(self, logits: jnp.ndarray) -> jnp.ndarray:
+        """Map raw module outputs to per-base-label logits for decode.
+
+        Identity for hydra/multiclass; powerset models marginalize subset
+        probabilities back to per-label probabilities and re-logit them so
+        thresholding/decoding stays identical downstream.
+        """
+        if self.powerset is None:
+            return logits
+        member = jnp.asarray(self.powerset.membership_matrix())
+        probs = jax.nn.softmax(logits, axis=-1)
+        marg = jnp.clip(probs @ member, 1e-7, 1 - 1e-7)
+        return jnp.log(marg) - jnp.log1p(-marg)
+
     def loss(
         self, logits: jnp.ndarray, targets: jnp.ndarray
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """(total, per_label) training loss for this model's objective."""
+        """(total, per_label) training loss for this model's objective.
+
+        ``targets`` are always (B, T, n_base) multi-hot from the data
+        pipeline; powerset models convert them to subset class ids here.
+        """
         weights = (
             jnp.asarray(self.class_weights, jnp.float32)
             if self.class_weights is not None
             else None
         )
+        if self.loss_type == "powerset":
+            lut = jnp.asarray(self.powerset.multihot_lut())
+            bits = 2 ** jnp.arange(targets.shape[-1], dtype=jnp.int32)
+            masks = (targets > 0.5).astype(jnp.int32) @ bits  # (B, T)
+            class_ids = lut[masks]
+            onehot = jax.nn.one_hot(class_ids, logits.shape[-1])
+            total = softmax_ce_loss(logits, onehot)
+            return total, jnp.broadcast_to(total, (self.n_labels,))
         if self.loss_type == "hydra":
             return hydra_loss(logits, targets, class_weights=weights)
         total = softmax_ce_loss(logits, targets, class_weights=weights)

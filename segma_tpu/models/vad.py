@@ -66,6 +66,43 @@ class ConvVADModule(nn.Module):
         return logits[:, : self.n_windows, :].astype(jnp.float32)
 
 
+def build_powerset_vad(
+    label_encoder: LabelEncoder, config: Config
+) -> SegmentationModel:
+    """ConvVAD trunk with a powerset-softmax head (pyannote-3-style):
+    every subset of <= max_set_size simultaneous labels is one class; the
+    training objective is plain softmax CE over subsets; inference
+    marginalizes back to per-label probabilities so the entire decode
+    pipeline is unchanged."""
+    from segma_tpu.utils.encoders import PowersetEncoder
+
+    mc = config.model.config
+    if not isinstance(mc, ConvVADConfig):
+        mc = ConvVADConfig()
+    pset = PowersetEncoder(
+        list(label_encoder.base_labels), max_set_size=mc.max_set_size
+    )
+    n_windows = CONV_SETTINGS.n_windows(
+        config.audio.chunk_duration_f, strict=config.audio.strict_frames
+    )
+    module = ConvVADModule(
+        n_labels=len(pset),  # one output per subset class
+        n_windows=n_windows,
+        hidden=mc.hidden,
+        depth=mc.depth,
+        dtype=jnp.float32 if mc.dtype == "f32" else jnp.bfloat16,
+    )
+    return SegmentationModel(
+        name="powerset_vad",
+        module=module,
+        conv_settings=CONV_SETTINGS,
+        label_encoder=label_encoder,
+        config=config,
+        loss_type="powerset",
+        powerset=pset,
+    )
+
+
 def build_conv_vad(
     label_encoder: LabelEncoder, config: Config
 ) -> SegmentationModel:

@@ -58,9 +58,11 @@ class StreamingSegmenter:
 
         apply = model.apply
 
+        transform = model.inference_transform
+
         @partial(jax.jit, static_argnums=())
         def forward(params, chunk):
-            return apply(params, chunk[None, :], train=False)[0]
+            return transform(apply(params, chunk[None, :], train=False))[0]
 
         self._forward = forward
 

@@ -160,7 +160,9 @@ def make_eval_step(model: SegmentationModel) -> Callable:
     def eval_step(params, batch):
         logits = model.apply(params, batch["x"], train=False)
         total, per_label = model.loss(logits, batch["y"])
-        probs = jax.nn.sigmoid(logits).reshape(-1, logits.shape[-1])
+        # per-base-label probabilities (powerset models marginalize here)
+        frame_logits = model.inference_transform(logits)
+        probs = jax.nn.sigmoid(frame_logits).reshape(-1, frame_logits.shape[-1])
         targets = batch["y"].reshape(-1, batch["y"].shape[-1])
         counts = binary_counts(probs, targets)
         return total, per_label, counts, probs

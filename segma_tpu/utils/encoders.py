@@ -115,14 +115,37 @@ class PowersetEncoder(LabelEncoder):
         vec[i] = 1
         return vec
 
-    def to_multilabel(self, class_probs: np.ndarray) -> np.ndarray:
-        """(..., n_classes) powerset probabilities -> (..., n_base) marginal
-        per-label probabilities (sum of subset probs containing the label)."""
+    def membership_matrix(self) -> np.ndarray:
+        """(n_classes, n_base) 0/1 matrix: subset i contains base label j."""
         member = np.zeros((len(self._subsets), len(self._base)), np.float32)
         for i, subset in enumerate(self._subsets):
             for label in subset:
                 member[i, self._base.index(label)] = 1.0
-        return class_probs @ member
+        return member
+
+    def to_multilabel(self, class_probs: np.ndarray) -> np.ndarray:
+        """(..., n_classes) powerset probabilities -> (..., n_base) marginal
+        per-label probabilities (sum of subset probs containing the label)."""
+        return class_probs @ self.membership_matrix()
+
+    def multihot_lut(self) -> np.ndarray:
+        """(2**n_base,) int32 lookup: multi-hot bitmask -> subset class id.
+
+        Masks with more than ``max_set_size`` active labels truncate to the
+        first ``max_set_size`` in vocabulary order (same rule as
+        ``transform``). Lets training targets convert from the data
+        pipeline's multi-hot vectors with one gather.
+        """
+        n = len(self._base)
+        if n > 16:
+            raise ValueError("multihot LUT limited to 16 base labels")
+        lut = np.zeros(2**n, np.int32)
+        for mask in range(2**n):
+            labels = tuple(
+                self._base[j] for j in range(n) if (mask >> j) & 1
+            )
+            lut[mask] = self.map[self._canonical(labels)]
+        return lut
 
     def __len__(self) -> int:
         return len(self._subsets)

@@ -1,0 +1,96 @@
+"""powerset_vad model: subset-class training, marginalized inference."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segma_tpu.config import load_config
+from segma_tpu.models import Models
+from segma_tpu.utils.encoders import MultiLabelEncoder, PowersetEncoder
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+
+
+@pytest.fixture(scope="module")
+def pmodel():
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            "model.name=powerset_vad",
+            "model.config={hidden: 32, depth: 1, dtype: f32, max_set_size: 2}",
+            "audio.chunk_duration_s=1.0",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["powerset_vad"](enc, cfg)
+    model.init_params(jax.random.key(0))
+    return model
+
+
+def test_module_outputs_subset_classes(pmodel):
+    # 4 base labels, max_set_size 2 -> 1 + 4 + 6 = 11 classes
+    assert len(pmodel.powerset) == 11
+    wav = np.zeros((2, 16_000), np.float32)
+    raw = pmodel.module.apply({"params": pmodel.params}, wav)
+    assert raw.shape == (2, 49, 11)
+
+
+def test_inference_transform_marginalizes(pmodel):
+    logits = jnp.zeros((1, 3, 11))  # uniform subsets
+    out = np.asarray(pmodel.inference_transform(logits))
+    assert out.shape == (1, 3, 4)
+    # uniform over 11 subsets: each label appears in 1 single + 3 pairs = 4
+    p = 4 / 11
+    np.testing.assert_allclose(
+        1 / (1 + np.exp(-out)), np.full((1, 3, 4), p), atol=1e-5
+    )
+
+
+def test_powerset_loss_from_multihot_targets(pmodel):
+    wav = np.random.default_rng(0).standard_normal((2, 16_000)).astype(np.float32)
+    y = np.zeros((2, 49, 4), np.float32)
+    y[0, :, 0] = 1.0  # KCHI active
+    y[1, :, 1] = 1.0
+    y[1, :, 2] = 1.0  # OCH + MAL pair
+    logits = pmodel.module.apply({"params": pmodel.params}, wav)
+    total, _ = pmodel.loss(logits, y)
+    assert np.isfinite(float(total))
+    # perfect subset logits give ~zero loss
+    pset: PowersetEncoder = pmodel.powerset
+    perfect = np.full((2, 49, 11), -30.0, np.float32)
+    perfect[0, :, pset.transform(("KCHI",))] = 30.0
+    perfect[1, :, pset.transform(("OCH", "MAL"))] = 30.0
+    total_p, _ = pmodel.loss(jnp.asarray(perfect), y)
+    assert float(total_p) < 1e-4
+
+
+def test_powerset_training_and_decode(pmodel, synthetic_dataset, tmp_path):
+    """Train a few steps; the full pipeline produces per-label intervals."""
+    from segma_tpu.inference import InferencePipeline, infer_file
+    from segma_tpu.train import make_optimizer, make_train_step
+
+    opt = make_optimizer(pmodel, 3e-3)
+    opt_state = opt.init(pmodel.params)
+    step = make_train_step(pmodel, opt)
+    rng = np.random.default_rng(0)
+    params = pmodel.params
+    losses = []
+    for i in range(8):
+        y = (rng.random((4, 49, 4)) > 0.8).astype(np.float32)
+        x = rng.standard_normal((4, 16_000)).astype(np.float32) * 0.1
+        params, opt_state, loss, _ = step(
+            params, opt_state, {"x": x, "y": y}, jax.random.key(i)
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+    pipe = InferencePipeline(pmodel, params, batch_size=8)
+    wav = next((synthetic_dataset / "wav").glob("*.wav"))
+    intervals = infer_file(wav, pipe, tmp_path)
+    rttm = tmp_path / "raw_rttm" / f"{wav.stem}.rttm"
+    assert rttm.exists()
+    for _, _, label in intervals:
+        assert label in pmodel.label_encoder.base_labels

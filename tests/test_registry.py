@@ -6,6 +6,7 @@ import pytest
 from segma_tpu.models import Models
 
 EXPECTED = {
+    "powerset_vad",
     "whisperidou",
     "whisperimax",
     "surgical_whisper",
