@@ -99,6 +99,21 @@ class CheckpointManager:
         self.kept: list[tuple[float, Path]] = []
         self.best_path: Path | None = None
         self.best_score: float | None = None
+        self._rediscover()
+
+    def _rediscover(self) -> None:
+        """Adopt checkpoints already present in the directory (resuming into
+        an existing run dir keeps its top-k bookkeeping consistent)."""
+        for p in sorted(self.dirpath.glob("epoch=*")):
+            meta = load_meta(p)
+            if "score" not in meta:
+                continue
+            score = float(meta["score"])
+            self.kept.append((score, p))
+            if self.best_score is None or self._is_better(score, self.best_score):
+                self.best_score = score
+                self.best_path = p
+        self.kept.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
 
     def _is_better(self, a: float, b: float) -> bool:
         return a < b if self.mode == "min" else a > b

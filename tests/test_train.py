@@ -279,3 +279,22 @@ def test_resolve_checkpoint_run_dir(tmp_path):
     assert resolve_checkpoint(run) == ck.resolve()
     with pytest.raises(FileNotFoundError):
         resolve_checkpoint(tmp_path / "nothing")
+
+
+def test_checkpoint_manager_rediscovers_existing(tmp_path):
+    """Reusing a run dir adopts prior checkpoints into top-k/best state."""
+    params = {"w": np.zeros(2, np.float32)}
+    m1 = CheckpointManager(tmp_path, monitor="val/loss", mode="min", save_top_k=3)
+    for epoch, score in enumerate([0.5, 0.3]):
+        m1.step(epoch, score, params, meta={})
+
+    m2 = CheckpointManager(tmp_path, monitor="val/loss", mode="min", save_top_k=3)
+    assert m2.best_score == 0.3
+    assert len(m2.kept) == 2
+    # a worse epoch doesn't displace the adopted best
+    m2.step(2, 0.4, params, meta={})
+    assert m2.best_score == 0.3
+    # top-k eviction counts the adopted entries
+    m2.step(3, 0.6, params, meta={})
+    assert len(m2.kept) == 3
+    assert not any(s == 0.6 for s, _ in m2.kept)
