@@ -206,7 +206,22 @@ class SegmaFileDataset:
     # -- cache ------------------------------------------------------------------
     @property
     def _cache_path(self) -> Path:
-        return self.CACHE_ROOT / self.base_p.stem
+        """Cache key: dataset stem + hash of (resolved path, classes, chunk,
+        sample rate).
+
+        The reference keys only on the stem (``file_dataset.py:266``), so two
+        datasets that happen to share a directory name silently reuse each
+        other's cached annotations — a footgun that cost a debugging session
+        here (a `debug_3` fixture trained against another `debug_3`'s
+        labels). The hash makes the cache path-and-config specific.
+        """
+        import hashlib
+
+        key = hashlib.sha1(
+            f"{self.base_p.resolve()}|{sorted(self.classes)}|"
+            f"{self.chunk_duration_s}|{self.sample_rate}".encode()
+        ).hexdigest()[:10]
+        return self.CACHE_ROOT / f"{self.base_p.stem}-{key}"
 
     def load_cache(self, max_days: float = 2.0) -> None:
         cache_path = self._cache_path

@@ -117,3 +117,28 @@ def test_cache_ttl(ds_root, tmp_path, monkeypatch):
     ds2 = _mk(ds_root)
     ds2.load(use_cache=True)
     assert ds2.is_loaded()
+
+
+def test_cache_distinguishes_same_stem_datasets(synthetic_dataset, tmp_path, monkeypatch):
+    """Two datasets with the same directory name must not share caches
+    (regression: a stale cache from another `debug_3` poisoned training)."""
+    import shutil
+
+    from scripts.generate_data import gen_classification
+
+    monkeypatch.setattr(SegmaFileDataset, "CACHE_ROOT", tmp_path / "cache")
+    ds_a_root = tmp_path / "a" / "debug_5"
+    shutil.copytree(synthetic_dataset, ds_a_root)
+    ds_b_root = tmp_path / "b" / "debug_5"
+    gen_classification(output=ds_b_root, per_split=5, seed=999, audio_duration_s=20.0)
+
+    a = _mk(ds_a_root)
+    a.load(use_cache=True)
+    b = _mk(ds_b_root)
+    b.load(use_cache=True)
+    # annotations differ between the datasets -> the cached indexes must too
+    assert a._cache_path != b._cache_path
+    assert not np.array_equal(
+        a.subds_to_durations["train"]["annotated_duration_f"],
+        b.subds_to_durations["train"]["annotated_duration_f"],
+    )
