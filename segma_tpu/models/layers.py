@@ -69,6 +69,10 @@ class BiLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # Cells are constructed in this scope, so their parameters bind as
+        # OptimizedLSTMCell_{k} with k following construction order:
+        # layer0-fwd, layer0-bwd, layer1-fwd, ... The reference-checkpoint
+        # importer (convert_reference._convert_lstm) relies on this order.
         for layer in range(self.cfg.num_layers):
             fwd = nn.RNN(
                 nn.OptimizedLSTMCell(self.cfg.hidden_size, dtype=self.dtype),
