@@ -461,16 +461,26 @@ def save_logits(
     return out
 
 
-def _load_mono(audio_path: Path) -> np.ndarray:
-    """Decode one file: int16 fast path for mono PCM16 (half the
-    host->device bytes), float32 mono downmix otherwise."""
+def _load_mono(audio_path: Path, transport: str = "int16") -> np.ndarray:
+    """Decode one file for the device hop.
+
+    transport: 'int16' (default; half the bytes of f32, exact),
+    'mulaw' (quarter the bytes; ~38 dB SNR companding noise — throughput
+    mode: borderline/single-frame detections can flip, so keep int16 for
+    parity-critical runs), 'f32' (full precision).
+    """
     raw = read_pcm16_mono(audio_path)
     if raw is not None:
+        if transport == "mulaw":
+            return mulaw_compress(raw)
+        if transport == "f32":
+            return raw.astype(np.float32) / 32768.0
         return raw
     audio = get_all_samples(audio_path)
     if audio.shape[0] > 1:
         audio = audio.mean(axis=0, keepdims=True)
-    return audio[0]
+    mono = audio[0]
+    return mulaw_compress(mono) if transport == "mulaw" else mono
 
 
 def infer_file(
@@ -546,6 +556,7 @@ def run_inference_on_audios(
     model: SegmentationModel | None = None,
     min_duration_s: float = 0.0,
     merge_gap_s: float = 0.0,
+    transport: str = "int16",
 ) -> list[Path]:
     """Batch entry point: load config + checkpoint, then per-file inference
     (reference ``run_inference_on_audios``, ``inference.py:398-459``)."""
@@ -583,7 +594,7 @@ def run_inference_on_audios(
     def producer():
         try:
             for audio_path in files_to_infer_on:
-                q.put((audio_path, _load_mono(audio_path)))
+                q.put((audio_path, _load_mono(audio_path, transport)))
         finally:
             q.put(stop)
 
@@ -664,6 +675,10 @@ def main(argv: list[str] | None = None) -> None:
         "--merge-gap", type=float, default=0.0,
         help="merge same-label intervals separated by less than this many seconds",
     )
+    parser.add_argument(
+        "--transport", default="int16", choices=["int16", "mulaw", "f32"],
+        help="host->device sample encoding (mulaw: 4x fewer bytes, lossy)",
+    )
     # unknown args flow to the config loader as key.path=value overrides
     # (same convention as the training CLIs)
     args, extra_args = parser.parse_known_args(argv)
@@ -681,6 +696,7 @@ def main(argv: list[str] | None = None) -> None:
         rttm_dirname=args.rttm_dirname,
         min_duration_s=args.min_duration,
         merge_gap_s=args.merge_gap,
+        transport=args.transport,
     )
 
 
