@@ -100,8 +100,11 @@ class StreamingSegmenter:
 
     # -- public API ---------------------------------------------------------------
     def push(self, samples: np.ndarray) -> list[tuple[int, int, str]]:
-        """Feed more mono float32 samples; returns newly finalized intervals."""
+        """Feed more mono samples (float32 in [-1, 1] or int16 PCM);
+        returns newly finalized intervals."""
         assert not self._done, "flush() already called"
+        if samples.dtype == np.int16:
+            samples = samples.astype(np.float32) / 32768.0
         self._buffer = np.concatenate([self._buffer, samples.astype(np.float32)])
         out: list[tuple[int, int, str]] = []
         ck = self.ck

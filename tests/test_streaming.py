@@ -85,3 +85,14 @@ def test_flush_twice_raises(vad_model):
     seg.flush()
     with pytest.raises(AssertionError):
         seg.flush()
+
+
+def test_streaming_accepts_int16(vad_model, audio):
+    pcm = (audio * 32768.0).clip(-32768, 32767).astype(np.int16)
+    a = StreamingSegmenter(vad_model, vad_model.params)
+    a.push(pcm)
+    got = sorted(a.flush() + a.intervals)
+    b = StreamingSegmenter(vad_model, vad_model.params)
+    b.push(pcm.astype(np.float32) / 32768.0)
+    b.flush()
+    assert a.intervals == b.intervals
