@@ -109,7 +109,7 @@ fi
 touch "$RUN_DIR/finished"
 """
 
-    def xpk_script(self, dataset: str = "data/baby_train") -> str:
+    def xpk_script(self) -> str:
         """XPK-style TPU workload launcher."""
         return f"""#!/bin/bash
 # TPU workload via xpk (GKE). Requires a provisioned cluster.
