@@ -140,3 +140,40 @@ def test_import_rejects_unsupported_models():
     model = Models["conv_vad"](enc, cfg)
     with pytest.raises(ValueError, match="surgical_hydra"):
         import_reference_checkpoint("whatever.ckpt", model)
+
+
+def test_import_hydra_whisper_variant(torch_reference, tmp_path):
+    """hydra_whisper (last-layer tap, truncate-before-LSTM) imports too."""
+    import torch
+
+    from segma_tpu.convert_reference import import_reference_checkpoint
+    from segma_tpu.models.whisper.encoder import WhisperEncoderConfig
+
+    sd = _reference_state_dict(torch_reference)
+    del sd["layer_weights"]  # hydra_whisper has no surgical weights
+    ckpt = tmp_path / "hydra.ckpt"
+    torch.save({"state_dict": sd}, ckpt)
+
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            "model.name=hydra_whisper",
+            "model.config.encoder=reference_import_random",
+            f"model.config.lstm={{hidden_size: {LSTM_H}, num_layers: 2, "
+            "bidirectional: true, dropout: 0.0}",
+            "audio.chunk_duration_s=1.0",
+            "train.precision=f32",
+            "data.classes=[KCHI,OCH,MAL,FEM]",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    with pytest.warns(UserWarning):
+        model = Models["hydra_whisper"](enc, cfg)
+    model.module = model.module.clone(enc_cfg=WhisperEncoderConfig(**TINY))
+    model.init_params(jax.random.key(0))
+    params = import_reference_checkpoint(ckpt, model)
+    assert "layer_mix" not in params
+    wav = np.zeros((1, 16_000), np.float32)
+    logits = model.apply(params, wav)
+    assert logits.shape == (1, 49, 4)
+    assert np.isfinite(np.asarray(logits)).all()
