@@ -166,7 +166,15 @@ class AudioSegmentationSampler:
 
 
 class PrefetchingLoader:
-    """Background-thread batch producer (double-buffered host->device feed)."""
+    """Background-thread batch producer (double-buffered host->device feed).
+
+    ``num_workers`` > 1 runs several sampler threads (role of the
+    reference's DataLoader worker processes, ``loaders.py:66``), each with
+    its own derived seed — numpy's decode/label kernels release the GIL, so
+    threads scale on multi-core hosts. Like torch multi-worker loading,
+    batch ORDER is then nondeterministic; use 1 worker for bit-reproducible
+    runs.
+    """
 
     def __init__(
         self,
@@ -174,32 +182,41 @@ class PrefetchingLoader:
         batch_size: int,
         n_batches: int,
         prefetch: int = 2,
+        extra_samplers: list[AudioSegmentationSampler] | None = None,
     ) -> None:
         self.sampler = sampler
         self.batch_size = batch_size
         self.n_batches = n_batches
         self.prefetch = prefetch
+        self.extra_samplers = extra_samplers or []
 
     def __len__(self) -> int:
         return self.n_batches
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        samplers = [self.sampler] + self.extra_samplers
+        q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, len(samplers)))
         stop = object()
+        # split the batch budget across workers
+        shares = [self.n_batches // len(samplers)] * len(samplers)
+        shares[0] += self.n_batches - sum(shares)
 
-        def producer():
+        def producer(sampler, n):
             try:
-                for _ in range(self.n_batches):
-                    q.put(self.sampler.sample_batch(self.batch_size))
+                for _ in range(n):
+                    q.put(sampler.sample_batch(self.batch_size))
             finally:
                 q.put(stop)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
+        for sampler, n in zip(samplers, shares):
+            threading.Thread(target=producer, args=(sampler, n), daemon=True).start()
+
+        finished = 0
+        while finished < len(samplers):
             item = q.get()
             if item is stop:
-                break
+                finished += 1
+                continue
             yield item
 
 
@@ -227,17 +244,26 @@ class SegmentationDataLoader:
             dataset.load()
 
     def _loader(self, subset: DatasetSubset, seed_offset: int) -> PrefetchingLoader:
-        sampler = AudioSegmentationSampler(
-            subset=subset,
-            config=self.config,
-            conv_settings=self.conv_settings,
-            label_encoder=self.label_encoder,
-            seed=None if self.seed is None else self.seed + seed_offset,
-            host_hook=self.host_hook,
-        )
+        def make_sampler(worker: int) -> AudioSegmentationSampler:
+            return AudioSegmentationSampler(
+                subset=subset,
+                config=self.config,
+                conv_settings=self.conv_settings,
+                label_encoder=self.label_encoder,
+                seed=None
+                if self.seed is None
+                else self.seed + seed_offset + 1000 * worker,
+                host_hook=self.host_hook,
+            )
+
+        n_workers = max(1, self.config.train.dataloader.num_workers)
+        sampler = make_sampler(0)
         batch_size = self.config.train.batch_size
         n_batches = max(1, sampler.samples_per_epoch() // batch_size)  # drop_last
-        return PrefetchingLoader(sampler, batch_size, n_batches)
+        extras = [make_sampler(w) for w in range(1, min(n_workers, n_batches))]
+        return PrefetchingLoader(
+            sampler, batch_size, n_batches, extra_samplers=extras
+        )
 
     def train_dataloader(self) -> PrefetchingLoader:
         return self._loader(self.dataset.train, seed_offset=0)

@@ -116,3 +116,17 @@ def test_audio_cache_matches_uncached(cfg, loaded_ds):
         xu, yu = uncached.sample()
         np.testing.assert_allclose(xc, xu, atol=1e-7)
         np.testing.assert_array_equal(yc, yu)
+
+
+def test_multi_worker_loader(cfg, loaded_ds):
+    """num_workers > 1 still yields exactly n_batches well-formed batches."""
+    enc = MultiLabelEncoder(CLASSES)
+    cfg.train.dataloader.num_workers = 3
+    dm = SegmentationDataLoader(loaded_ds, enc, cfg, CS)
+    loader = dm.train_dataloader()
+    assert len(loader.extra_samplers) == 2
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    for b in batches:
+        assert b["x"].shape == (4, 64_000)
+        assert b["y"].shape == (4, 199, 4)
