@@ -131,6 +131,16 @@ class MacroAverageFMeasure:
             c: _f(rel, ret, rr) for c, (rel, ret, rr) in self._acc.items()
         }
 
+    def detection_rates(self) -> dict[str, dict[str, float]]:
+        """Per-class miss rate and false-alarm rate (relative to reference
+        duration, DER-style components)."""
+        out = {}
+        for c, (rel, ret, rr) in self._acc.items():
+            miss = (rel - rr) / rel if rel > 0 else 0.0
+            fa = (ret - rr) / rel if rel > 0 else (1.0 if ret > 0 else 0.0)
+            out[c] = {"miss": miss, "false_alarm": fa}
+        return out
+
     def __abs__(self) -> float:
         scores = self.class_scores()
         return sum(scores.values()) / len(scores) if scores else 0.0
@@ -187,11 +197,18 @@ def eval_model_output(
     metric.report_csv(scores_output)
 
     final = {"Total": abs(metric), **metric.class_scores()}
+    rates = metric.detection_rates()
     width = max(len(k) for k in final) + 1
     print("=====================")
     print("[log] - Results\n")
     for k, fscore in final.items():
-        print(f"{k:<{width}}: {round(fscore, 5)}")
+        extra = ""
+        if k in rates:
+            extra = (
+                f"  (miss {rates[k]['miss']:.3f}, "
+                f"fa {rates[k]['false_alarm']:.3f})"
+            )
+        print(f"{k:<{width}}: {round(fscore, 5)}{extra}")
     print("=====================", flush=True)
     return final
 

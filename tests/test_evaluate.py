@@ -117,3 +117,16 @@ def test_uem_cropping(tmp_path):
     m2 = MacroAverageFMeasure(["a"])
     m2(ref, hyp, uri="u", uem=uems["u"])
     assert m2.class_scores()["a"] == pytest.approx(1.0)
+
+
+def test_detection_rates():
+    from segma_tpu.evaluate import MacroAverageFMeasure
+
+    ref = [AudioAnnotation("u", 0.0, 2.0, "a")]
+    hyp = [AudioAnnotation("u", 1.0, 2.0, "a")]  # 1s hit, 1s miss, 1s fa
+    m = MacroAverageFMeasure(["a", "b"])
+    m(ref, hyp, uri="u")
+    rates = m.detection_rates()
+    assert rates["a"]["miss"] == pytest.approx(0.5)
+    assert rates["a"]["false_alarm"] == pytest.approx(0.5)
+    assert rates["b"]["miss"] == 0.0 and rates["b"]["false_alarm"] == 0.0
