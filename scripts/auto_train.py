@@ -17,12 +17,6 @@ from scripts.train import build_argparser, run_training
 from segma_tpu.utils.logging import log
 
 
-def count_parameters(params) -> int:
-    import jax
-
-    return sum(x.size for x in jax.tree.leaves(params))
-
-
 if __name__ == "__main__":
     parser = build_argparser()
     parser.add_argument(

@@ -350,6 +350,20 @@ class Trainer:
                     for attr, val in (ts.get(section) or {}).items():
                         setattr(obj, attr, val)
 
+        # parameter accounting (role of the reference's parameter-table
+        # printer, auto_train.py:35-52)
+        trainable0, frozen0 = self.model.split_params(params)
+        self.logger.log(
+            {
+                "n_params_trainable": sum(
+                    int(x.size) for x in jax.tree.leaves(trainable0)
+                ),
+                "n_params_frozen": sum(
+                    int(x.size) for x in jax.tree.leaves(frozen0)
+                ),
+            }
+        )
+
         base_lr = tc.lr
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
