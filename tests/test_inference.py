@@ -320,3 +320,32 @@ def test_threshold_dict_key_order_robust(vad_model):
     }
     mask = pipe.apply_thresholds(logits, thr)
     np.testing.assert_array_equal(mask, [[True, True, False, True]])
+
+
+def test_decode_parity_vs_masked_array_semantics():
+    """Bit-parity of interval decode against the reference's
+    np.ma.notmasked_contiguous formulation (reference inference.py:237-263),
+    re-expressed here with numpy masked arrays on random masks."""
+    enc = MultiLabelEncoder(["w", "x", "y", "z"])
+    rng = np.random.default_rng(123)
+    for cs in (FRAME_CS, ConvolutionSettings((400, 3, 3), (160, 1, 2), (200, 1, 1))):
+        for _ in range(20):
+            mask = rng.random((rng.integers(1, 400), 4)) > 0.7
+
+            # reference-style decode: masked-value runs per label column
+            slices = np.ma.notmasked_contiguous(
+                np.ma.masked_values(mask.astype(int), value=0), axis=0
+            )
+            expected = []
+            for label_i, label in enumerate(enc.base_labels):
+                for sl in slices[label_i]:
+                    expected.append(
+                        (
+                            max(0, cs.rf_start_i(sl.start)),
+                            cs.rf_end_i(sl.stop - 1) + 1,
+                            label,
+                        )
+                    )
+
+            got = create_intervals(mask, cs, enc)
+            assert sorted(got) == sorted(expected)
