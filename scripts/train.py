@@ -58,7 +58,7 @@ def run_training(
     if cfg.train.seed:
         set_seed(cfg.train.seed)
 
-    if "hydra" not in cfg.model.name and cfg.model.name != "conv_vad":
+    if "hydra" not in cfg.model.name and "vad" not in cfg.model.name:
         raise ValueError("Only `MultiLabelEncoder` is supported")
     l_encoder = MultiLabelEncoder(labels=cfg.data.classes)
 

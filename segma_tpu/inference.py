@@ -575,7 +575,7 @@ def run_inference_on_audios(
     )
     if model is None:
         cfg = config if isinstance(config, Config) else load_config(config)
-        if "hydra" not in cfg.model.name and cfg.model.name != "conv_vad":
+        if "hydra" not in cfg.model.name and "vad" not in cfg.model.name:
             raise ValueError("only MultiLabelEncoder is supported")
         model = load_model_for_inference(cfg, checkpoint)
 

@@ -73,3 +73,35 @@ def test_multi_label_sorted_output():
 def test_float_intervals():
     iv = Intervals([(0.0, 1.5, "x"), (1.5, 2.5, "x")])
     assert iv.intervals == [(0.0, 2.5, "x")]
+
+
+def test_merge_property_vs_bruteforce():
+    """Random intervals: merged result must equal a brute-force coverage
+    union per label (exhaustive-style check, reference test_interval.py)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for _ in range(50):
+        n = int(rng.integers(1, 25))
+        raw = [
+            (int(s), int(s) + int(d) + 1, ["p", "q"][int(l)])
+            for s, d, l in zip(
+                rng.integers(0, 200, n),
+                rng.integers(0, 30, n),
+                rng.integers(0, 2, n),
+            )
+        ]
+        iv = Intervals(list(raw))
+        for label in ("p", "q"):
+            covered = np.zeros(300, bool)
+            for s, e, lab in raw:
+                if lab == label:
+                    covered[s:e] = True
+            merged = [(s, e) for s, e, lab in iv if lab == label]
+            # merged runs are disjoint, non-adjacent, sorted
+            for (s1, e1), (s2, e2) in zip(merged, merged[1:]):
+                assert e1 < s2
+            got = np.zeros(300, bool)
+            for s, e in merged:
+                got[s:e] = True
+            np.testing.assert_array_equal(got, covered)
