@@ -37,7 +37,22 @@ SR = 16_000
 TARGET_XRT = 500.0  # driver north star: >500x real-time per chip
 
 
+def probe_device() -> str:
+    """Fail fast (with a readable error) if the TPU runtime is unusable.
+
+    Round 1's multichip dryrun died on a libtpu client/terminal version
+    mismatch; this surfaces that class of drift as a tiny eager op BEFORE
+    the expensive pipeline build, so the except-branch in __main__ can
+    report it in the JSON instead of a silent non-zero exit.
+    """
+    dev = jax.devices()[0]
+    # end-to-end runtime check: transfer + compile + execute + fetch
+    np.asarray(jax.jit(lambda x: x + 1)(np.ones((8,), np.float32)))
+    return str(dev)
+
+
 def main() -> None:
+    probe_device()
     cfg = load_config(CONFIG_DIR / "default.yml", ["model.name=conv_vad"])
     enc = MultiLabelEncoder(cfg.data.classes)
     model = Models["conv_vad"](enc, cfg)
@@ -98,4 +113,24 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — always emit the JSON line
+        if isinstance(e, KeyboardInterrupt):
+            raise
+        msg = f"{type(e).__name__}: {e}"
+        if "libtpu version mismatch" in msg:
+            msg = "libtpu client/terminal version mismatch (runtime drift): " + msg
+        print(
+            json.dumps(
+                {
+                    "metric": "conv-frontend VAD sliding-window inference "
+                    "(audio-sec/sec/chip)",
+                    "value": 0.0,
+                    "unit": "x_realtime",
+                    "vs_baseline": 0.0,
+                    "error": msg[:2000],
+                }
+            )
+        )
+        sys.exit(0)

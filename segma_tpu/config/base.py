@@ -63,6 +63,12 @@ class AudioConfig(BaseConfig):
     chunk_duration_s: float
     sample_rate: int
     strict_frames: bool
+    # Bit-faithful tail compat: emit a FULL chunk of frames for the
+    # >=400-sample end-of-file tail, computed from zero-padding, exactly as
+    # the reference's Whisper tail pass does (reference inference.py:191-207
+    # forwards the padded tail and the model truncates to a full chunk's
+    # n_windows). Default False: only frames backed by real audio.
+    reference_tail: bool = False
 
     @property
     def chunk_duration_f(self) -> int:

@@ -96,17 +96,34 @@ class Chunkyfier:
             return 0
         return floor((n_frames - self.chunk_duration_f) / self.chunk_stride) + 1
 
-    def total_frames(self, n_frames: int, strict_tail: bool = False) -> int:
+    def total_frames(
+        self,
+        n_frames: int,
+        strict_tail: bool = False,
+        reference_tail: bool = False,
+    ) -> int:
         """Total output frames for a file: full chunks plus the >=400-sample
-        tail (reference ``apply_model_on_audio`` frame accounting)."""
+        tail (reference ``apply_model_on_audio`` frame accounting).
+
+        ``reference_tail=True`` reproduces the reference's Whisper tail pass
+        bit-for-bit: the padded tail emits a FULL chunk's worth of frames
+        (the reference forwards the remaining audio, the feature extractor
+        zero-pads, and the model truncates to the chunk's ``n_windows`` —
+        reference ``inference.py:191-207`` + ``surgical_hydra.py:103-106``),
+        so end-of-file frames are computed from padding. Default: only
+        frames whose receptive field is backed by real audio.
+        """
         n_fit = self.get_n_fitting_chunks(n_frames)
         tail_start = self.chunk_start_i(n_fit)
         tail_len = n_frames - tail_start
         tail_frames = 0
         if tail_len >= TAIL_MIN_SAMPLES:
-            tail_frames = max(
-                0, self.cnn_settings.n_windows(tail_len, strict=strict_tail)
-            )
+            if reference_tail:
+                tail_frames = self.n_windows
+            else:
+                tail_frames = max(
+                    0, self.cnn_settings.n_windows(tail_len, strict=strict_tail)
+                )
         return n_fit * self.n_windows + tail_frames
 
 
@@ -243,8 +260,12 @@ class InferencePipeline:
         """
         ck = self.chunkyfier
         n = int(audio.shape[0])
-        strict_tail = self.model.config.audio.strict_frames
-        total_frames = ck.total_frames(n, strict_tail=strict_tail)
+        audio_cfg = self.model.config.audio
+        total_frames = ck.total_frames(
+            n,
+            strict_tail=audio_cfg.strict_frames,
+            reference_tail=audio_cfg.reference_tail,
+        )
         if total_frames == 0:
             return None, 0
         # chunks needed so the padded grid covers every counted frame
@@ -269,15 +290,10 @@ class InferencePipeline:
 
     # -- thresholding + decode ---------------------------------------------------
     def _threshold_vector(self, thresholds: dict[str, dict[str, float]]) -> jnp.ndarray:
-        """Per-label lower bounds in LABEL-ENCODER order (robust to the key
-        order of hand-edited YAMLs; the reference trusts insertion order,
-        ``inference.py:229-233``)."""
-        labels = self.model.label_encoder.base_labels
-        if set(thresholds) == set(labels):
-            values = [thresholds[label]["lower_bound"] for label in labels]
-        else:
-            values = [t["lower_bound"] for t in thresholds.values()]
-        return jnp.asarray(values, jnp.float32)
+        return jnp.asarray(
+            threshold_vector(self.model.label_encoder.base_labels, thresholds),
+            jnp.float32,
+        )
 
     def apply_thresholds(
         self, logits: np.ndarray, thresholds: dict[str, dict[str, float]]
@@ -309,6 +325,24 @@ class InferencePipeline:
 
 def default_thresholds(labels: tuple[str, ...]) -> dict[str, dict[str, float]]:
     return {label: {"lower_bound": 0.5, "upper_bound": 1.0} for label in labels}
+
+
+def threshold_vector(
+    labels: tuple[str, ...] | list[str], thresholds: dict[str, dict[str, float]]
+) -> np.ndarray:
+    """Per-label lower bounds in LABEL-ENCODER order.
+
+    Resolves by label NAME whenever the keys match the encoder's label set, so
+    a hand-edited YAML with reordered keys cannot silently swap per-label
+    thresholds (the reference trusts insertion order, ``inference.py:229-233``
+    — a footgun we fix). Falls back to insertion order only for legacy files
+    whose keys do not match the label set.
+    """
+    if set(thresholds) == set(labels):
+        values = [thresholds[label]["lower_bound"] for label in labels]
+    else:
+        values = [t["lower_bound"] for t in thresholds.values()]
+    return np.asarray(values, np.float32)
 
 
 def mulaw_compress(audio: np.ndarray) -> np.ndarray:
@@ -557,9 +591,17 @@ def run_inference_on_audios(
     min_duration_s: float = 0.0,
     merge_gap_s: float = 0.0,
     transport: str = "int16",
+    mesh: Any = "auto",
 ) -> list[Path]:
     """Batch entry point: load config + checkpoint, then per-file inference
-    (reference ``run_inference_on_audios``, ``inference.py:398-459``)."""
+    (reference ``run_inference_on_audios``, ``inference.py:398-459``).
+
+    ``mesh``: "auto" (default) builds the (data, model) device mesh whenever
+    more than one device is visible — the window axis of every file shards
+    over ``data`` and TP rules apply to the params (SURVEY.md §7 step 8:
+    sharded batch inference). Pass None/"off" to force single-device, or an
+    existing ``jax.sharding.Mesh``.
+    """
     from segma_tpu.checkpoint import load_model_for_inference
 
     output = Path(output)
@@ -579,7 +621,17 @@ def run_inference_on_audios(
             raise ValueError("only MultiLabelEncoder is supported")
         model = load_model_for_inference(cfg, checkpoint)
 
-    pipeline = InferencePipeline(model, model.params, batch_size=batch_size)
+    if mesh == "auto":
+        from segma_tpu.parallel.mesh import make_mesh
+
+        cfg = model.config
+        mesh = make_mesh(cfg) if len(jax.devices()) > 1 else None
+    elif mesh == "off":
+        mesh = None
+
+    pipeline = InferencePipeline(
+        model, model.params, batch_size=batch_size, mesh=mesh
+    )
 
     # two-level pipelining: a thread reads file i+2 from disk while file
     # i+1's host->device transfer and forward are in flight and file i's
@@ -679,6 +731,11 @@ def main(argv: list[str] | None = None) -> None:
         "--transport", default="int16", choices=["int16", "mulaw", "f32"],
         help="host->device sample encoding (mulaw: 4x fewer bytes, lossy)",
     )
+    parser.add_argument(
+        "--mesh", default="auto", choices=["auto", "off"],
+        help="auto: shard the window axis over all visible devices "
+        "(mesh layout from config `mesh.data`/`mesh.model`); off: one device",
+    )
     # unknown args flow to the config loader as key.path=value overrides
     # (same convention as the training CLIs)
     args, extra_args = parser.parse_known_args(argv)
@@ -697,6 +754,7 @@ def main(argv: list[str] | None = None) -> None:
         min_duration_s=args.min_duration,
         merge_gap_s=args.merge_gap,
         transport=args.transport,
+        mesh=args.mesh,
     )
 
 

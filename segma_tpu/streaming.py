@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from segma_tpu.inference import TAIL_MIN_SAMPLES, Chunkyfier, default_thresholds
+from segma_tpu.inference import (
+    TAIL_MIN_SAMPLES,
+    Chunkyfier,
+    default_thresholds,
+    threshold_vector,
+)
 from segma_tpu.models.base import ConvolutionSettings, SegmentationModel
 
 
@@ -42,9 +47,9 @@ class StreamingSegmenter:
         self.strict_tail = cfg.audio.strict_frames
         enc = model.label_encoder
         thresholds = thresholds or default_thresholds(enc.base_labels)
-        self.thr = np.asarray(
-            [t["lower_bound"] for t in thresholds.values()], np.float32
-        )
+        # resolve by label name (same helper as InferencePipeline) so YAML key
+        # order can never swap per-label thresholds in streaming mode
+        self.thr = threshold_vector(enc.base_labels, thresholds)
         self.labels = enc.base_labels
 
         self._buffer = np.zeros(0, np.float32)
@@ -135,9 +140,14 @@ class StreamingSegmenter:
         tail_start = ck.chunk_start_i(self._n_chunks)
         tail_len = self._consumed + self._buffer.shape[0] - tail_start
         if tail_len >= TAIL_MIN_SAMPLES:
-            tail_frames = self.frame_settings.n_windows(
-                int(tail_len), strict=self.strict_tail
-            )
+            if self.model.config.audio.reference_tail:
+                # bit-faithful reference tail: a full chunk of frames
+                # computed from zero padding (see Chunkyfier.total_frames)
+                tail_frames = ck.n_windows
+            else:
+                tail_frames = self.frame_settings.n_windows(
+                    int(tail_len), strict=self.strict_tail
+                )
             if tail_frames > 0:
                 off = tail_start - self._consumed
                 tail = self._buffer[off:]

@@ -322,6 +322,90 @@ def test_threshold_dict_key_order_robust(vad_model):
     np.testing.assert_array_equal(mask, [[True, True, False, True]])
 
 
+def test_total_frames_reference_tail():
+    """reference_tail=True emits a FULL chunk of frames for any >=400-sample
+    tail (the reference's zero-padded Whisper tail pass,
+    reference inference.py:191-207)."""
+    ck = Chunkyfier(128, 64_000, FRAME_CS)
+    # tail 400 samples -> full 199 tail frames instead of 1
+    assert ck.total_frames(63_680 + 400, reference_tail=True) == 199 + 199
+    # tail 399 -> still dropped
+    assert ck.total_frames(63_680 + 399, reference_tail=True) == 199
+    # exact chunk, leftover 320 < 400 -> no tail either way
+    assert ck.total_frames(64_000, reference_tail=True) == 199
+    # sub-chunk file >= 400 samples -> one full chunk of frames
+    assert ck.total_frames(16_000, reference_tail=True) == 199
+    # 60 s file: 15 chunks + 4800-sample tail -> 16 full chunks of frames
+    assert ck.total_frames(960_000, reference_tail=True) == 16 * 199
+
+
+def test_reference_tail_mode_end_to_end(vad_model):
+    """With audio.reference_tail=true the pipeline's logits equal the
+    reference's apply_model_on_audio semantics INCLUDING the end-of-file
+    region: per-chunk forwards for every fitting chunk, then one forward of
+    the zero-padded tail emitting a full chunk of frames (reference
+    inference.py:191-207), with interval decode allowed to extend past EOF.
+    Closes the BASELINE 'bit-faithful intervals' tail gap."""
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            "model.name=conv_vad",
+            "model.config={hidden: 32, depth: 1, dtype: f32}",
+            "audio.chunk_duration_s=1.0",
+            "audio.reference_tail=true",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model_rt = Models["conv_vad"](enc, cfg)
+    model_rt.params = vad_model.params  # same weights, compat-mode config
+
+    rng = np.random.default_rng(77)
+    n = CHUNK_1S + STRIDE_1S + 5_000  # 2 fitting chunks + 5000-sample tail
+    audio = (rng.standard_normal(n) * 0.3).astype(np.float32)
+
+    pipe = InferencePipeline(model_rt, model_rt.params, batch_size=4)
+    got = pipe.logits_for_audio(audio)
+    n_fit = pipe.chunkyfier.get_n_fitting_chunks(n)
+    assert n_fit == 2
+    assert got.shape == ((n_fit + 1) * N_W_1S, 4)
+
+    # reference semantics re-implementation: naive per-chunk forwards, then
+    # the zero-padded tail forward keeping ALL frames
+    expected = []
+    for i in range(n_fit):
+        chunk = audio[i * STRIDE_1S : i * STRIDE_1S + CHUNK_1S]
+        expected.append(
+            np.asarray(vad_model.apply(vad_model.params, chunk[None, :]))[0]
+        )
+    tail = audio[n_fit * STRIDE_1S :]
+    padded = np.zeros(CHUNK_1S, np.float32)
+    padded[: tail.shape[0]] = tail
+    expected.append(
+        np.asarray(vad_model.apply(vad_model.params, padded[None, :]))[0]
+    )
+    expected = np.concatenate(expected)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+    # intervals: decode both with identical math -> exact equality, and the
+    # grid now covers frames past EOF (the reference's padded-tail frames)
+    thr = default_thresholds(enc.base_labels)
+    mask_got = pipe.apply_thresholds(got, thr)
+    mask_ref = 1.0 / (1.0 + np.exp(-expected)) > 0.5
+    iv_got = sorted(create_intervals(mask_got, pipe.frame_settings, enc))
+    iv_ref = sorted(create_intervals(mask_ref, pipe.frame_settings, enc))
+    assert iv_got == iv_ref
+    last_grid_end = pipe.frame_settings.rf_end_i((n_fit + 1) * N_W_1S - 1) + 1
+    assert last_grid_end > n  # the compat grid really extends past EOF
+
+    # default mode on the same audio emits strictly fewer frames
+    pipe_default = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    got_default = pipe_default.logits_for_audio(audio)
+    assert got_default.shape[0] < got.shape[0]
+    np.testing.assert_allclose(
+        got[: got_default.shape[0]], got_default, rtol=1e-4, atol=1e-5
+    )
+
+
 def test_decode_parity_vs_masked_array_semantics():
     """Bit-parity of interval decode against the reference's
     np.ma.notmasked_contiguous formulation (reference inference.py:237-263),

@@ -151,6 +151,58 @@ def test_mesh_sharded_inference_matches_single_device(tp_model):
     np.testing.assert_allclose(got_single, got_sharded, rtol=2e-4, atol=2e-5)
 
 
+def test_predict_cli_mesh_end_to_end(tmp_path, synthetic_dataset):
+    """SURVEY §7 step 8 reachable from the user-facing CLI: the predict
+    entry point with --mesh auto (8-device CPU mesh) writes RTTMs
+    byte-identical to the single-device run."""
+    _require_8_devices()
+    import yaml
+
+    from segma_tpu.checkpoint import save_params
+    from segma_tpu.config import load_config
+    from segma_tpu.inference import main as predict_main
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    config_dir = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+    cfg = load_config(
+        config_dir / "default.yml",
+        [
+            "model.name=conv_vad",
+            "model.config={hidden: 32, depth: 1, dtype: f32}",
+            "audio.chunk_duration_s=1.0",
+        ],
+    )
+    model = Models["conv_vad"](MultiLabelEncoder(cfg.data.classes), cfg)
+    params = model.init_params(jax.random.key(3))
+    trainable, _ = model.split_params(params)
+    ckpt = save_params(tmp_path / "ckpt", trainable)
+    cfg_path = tmp_path / "config.yml"
+    with cfg_path.open("w") as f:
+        yaml.dump(cfg.as_dict(), f)
+
+    def run(mesh_flag: str, out: Path) -> dict[str, str]:
+        predict_main(
+            [
+                "--config", str(cfg_path),
+                "--wavs", str(synthetic_dataset / "wav"),
+                "--uris", str(synthetic_dataset / "test.txt"),
+                "--checkpoint", str(ckpt),
+                "--output", str(out),
+                "--batch_size", "4",
+                "--mesh", mesh_flag,
+            ]
+        )
+        return {
+            p.name: p.read_text()
+            for p in sorted((out / "raw_rttm").glob("*.rttm"))
+        }
+
+    single = run("off", tmp_path / "single")
+    sharded = run("auto", tmp_path / "sharded")
+    assert single and single == sharded
+
+
 def test_maybe_init_distributed_noop(monkeypatch):
     """Single-host environments must be a clean no-op."""
     from segma_tpu.parallel.distributed import maybe_init_distributed, process_shard

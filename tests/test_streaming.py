@@ -87,6 +87,69 @@ def test_flush_twice_raises(vad_model):
         seg.flush()
 
 
+def test_streaming_reference_tail_matches_offline(vad_model, audio):
+    """audio.reference_tail=true: streaming flush emits the same zero-padded
+    full-chunk tail frames as the offline pipeline."""
+    from pathlib import Path
+
+    from segma_tpu.config import load_config
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    config_dir = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+    cfg = load_config(
+        config_dir / "default.yml",
+        [
+            "model.name=conv_vad",
+            "model.config={hidden: 32, depth: 1, dtype: f32}",
+            "audio.chunk_duration_s=1.0",
+            "audio.reference_tail=true",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model_rt = Models["conv_vad"](enc, cfg)
+    model_rt.params = vad_model.params
+
+    seg = StreamingSegmenter(model_rt, model_rt.params)
+    seg.push(audio)
+    seg.flush()
+    assert seg.intervals == _offline_intervals(model_rt, audio)
+    # and the compat mode really changes the tail: frame counts differ
+    default_seg = StreamingSegmenter(vad_model, vad_model.params)
+    default_seg.push(audio)
+    default_seg.flush()
+    assert seg._n_frames > default_seg._n_frames
+
+
+def test_streaming_threshold_key_order_invariant(vad_model, audio):
+    """A hand-edited YAML with reordered threshold keys must NOT swap
+    per-label thresholds (reference bug: inference.py:229-233 trusts
+    insertion order)."""
+    labels = vad_model.label_encoder.base_labels
+    # wildly different per-label thresholds so a swap is detectable
+    thr = {
+        label: {"lower_bound": 0.05 + 0.9 * i / max(1, len(labels) - 1),
+                "upper_bound": 1.0}
+        for i, label in enumerate(labels)
+    }
+    shuffled = {k: thr[k] for k in reversed(list(thr))}
+    assert list(shuffled) != list(thr)
+
+    a = StreamingSegmenter(vad_model, vad_model.params, thresholds=thr)
+    a.push(audio)
+    a.flush()
+    b = StreamingSegmenter(vad_model, vad_model.params, thresholds=shuffled)
+    b.push(audio)
+    b.flush()
+    assert a.intervals == b.intervals
+    # and streaming agrees with the offline pipeline's vector for both orders
+    from segma_tpu.inference import threshold_vector
+
+    vec = threshold_vector(labels, thr)
+    assert np.allclose(threshold_vector(labels, shuffled), vec)
+    assert np.allclose(a.thr, vec)
+
+
 def test_streaming_accepts_int16(vad_model, audio):
     pcm = (audio * 32768.0).clip(-32768, 32767).astype(np.int16)
     a = StreamingSegmenter(vad_model, vad_model.params)
