@@ -1,9 +1,10 @@
 """Migration CLI: reference (torch/Lightning) checkpoint -> segma_tpu.
 
-Converts a trained reference ``best.ckpt`` (surgical_hydra / hydra_whisper)
-into a segma_tpu checkpoint directory usable by ``scripts/predict.py
---checkpoint``. Weight-mapping parity is covered by
-``tests/test_convert_reference.py``.
+Converts a trained reference ``best.ckpt`` — any of the six reference
+variants (whisperidou, whisperimax, surgical_whisper, hydra_whisper,
+surgical_hydra, surgical_hubert_hydra) — into a segma_tpu checkpoint
+directory usable by ``scripts/predict.py --checkpoint``. Weight-mapping
+parity is covered per variant by ``tests/test_convert_reference.py``.
 
 Usage:
     python scripts/import_checkpoint.py --ckpt ref_best.ckpt \

@@ -208,6 +208,10 @@ class TrainConfig(BaseConfig):
     scheduler: SchedulerConfig
     seed: int | None = None
     precision: str = "bf16"  # compute dtype on TPU: bf16 | f32
+    # per-step train logging cadence (reference: Lightning on_step logs of
+    # the total and per-head losses, models/base.py:171-187). 0 disables.
+    # Each step log forces a device sync, so keep the cadence coarse.
+    log_every_n_steps: int = 50
     early_stop_patience: int = 10
     save_top_k: int = 5
     # rematerialize encoder transformer layers in the backward pass

@@ -117,31 +117,118 @@ def _convert_whisper_encoder(sd: dict) -> dict:
     return params
 
 
+def _convert_mlp_classifier(sd: dict, prefix: str = "classifier") -> dict:
+    """torch ``nn.Sequential(Linear, ReLU, Linear)`` -> flax MLPHead params.
+
+    Reference ``classifier.0`` / ``classifier.2`` (``whisperidou.py:24-28``,
+    ``surgical.py:52-56``) bind in MLPHead's scope as ``Dense_0``/``Dense_1``.
+    """
+    out: dict[str, Any] = {}
+    idxs = sorted(
+        {int(k.split(".")[1]) for k in sd if k.startswith(f"{prefix}.")}
+    )
+    for flax_i, torch_i in enumerate(idxs):
+        out[f"Dense_{flax_i}"] = {
+            "kernel": np.ascontiguousarray(sd[f"{prefix}.{torch_i}.weight"].T),
+            "bias": sd[f"{prefix}.{torch_i}.bias"],
+        }
+    return out
+
+
+def _torch_linear(sd: dict, name: str) -> dict:
+    return {
+        "kernel": np.ascontiguousarray(sd[f"{name}.weight"].T),
+        "bias": sd[f"{name}.bias"],
+    }
+
+
+def _import_hubert(sd: dict, model: SegmentationModel) -> dict:
+    """surgical_hubert_hydra Lightning checkpoint -> flax params.
+
+    Reference checkpoints carry the FULL torchaudio ``wav2vec2.*`` tree
+    (the state_dict filter at ``hubert/surgical_hydra.py:203-210`` matches
+    an ``encoder.`` prefix that no key has), plus ``layer_weights`` and the
+    per-label ``task_heads``.
+    """
+    from segma_tpu.models.hubert.convert import (
+        _normalize_keys,
+        convert_hubert_state_dict,
+    )
+
+    enc_sd = _normalize_keys(
+        {k: v for k, v in sd.items() if k.startswith("wav2vec2.")}
+    )
+    fe, tr = convert_hubert_state_dict(enc_sd, model.module.enc_cfg)
+    params: dict[str, Any] = {
+        "feature_extractor": fe,
+        "encoder": tr,
+        "heads": _convert_hydra_heads(sd, model.label_encoder.base_labels),
+    }
+    # The reference's forward uses only hidden_states[-1] despite the
+    # configured weighting (``hubert/surgical_hydra.py:99-102``); segma_tpu
+    # applies weighting for real, so only a 'weighted' flax config needs the
+    # learnable vector (configure encoder_layers=[n] + reduction=average to
+    # reproduce the reference's actual last-layer behaviour).
+    if model.module.reduction == "weighted" and "layer_weights" in sd:
+        params["layer_mix"] = {"layer_weights": sd["layer_weights"]}
+    return params
+
+
+SUPPORTED_IMPORTS = (
+    "whisperidou",
+    "whisperimax",
+    "surgical_whisper",
+    "hydra_whisper",
+    "surgical_hydra",
+    "surgical_hubert_hydra",
+)
+
+
 def import_reference_checkpoint(
     ckpt_path: Path | str, model: SegmentationModel
 ) -> Any:
     """Convert a reference Lightning checkpoint into ``model``'s param tree.
 
-    Supported variants: ``surgical_hydra``, ``hydra_whisper`` (the models
-    the reference's own inference entry point accepts). Returns the full
-    params (and stores them on ``model``).
+    Supports all six reference variants (matching the universality of the
+    reference's own checkpoint loading, reference ``inference.py:435-440``).
+    Returns the full params (and stores them on ``model``).
     """
-    if model.name not in ("surgical_hydra", "hydra_whisper"):
+    if model.name not in SUPPORTED_IMPORTS:
         raise ValueError(
-            f"reference import supports surgical_hydra/hydra_whisper, "
-            f"got {model.name!r}"
+            f"reference import supports {'/'.join(SUPPORTED_IMPORTS)} "
+            f"(e.g. surgical_hydra), got {model.name!r}"
         )
     sd = _load_state_dict(Path(ckpt_path))
-    lstm_cfg = model.module.lstm
-    params: dict[str, Any] = {
-        "encoder": _convert_whisper_encoder(sd),
-        "lstm_shared": _convert_lstm(
-            sd, "lstm_shared", lstm_cfg.num_layers, lstm_cfg.bidirectional
-        ),
-        "heads": _convert_hydra_heads(sd, model.label_encoder.base_labels),
-    }
-    if model.name == "surgical_hydra":
-        params["layer_mix"] = {"layer_weights": sd["layer_weights"]}
+
+    if model.name == "surgical_hubert_hydra":
+        params = _import_hubert(sd, model)
+    else:
+        params = {"encoder": _convert_whisper_encoder(sd)}
+        if model.name in ("surgical_hydra", "hydra_whisper"):
+            lstm_cfg = model.module.lstm
+            params["lstm_shared"] = _convert_lstm(
+                sd, "lstm_shared", lstm_cfg.num_layers, lstm_cfg.bidirectional
+            )
+            params["heads"] = _convert_hydra_heads(
+                sd, model.label_encoder.base_labels
+            )
+        elif model.name == "whisperimax":
+            # reference attrs: self.lstm, self.linear (Sequential 0/2),
+            # self.classifier (whisperimax.py:25-38)
+            lstm_cfg = model.module.lstm
+            params["lstm_shared"] = _convert_lstm(
+                sd, "lstm", lstm_cfg.num_layers, lstm_cfg.bidirectional
+            )
+            params["linear_0"] = _torch_linear(sd, "linear.0")
+            params["linear_1"] = _torch_linear(sd, "linear.2")
+            params["classifier"] = _torch_linear(sd, "classifier")
+        else:  # whisperidou / surgical_whisper: Sequential MLP classifier
+            params["classifier"] = _convert_mlp_classifier(sd)
+        if model.name in ("surgical_hydra", "surgical_whisper"):
+            # 'average' stores a non-learnable buffer in the reference sd;
+            # the flax average reduction has no parameter to fill
+            if model.module.reduction == "weighted":
+                params["layer_mix"] = {"layer_weights": sd["layer_weights"]}
     params = _as_f32(params)
     model.params = params
     return params

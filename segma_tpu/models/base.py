@@ -77,12 +77,27 @@ def softmax_ce_loss(
     """Softmax cross-entropy against (possibly multi-hot) target rows,
     normalized like ``torch.nn.functional.cross_entropy`` with probabilistic
     targets and optional per-class weights."""
+    return softmax_ce_loss_per_class(logits, targets, class_weights)[0]
+
+
+def softmax_ce_loss_per_class(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    class_weights: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(total, per_class) softmax CE — the per-class terms are the exact
+    decomposition of the total (``per_class.sum() == total``): each class's
+    summed -t*log p share over the common normalizer. Gives real per-label
+    observability for multiclass models (the reference logs only the
+    total)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     flat_lp = logp.reshape(-1, logp.shape[-1])
     flat_t = targets.reshape(-1, targets.shape[-1])
     if class_weights is not None:
         flat_t = flat_t * class_weights[None, :]
-    return -(flat_t * flat_lp).sum() / jnp.maximum(flat_t.sum(), 1e-12)
+    norm = jnp.maximum(flat_t.sum(), 1e-12)
+    per_class = -(flat_t * flat_lp).sum(axis=0) / norm
+    return per_class.sum(), per_class
 
 
 @dataclass
@@ -209,8 +224,14 @@ class SegmentationModel:
             class_ids = lut[masks]
             onehot = jax.nn.one_hot(class_ids, logits.shape[-1])
             total = softmax_ce_loss(logits, onehot)
-            return total, jnp.broadcast_to(total, (self.n_labels,))
+            # per-label DIAGNOSTIC: BCE of the marginalized per-base-label
+            # probabilities vs the multi-hot targets (the subset CE itself
+            # has no per-base-label decomposition; this is what
+            # val/loss_<label> reports for powerset models)
+            marg_logits = self.inference_transform(logits)
+            elt = bce_with_logits(marg_logits, targets)
+            per_label = elt.reshape(-1, elt.shape[-1]).mean(axis=0)
+            return total, per_label
         if self.loss_type == "hydra":
             return hydra_loss(logits, targets, class_weights=weights)
-        total = softmax_ce_loss(logits, targets, class_weights=weights)
-        return total, jnp.broadcast_to(total, (self.n_labels,))
+        return softmax_ce_loss_per_class(logits, targets, class_weights=weights)

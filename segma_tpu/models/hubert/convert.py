@@ -124,7 +124,20 @@ def convert_hubert_params(path: Path) -> tuple[HubertEncoderConfig, dict, dict]:
     """(config, feature_extractor params, transformer params)."""
     cfg = read_hubert_config(Path(path))
     sd = _normalize_keys(_load_raw(Path(path)))
+    fe, tr = convert_hubert_state_dict(sd, cfg)
+    return cfg, fe, tr
 
+
+def convert_hubert_state_dict(
+    sd: dict[str, np.ndarray], cfg: HubertEncoderConfig
+) -> tuple[dict, dict]:
+    """Normalized raw state dict -> (feature_extractor, transformer) params.
+
+    ``sd`` must already be through ``_normalize_keys`` (HF-style naming).
+    Used both for encoder snapshots and for reference Lightning checkpoints
+    (``segma_tpu.convert_reference``), whose ``wav2vec2.``-prefixed keys
+    normalize to the same layout.
+    """
     fe: dict = {}
     for i in range(len(cfg.conv_kernels)):
         w = sd[f"feature_extractor.conv_layers.{i}.conv.weight"]
@@ -154,7 +167,7 @@ def convert_hubert_params(path: Path) -> tuple[HubertEncoderConfig, dict, dict]:
             "output_dense": _dense(sd, f"{pre}.feed_forward.output_dense"),
             "final_layer_norm": _layernorm(sd, f"{pre}.final_layer_norm"),
         }
-    return cfg, _as_f32(fe), _as_f32(tr)
+    return _as_f32(fe), _as_f32(tr)
 
 
 def _as_f32(tree):

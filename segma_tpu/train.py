@@ -213,12 +213,27 @@ class Trainer:
     # -- epochs -------------------------------------------------------------------
     def _train_epoch(self, params, opt_state, loader, key) -> tuple:
         losses = []
+        every = self.config.train.log_every_n_steps
+        labels = self.model.label_encoder.base_labels
         for batch in loader:
             key, sub = jax.random.split(key)
-            params, opt_state, loss, _ = self.train_step(
+            params, opt_state, loss, per_label = self.train_step(
                 params, opt_state, self._put(batch), sub
             )
             losses.append(loss)
+            self._global_step = getattr(self, "_global_step", 0) + 1
+            if every and self._global_step % every == 0:
+                # per-step total + per-head losses (reference on_step logs,
+                # models/base.py:171-187). Blocks on the device — cadence is
+                # config.train.log_every_n_steps.
+                step_metrics = {
+                    "step": self._global_step,
+                    "train/loss_step": float(loss),
+                }
+                per_label = np.asarray(per_label)
+                for i, label in enumerate(labels):
+                    step_metrics[f"train/loss_step_{label}"] = float(per_label[i])
+                self.logger.log(step_metrics)
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         return params, opt_state, mean_loss, key
 

@@ -67,6 +67,41 @@ def test_powerset_loss_from_multihot_targets(pmodel):
     assert float(total_p) < 1e-4
 
 
+def test_powerset_per_label_losses_differ(pmodel):
+    """val/loss_<label> must be real per-label terms, not copies of the
+    total: with only KCHI active, the KCHI marginal-BCE diagnostic must
+    differ from the other labels' (round-1 gap: the total was broadcast)."""
+    pset: PowersetEncoder = pmodel.powerset
+    y = np.zeros((1, 49, 4), np.float32)
+    y[0, :, 0] = 1.0  # KCHI only
+    logits = np.full((1, 49, 11), -5.0, np.float32)
+    logits[0, :, pset.transform(("KCHI",))] = 5.0
+    total, per_label = pmodel.loss(jnp.asarray(logits), y)
+    per_label = np.asarray(per_label)
+    assert per_label.shape == (4,)
+    assert len(np.unique(np.round(per_label, 6))) > 1
+    # near-perfect predictions -> every per-label diagnostic is small
+    assert np.isfinite(float(total)) and per_label.max() < 0.1
+
+
+def test_multiclass_per_label_losses_decompose():
+    """multiclass per-label CE terms sum to the total and differ across
+    labels for asymmetric errors."""
+    from segma_tpu.models.base import softmax_ce_loss_per_class
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((2, 49, 4)), jnp.float32)
+    y = np.zeros((2, 49, 4), np.float32)
+    y[0, :, 0] = 1.0
+    y[1, :, 3] = 1.0
+    total, per_class = softmax_ce_loss_per_class(logits, jnp.asarray(y))
+    per_class = np.asarray(per_class)
+    np.testing.assert_allclose(per_class.sum(), float(total), rtol=1e-6)
+    assert len(np.unique(np.round(per_class, 6))) > 1
+    # labels with no active targets contribute zero
+    assert per_class[1] == 0.0 and per_class[2] == 0.0
+
+
 def test_powerset_training_and_decode(pmodel, synthetic_dataset, tmp_path):
     """Train a few steps; the full pipeline produces per-label intervals."""
     from segma_tpu.inference import InferencePipeline, infer_file
