@@ -38,6 +38,11 @@ CONFIGS = {
         "model.config.encoder=whisper_base_random",
         "model.config.fast_context=true",
     ],
+    # reference-exact context: full 30 s padded whisper attention window
+    "whisper_padded": [
+        "model.name=surgical_hydra",
+        "model.config.encoder=whisper_base_random",
+    ],
     "hubert": [
         "model.name=surgical_hubert_hydra",
         "model.config.wav_encoder=hubert_base_random",
@@ -51,7 +56,14 @@ CONFIGS = {
 }
 
 
-def bench_one(name: str, n_chunks: int, batch_size: int, iters: int, rounds: int):
+def bench_one(
+    name: str,
+    n_chunks: int,
+    batch_size: int,
+    iters: int,
+    rounds: int,
+    transport: str = "mulaw",
+):
     cfg = load_config(CONFIG_DIR / "default.yml", CONFIGS[name])
     enc = MultiLabelEncoder(cfg.data.classes)
     with warnings.catch_warnings():
@@ -61,9 +73,12 @@ def bench_one(name: str, n_chunks: int, batch_size: int, iters: int, rounds: int
     pipe = InferencePipeline(model, model.params, batch_size=batch_size)
     ck = pipe.chunkyfier
     n = n_chunks * ck.chunk_stride + ck.missing_n_frames
-    audio = mulaw_compress(
-        (np.random.default_rng(0).standard_normal(n) * 3000).astype(np.int16)
-    )
+    pcm = (np.random.default_rng(0).standard_normal(n) * 3000).astype(np.int16)
+    audio = {
+        "mulaw": mulaw_compress(pcm),
+        "int16": pcm,
+        "f32": pcm.astype(np.float32) / 32768.0,
+    }[transport]
     t0 = time.perf_counter()
     _ = pipe.logits_for_audio(audio)
     print(f"{name}: compile+first {time.perf_counter() - t0:.1f}s", flush=True)
@@ -75,7 +90,7 @@ def bench_one(name: str, n_chunks: int, batch_size: int, iters: int, rounds: int
         walls.append(time.perf_counter() - t0)
     audio_s = iters * n / 16_000
     print(
-        f"{name}: best {audio_s / min(walls):.0f}x RT "
+        f"{name} [{transport}]: best {audio_s / min(walls):.0f}x RT "
         f"(walls {[f'{w:.2f}' for w in walls]}, {audio_s:.0f}s audio)",
         flush=True,
     )
@@ -90,6 +105,16 @@ if __name__ == "__main__":
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--rounds", type=int, default=3)
+    parser.add_argument(
+        "--transport", default="mulaw", choices=["mulaw", "int16", "f32"]
+    )
     args = parser.parse_args()
     for name in args.backbones:
-        bench_one(name, args.n_chunks, args.batch_size, args.iters, args.rounds)
+        bench_one(
+            name,
+            args.n_chunks,
+            args.batch_size,
+            args.iters,
+            args.rounds,
+            args.transport,
+        )

@@ -406,6 +406,48 @@ def test_reference_tail_mode_end_to_end(vad_model):
     )
 
 
+def test_decode_intervals_packed_bit_identical(vad_model):
+    """The packed on-device run-length decode must emit exactly the same
+    intervals as the mask-download path, for random logits and for a padded
+    device grid with valid_frames."""
+    from segma_tpu.inference import intervals_from_boundaries
+
+    pipe = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    thr = default_thresholds(vad_model.label_encoder.base_labels)
+    rng = np.random.default_rng(21)
+    for t in (1, 7, 199, 996):
+        logits = (rng.standard_normal((t, 4)) * 2).astype(np.float32)
+        starts, ends = pipe.decode_boundaries(logits, thr)
+        ref = sorted(
+            intervals_from_boundaries(starts, ends, pipe.frame_settings,
+                                      vad_model.label_encoder)
+        )
+        got = sorted(pipe.decode_intervals(logits, thr))
+        assert got == ref, t
+        # padded grid + valid_frames: pad with WILD logits that would fire
+        # if not masked
+        grid = np.concatenate([logits, np.full((64, 4), 9.0, np.float32)])
+        got_grid = sorted(pipe.decode_intervals(grid, thr, valid_frames=t))
+        assert got_grid == ref, t
+
+
+def test_decode_intervals_overflow_falls_back(vad_model):
+    """More runs than the static capacity -> identical output via the mask
+    fallback (alternating frames = worst case)."""
+    pipe = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    thr = default_thresholds(vad_model.label_encoder.base_labels)
+    t = 4096
+    logits = np.where(
+        (np.arange(t) % 2 == 0)[:, None], 5.0, -5.0
+    ).astype(np.float32) * np.ones((1, 4), np.float32)
+    got = sorted(pipe.decode_intervals(logits, thr))
+    mask = 1 / (1 + np.exp(-logits)) > 0.5
+    ref = sorted(create_intervals(mask, pipe.frame_settings,
+                                  vad_model.label_encoder))
+    assert got == ref
+    assert len(got) == 4 * (t // 2)
+
+
 def test_decode_parity_vs_masked_array_semantics():
     """Bit-parity of interval decode against the reference's
     np.ma.notmasked_contiguous formulation (reference inference.py:237-263),
