@@ -1,0 +1,54 @@
+"""Serving CLI: expose a trained model over HTTP.
+
+Production-serving extension beyond the reference (segma_tpu addition).
+
+Usage:
+    python scripts/serve.py --config models/<run>/config.yml \
+        --checkpoint models/<run>/checkpoints/best.ckpt --port 8000 \
+        [--thresholds best_thresholds.yml]
+
+Then:
+    curl -s --data-binary @file.wav localhost:8000/v1/segment?uri=file
+    curl -s localhost:8000/healthz
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from segma_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="segma_tpu HTTP serving")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--checkpoint", default="models/last/best.ckpt")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--thresholds", default=None)
+    parser.add_argument("--batch_size", "--batch-size", default=128, type=int)
+    args, extra = parser.parse_known_args()
+
+    import yaml
+
+    from segma_tpu.config import load_config
+    from segma_tpu.serve import serve_forever
+
+    thresholds = None
+    if args.thresholds:
+        with open(args.thresholds) as f:
+            thresholds = yaml.safe_load(f)
+
+    serve_forever(
+        config=load_config(args.config, extra),
+        checkpoint=args.checkpoint,
+        host=args.host,
+        port=args.port,
+        thresholds=thresholds,
+        batch_size=args.batch_size,
+    )

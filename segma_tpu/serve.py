@@ -1,0 +1,214 @@
+"""HTTP serving for segmentation — a production deployment surface.
+
+Extension beyond the reference (which ships only CLI batch inference;
+its closest analog is the per-file loop in ``src/segma/inference.py:442-459``).
+One device-resident :class:`~segma_tpu.inference.InferencePipeline` is
+fronted by a threading HTTP server:
+
+- ``GET  /healthz``            liveness + model/device info
+- ``POST /v1/segment``         one audio body -> intervals
+  - body: a RIFF/WAVE file, or raw 16 kHz mono int16 PCM with
+    ``Content-Type: audio/l16``
+  - query: ``uri=<name>`` (labels the output), ``format=json|rttm``
+
+The HTTP layer is multi-threaded so upload + WAV decode of request i+1
+overlap device compute of request i; actual device work is serialized by a
+lock (one accelerator, one program at a time). Responses are bit-identical
+to ``scripts/predict.py`` on the same audio: the same jitted forward,
+packed run-length decode and interval math run underneath.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from segma_tpu.annotation import AudioAnnotation
+from segma_tpu.inference import (
+    InferencePipeline,
+    _load_mono,
+    default_thresholds,
+)
+from segma_tpu.utils.conversions import frames_to_seconds
+
+
+class SegmentationService:
+    """Model + thresholds + device serialization, shared by HTTP threads."""
+
+    def __init__(
+        self,
+        pipeline: InferencePipeline,
+        thresholds: dict[str, dict[str, float]] | None = None,
+        transport: str = "int16",
+    ) -> None:
+        self.pipeline = pipeline
+        enc = pipeline.model.label_encoder
+        self.thresholds = thresholds or default_thresholds(enc.base_labels)
+        self.transport = transport
+        self._device_lock = threading.Lock()
+
+    # -- decode -----------------------------------------------------------------
+    def _audio_from_body(self, body: bytes, content_type: str) -> np.ndarray:
+        if content_type.startswith("audio/l16"):
+            return np.frombuffer(body, dtype="<i2")
+        if body[:4] != b"RIFF":
+            raise ValueError(
+                "body must be a RIFF/WAVE file or raw int16 PCM "
+                "(Content-Type: audio/l16)"
+            )
+        # the WAV reader is path-based (shared with the dataset layer);
+        # spool the upload to tmpfs — decode cost is trivial vs device time
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(body)
+            f.flush()
+            return _load_mono(Path(f.name), self.transport)
+
+    # -- inference ---------------------------------------------------------------
+    def segment(self, body: bytes, content_type: str = "") -> list[tuple]:
+        """audio bytes -> sorted [(start_f, end_f, label), ...]."""
+        audio = self._audio_from_body(body, content_type)
+        with self._device_lock:
+            logits_dev, total_frames = self.pipeline.logits_for_audio_async(
+                audio
+            )
+            if logits_dev is None:
+                return []
+            return sorted(
+                self.pipeline.decode_intervals(
+                    logits_dev, self.thresholds, valid_frames=total_frames
+                )
+            )
+
+    # -- formatting ---------------------------------------------------------------
+    def to_json(self, intervals: list[tuple], uri: str) -> bytes:
+        sr = self.pipeline.model.config.audio.sample_rate
+        return json.dumps(
+            {
+                "uri": uri,
+                "sample_rate": sr,
+                "intervals": [
+                    {
+                        "label": label,
+                        "start_s": round(float(frames_to_seconds(s)), 6),
+                        "end_s": round(float(frames_to_seconds(e)), 6),
+                    }
+                    for s, e, label in intervals
+                ],
+            }
+        ).encode()
+
+    def to_rttm(self, intervals: list[tuple], uri: str) -> bytes:
+        lines = [
+            AudioAnnotation(
+                uid=uri,
+                start_time_s=float(frames_to_seconds(s)),
+                duration_s=float(frames_to_seconds(e - s)),
+                label=str(label),
+            ).to_rttm()
+            for s, e, label in intervals
+        ]
+        return ("\n".join(lines) + ("\n" if lines else "")).encode()
+
+    def health(self) -> bytes:
+        import jax
+
+        return json.dumps(
+            {
+                "status": "ok",
+                "model": self.pipeline.model.name,
+                "labels": list(self.pipeline.model.label_encoder.base_labels),
+                "device": str(jax.devices()[0]),
+            }
+        ).encode()
+
+
+def _make_handler(service: SegmentationService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _error(self, code: int, message: str) -> None:
+            self._reply(
+                code, json.dumps({"error": message}).encode(), "application/json"
+            )
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if urlparse(self.path).path == "/healthz":
+                self._reply(200, service.health(), "application/json")
+            else:
+                self._error(404, f"unknown path {self.path!r}")
+
+        def do_POST(self):  # noqa: N802
+            url = urlparse(self.path)
+            if url.path != "/v1/segment":
+                self._error(404, f"unknown path {self.path!r}")
+                return
+            q = parse_qs(url.query)
+            uri = q.get("uri", ["audio"])[0]
+            fmt = q.get("format", ["json"])[0]
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                intervals = service.segment(
+                    body, self.headers.get("Content-Type", "")
+                )
+                if fmt == "rttm":
+                    self._reply(200, service.to_rttm(intervals, uri), "text/plain")
+                else:
+                    self._reply(
+                        200, service.to_json(intervals, uri), "application/json"
+                    )
+            except ValueError as e:
+                self._error(400, str(e))
+            except Exception as e:  # noqa: BLE001 — keep the server alive
+                self._error(500, f"{type(e).__name__}: {e}")
+
+    return Handler
+
+
+def make_server(
+    service: SegmentationService, host: str = "127.0.0.1", port: int = 8000
+) -> ThreadingHTTPServer:
+    """Bind (but do not start) the HTTP server; ``port=0`` picks a free one."""
+    return ThreadingHTTPServer((host, port), _make_handler(service))
+
+
+def serve_forever(
+    config: Any,
+    checkpoint: Path | str | None,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    thresholds: dict | None = None,
+    batch_size: int = 128,
+) -> None:
+    """Load the model and serve until interrupted (CLI entry)."""
+    from segma_tpu.checkpoint import load_model_for_inference
+    from segma_tpu.config import Config, load_config
+    from segma_tpu.utils.logging import log
+
+    cfg = config if isinstance(config, Config) else load_config(config)
+    model = load_model_for_inference(cfg, checkpoint)
+    pipeline = InferencePipeline(model, model.params, batch_size=batch_size)
+    service = SegmentationService(pipeline, thresholds)
+    server = make_server(service, host, port)
+    log(f"serving {model.name} on http://{host}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()

@@ -1,0 +1,145 @@
+"""HTTP serving: endpoint behavior and bit-parity with the batch CLI path."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from segma_tpu.config import load_config
+from segma_tpu.inference import InferencePipeline, default_thresholds
+from segma_tpu.models import Models
+from segma_tpu.serve import SegmentationService, make_server
+from segma_tpu.utils.encoders import MultiLabelEncoder
+from segma_tpu.utils.io import write_data_to_disk
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            "model.name=conv_vad",
+            "model.config={hidden: 32, depth: 1, dtype: f32}",
+            "audio.chunk_duration_s=1.0",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    model.init_params(jax.random.key(0))
+    pipe = InferencePipeline(model, model.params, batch_size=8)
+    return SegmentationService(pipe)
+
+
+@pytest.fixture(scope="module")
+def server(service):
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def wav_bytes(tmp_path_factory):
+    rng = np.random.default_rng(12)
+    audio = (rng.standard_normal(40_000) * 0.2).astype(np.float32)
+    p = tmp_path_factory.mktemp("serve") / "req.wav"
+    write_data_to_disk(audio, p)
+    return p.read_bytes(), audio
+
+
+def _post(url: str, body: bytes, ctype: str = "application/octet-stream"):
+    req = urllib.request.Request(url, data=body, method="POST")
+    req.add_header("Content-Type", ctype)
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return resp.status, resp.read()
+
+
+def test_healthz(server, service):
+    with urllib.request.urlopen(f"{server}/healthz", timeout=30) as resp:
+        payload = json.loads(resp.read())
+    assert payload["status"] == "ok"
+    assert payload["model"] == "conv_vad"
+    assert payload["labels"] == list(
+        service.pipeline.model.label_encoder.base_labels
+    )
+
+
+def test_segment_wav_matches_pipeline(server, service, wav_bytes):
+    """The HTTP path must produce exactly the pipeline's intervals."""
+    body, audio = wav_bytes
+    status, raw = _post(f"{server}/v1/segment?uri=req", body)
+    assert status == 200
+    payload = json.loads(raw)
+    assert payload["uri"] == "req"
+
+    pipe = service.pipeline
+    thr = default_thresholds(pipe.model.label_encoder.base_labels)
+    # the server decodes the WAV to the int16 transport; mirror that
+    pcm = (np.clip(audio, -1, 1) * 32767.0).astype(np.int16)
+    expected = sorted(pipe.decode_intervals(pipe.logits_for_audio(pcm), thr))
+    got = [
+        (round(iv["start_s"], 6), round(iv["end_s"], 6), iv["label"])
+        for iv in payload["intervals"]
+    ]
+    exp = [
+        (round(s / 16_000, 6), round(e / 16_000, 6), label)
+        for s, e, label in expected
+    ]
+    assert got == exp and len(got) > 0
+
+
+def test_segment_raw_pcm16(server, wav_bytes):
+    """Raw int16 PCM with audio/l16 must match the WAV upload."""
+    body, audio = wav_bytes
+    pcm = (np.clip(audio, -1, 1) * 32767.0).astype("<i2").tobytes()
+    _, raw_wav = _post(f"{server}/v1/segment?uri=x", body)
+    _, raw_pcm = _post(f"{server}/v1/segment?uri=x", pcm, "audio/l16; rate=16000")
+    assert json.loads(raw_wav) == json.loads(raw_pcm)
+
+
+def test_segment_rttm_format(server, wav_bytes):
+    body, _ = wav_bytes
+    status, raw = _post(f"{server}/v1/segment?uri=myfile&format=rttm", body)
+    assert status == 200
+    lines = raw.decode().strip().split("\n")
+    assert all(line.startswith("SPEAKER myfile ") for line in lines)
+
+
+def test_bad_body_is_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/v1/segment", b"not audio at all")
+    assert e.value.code == 400
+    assert "RIFF" in json.loads(e.value.read())["error"]
+
+
+def test_unknown_path_is_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/v1/other", b"x")
+    assert e.value.code == 404
+
+
+def test_concurrent_requests(server, wav_bytes):
+    """Parallel clients all get correct, identical answers (device access
+    is serialized internally)."""
+    body, _ = wav_bytes
+    results = []
+
+    def hit():
+        _, raw = _post(f"{server}/v1/segment?uri=c", body)
+        results.append(json.loads(raw))
+
+    threads = [threading.Thread(target=hit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4
+    assert all(r == results[0] for r in results)
