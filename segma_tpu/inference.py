@@ -231,11 +231,14 @@ class InferencePipeline:
 
         @partial(jax.jit, static_argnums=(2,))
         def infer(params, audio: jax.Array, n_chunks: int) -> jax.Array:
-            """audio: (n_chunks*stride + chunk_f,) -> (n_chunks*n_w, L) logits.
+            """audio: (F, n_chunks*stride + chunk_f) -> (F, n_chunks*n_w, L).
 
+            The leading F axis packs independent files (multi-file batching:
+            one dispatch amortizes the per-call relay latency over F files).
             ``audio`` may be int16 PCM (normalized here, on device, so the
             host->HBM copy ships half the bytes) or int8 mu-law (expanded
             here: quarter the bytes — see ``mulaw_compress``)."""
+            f = audio.shape[0]
             if audio.dtype == jnp.int8:
                 # ITU-T G.711 mu-law expansion (mu = 255)
                 y = audio.astype(jnp.float32) * (1.0 / 127.0)
@@ -244,13 +247,16 @@ class InferencePipeline:
                 audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
             # overlap-unfold via two aligned reshapes (no gather): chunk i =
             # audio[i*stride : (i+1)*stride] ++ the next `overlap` samples.
-            body = audio[: n_chunks * stride].reshape(n_chunks, stride)
-            nxt = jax.lax.dynamic_slice(
-                audio, (stride,), (n_chunks * stride,)
-            ).reshape(n_chunks, stride)[:, :overlap]
-            chunks = jnp.concatenate([body, nxt], axis=1)  # (n_chunks, chunk_f)
+            body = audio[:, : n_chunks * stride].reshape(f, n_chunks, stride)
+            nxt = audio[:, stride : (n_chunks + 1) * stride].reshape(
+                f, n_chunks, stride
+            )[:, :, :overlap]
+            chunks = jnp.concatenate([body, nxt], axis=2).reshape(
+                f * n_chunks, chunk_f
+            )
 
             transform = self.model.inference_transform
+            total = f * n_chunks
             if mesh is not None:
                 # shard the window axis across chips; XLA splits the whole
                 # forward (and TP-sharded params add head/ffn parallelism)
@@ -261,21 +267,21 @@ class InferencePipeline:
                 )
                 logits = transform(apply(params, chunks, train=False))
                 n_w = logits.shape[1]
-                return logits.reshape(n_chunks * n_w, -1)
+                return logits.reshape(f, n_chunks * n_w, -1)
 
-            bs = min(batch_size, n_chunks)
-            n_batches = n_chunks // bs
+            bs = min(batch_size, total)
+            n_batches = total // bs
             batched = chunks[: n_batches * bs].reshape(n_batches, bs, chunk_f)
             logits = jax.lax.map(
                 lambda c: transform(apply(params, c, train=False)), batched
             )
             logits = logits.reshape(-1, *logits.shape[2:])
-            rem = n_chunks - n_batches * bs
+            rem = total - n_batches * bs
             if rem:
                 last = transform(apply(params, chunks[-rem:], train=False))
                 logits = jnp.concatenate([logits, last])
             n_w = logits.shape[1]
-            return logits.reshape(n_chunks * n_w, -1)
+            return logits.reshape(f, n_chunks * n_w, -1)
 
         return infer
 
@@ -305,10 +311,62 @@ class InferencePipeline:
         min_chunks = self.mesh.shape["data"] if self.mesh is not None else 1
         n_chunks = _bucket(n_chunks_needed, minimum=min_chunks)
         padded_len = n_chunks * ck.chunk_stride + ck.chunk_duration_f
-        padded = np.zeros(padded_len, audio.dtype)
-        padded[:n] = audio
-        logits = self._infer_jit(self.params, jnp.asarray(padded), n_chunks)
+        padded = np.zeros((1, padded_len), audio.dtype)
+        padded[0, :n] = audio
+        logits = self._infer_jit(self.params, jnp.asarray(padded), n_chunks)[0]
         return logits, total_frames
+
+    def logits_for_audios_async(
+        self, audios: list[np.ndarray], pack_files: int = 8
+    ) -> list[tuple[jax.Array | None, int]]:
+        """Multi-file packed dispatch: one jitted call per group of files
+        sharing a chunk bucket (up to ``pack_files`` per call).
+
+        For many short files this amortizes the fixed per-dispatch latency
+        (~80 ms through this environment's relay) across the group and
+        fills device batches that single short files leave mostly padding.
+        Returns per-file (device logits grid (T, L) or None, total_frames)
+        in input order — same contract as ``logits_for_audio_async``.
+        """
+        ck = self.chunkyfier
+        audio_cfg = self.model.config.audio
+        min_chunks = self.mesh.shape["data"] if self.mesh is not None else 1
+
+        plan: list[tuple[int, int, int]] = []  # (input idx, n_chunks, total)
+        results: list[tuple[jax.Array | None, int]] = [(None, 0)] * len(audios)
+        for i, audio in enumerate(audios):
+            total_frames = ck.total_frames(
+                int(audio.shape[0]),
+                strict_tail=audio_cfg.strict_frames,
+                reference_tail=audio_cfg.reference_tail,
+            )
+            if total_frames == 0:
+                continue
+            n_chunks = _bucket(
+                -(-total_frames // ck.n_windows), minimum=min_chunks
+            )
+            plan.append((i, n_chunks, total_frames))
+
+        # group by bucket, preserving order within each bucket
+        by_bucket: dict[int, list[tuple[int, int]]] = {}
+        for i, n_chunks, total_frames in plan:
+            by_bucket.setdefault(n_chunks, []).append((i, total_frames))
+
+        for n_chunks, items in by_bucket.items():
+            padded_len = n_chunks * ck.chunk_stride + ck.chunk_duration_f
+            for g in range(0, len(items), max(1, pack_files)):
+                group = items[g : g + max(1, pack_files)]
+                dtype = audios[group[0][0]].dtype
+                packed = np.zeros((len(group), padded_len), dtype)
+                for row, (i, _tf) in enumerate(group):
+                    a = audios[i]
+                    packed[row, : a.shape[0]] = a.astype(dtype, copy=False)
+                logits = self._infer_jit(
+                    self.params, jnp.asarray(packed), n_chunks
+                )
+                for row, (i, tf) in enumerate(group):
+                    results[i] = (logits[row], tf)
+        return results
 
     def logits_for_audio(self, audio: np.ndarray) -> np.ndarray:
         """Full-file frame logits (total_frames, n_labels) float32."""
@@ -666,6 +724,7 @@ def run_inference_on_audios(
     merge_gap_s: float = 0.0,
     transport: str = "int16",
     mesh: Any = "auto",
+    pack_files: int = 1,
 ) -> list[Path]:
     """Batch entry point: load config + checkpoint, then per-file inference
     (reference ``run_inference_on_audios``, ``inference.py:398-459``).
@@ -675,6 +734,10 @@ def run_inference_on_audios(
     over ``data`` and TP rules apply to the params (SURVEY.md §7 step 8:
     sharded batch inference). Pass None/"off" to force single-device, or an
     existing ``jax.sharding.Mesh``.
+
+    ``pack_files``: >1 packs that many files into each device dispatch
+    (``logits_for_audios_async``) — amortizes per-call latency for many
+    short files. 1 (default) dispatches per file.
     """
     from segma_tpu.checkpoint import load_model_for_inference
 
@@ -765,16 +828,36 @@ def run_inference_on_audios(
             flush=True,
         )
 
+    group: list[tuple[Path, np.ndarray]] = []
+
+    def dispatch_group() -> None:
+        """Queue device work for the buffered files; finalize the previous
+        in-flight group (keeps one group of transfers+forwards in flight)."""
+        if not group:
+            return
+        t0 = time.perf_counter()
+        if len(group) == 1:
+            outs = [pipeline.logits_for_audio_async(group[0][1])]
+        else:
+            outs = pipeline.logits_for_audios_async(
+                [a for _, a in group], pack_files=pack_files
+            )
+        new_items = [
+            (path, t0, lg, tf) for (path, _), (lg, tf) in zip(group, outs)
+        ]
+        group.clear()
+        while pending:
+            finalize(pending.popleft())
+        pending.extend(new_items)
+
     while True:
         item = q.get()
         if item is stop:
             break
-        audio_path, audio = item
-        t0 = time.perf_counter()
-        logits_dev, total_frames = pipeline.logits_for_audio_async(audio)
-        pending.append((audio_path, t0, logits_dev, total_frames))
-        if len(pending) >= 2:  # keep one file in flight
-            finalize(pending.popleft())
+        group.append(item)
+        if len(group) >= max(1, pack_files):
+            dispatch_group()
+    dispatch_group()
     while pending:
         finalize(pending.popleft())
     return files_to_infer_on
@@ -815,6 +898,11 @@ def main(argv: list[str] | None = None) -> None:
         help="auto: shard the window axis over all visible devices "
         "(mesh layout from config `mesh.data`/`mesh.model`); off: one device",
     )
+    parser.add_argument(
+        "--pack-files", type=int, default=1,
+        help="pack N files per device dispatch (amortizes per-call latency "
+        "for many short files)",
+    )
     # unknown args flow to the config loader as key.path=value overrides
     # (same convention as the training CLIs)
     args, extra_args = parser.parse_known_args(argv)
@@ -834,6 +922,7 @@ def main(argv: list[str] | None = None) -> None:
         merge_gap_s=args.merge_gap,
         transport=args.transport,
         mesh=args.mesh,
+        pack_files=args.pack_files,
     )
 
 

@@ -242,6 +242,60 @@ def test_run_inference_on_audios_pipelined(vad_model, synthetic_dataset, tmp_pat
         assert (tmp_path / "logits" / f"{f.stem}-logits_dict_t.npz").exists()
 
 
+def test_packed_multifile_matches_per_file(vad_model):
+    """logits_for_audios_async (packed dispatch) must match per-file calls
+    (to float ulps — batch regrouping changes XLA fusion order) across mixed
+    lengths and buckets."""
+    rng = np.random.default_rng(8)
+    lengths = [10_000, 40_000, 40_500, 90_000, 300, 16_000]
+    audios = [
+        (rng.standard_normal(n) * 3000).astype(np.int16) for n in lengths
+    ]
+    pipe = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    packed = pipe.logits_for_audios_async(audios, pack_files=3)
+    assert len(packed) == len(audios)
+    for audio, (lg, tf) in zip(audios, packed):
+        ref_lg, ref_tf = pipe.logits_for_audio_async(audio)
+        assert tf == ref_tf
+        if ref_lg is None:
+            assert lg is None
+        else:
+            np.testing.assert_allclose(
+                np.asarray(lg[:tf]),
+                np.asarray(ref_lg[:tf]),
+                rtol=1e-5,
+                atol=1e-6,
+            )
+
+
+def test_run_inference_pack_files_identical_rttm(
+    vad_model, synthetic_dataset, tmp_path
+):
+    """--pack-files N writes byte-identical RTTMs vs per-file dispatch."""
+    from segma_tpu.inference import run_inference_on_audios
+
+    def run(out: Path, pack: int) -> dict[str, str]:
+        run_inference_on_audios(
+            config=vad_model.config,
+            wavs=synthetic_dataset / "wav",
+            checkpoint=None,
+            output=out,
+            uris=synthetic_dataset / "test.txt",
+            batch_size=16,
+            model=vad_model,
+            mesh="off",
+            pack_files=pack,
+        )
+        return {
+            p.name: p.read_text()
+            for p in sorted((out / "raw_rttm").glob("*.rttm"))
+        }
+
+    single = run(tmp_path / "single", 1)
+    packed = run(tmp_path / "packed", 4)
+    assert single and single == packed
+
+
 def test_mulaw_transport_close_to_f32(vad_model):
     """mu-law int8 transport must match the f32 pipeline within companding
     noise (speech-transparent, ~38 dB SNR)."""
