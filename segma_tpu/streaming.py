@@ -73,29 +73,44 @@ class StreamingSegmenter:
 
     # -- internals ---------------------------------------------------------------
     def _emit_frames(self, probs_mask: np.ndarray) -> list[tuple[int, int, str]]:
-        """Advance the run state over new frames; return closed intervals."""
+        """Advance the run state over new frames; return closed intervals.
+
+        Vectorized transition detection (prepend the carry state, diff the
+        padded mask): the host does O(runs) Python work per chunk instead of
+        O(frames x labels) — at device speeds the per-frame loop was the
+        streaming throughput ceiling.
+        """
         out: list[tuple[int, int, str]] = []
         base = self._n_frames
+        t = probs_mask.shape[0]
+        carry = (self._open >= 0)[None, :]  # (1, L) open-run state
+        padded = np.concatenate([carry, probs_mask]).astype(np.int8)
+        diff = np.diff(padded, axis=0)  # +1 = run opens at f, -1 = closes
         for li, label in enumerate(self.labels):
-            col = probs_mask[:, li]
-            open_start = self._open[li]
-            # transitions relative to the carry state
-            prev = open_start >= 0
-            for f in range(col.shape[0]):
-                if col[f] and not prev:
-                    open_start = base + f
-                elif not col[f] and prev:
-                    out.append(
-                        (
-                            max(0, self.frame_settings.rf_start_i(int(open_start))),
-                            self.frame_settings.rf_end_i(base + f - 1) + 1,
-                            label,
-                        )
-                    )
+            opens = np.where(diff[:, li] == 1)[0]
+            closes = np.where(diff[:, li] == -1)[0]
+            open_start = int(self._open[li])
+            # closes pair in order: first with the carried-open run (if
+            # any), the rest with this chunk's opens; at most one open
+            # can be left over (still running past the chunk end)
+            oi = 0
+            for c in closes:
+                start = open_start if open_start >= 0 else base + int(opens[oi])
+                if open_start >= 0:
                     open_start = -1
-                prev = bool(col[f])
+                else:
+                    oi += 1
+                out.append(
+                    (
+                        max(0, self.frame_settings.rf_start_i(start)),
+                        self.frame_settings.rf_end_i(base + int(c) - 1) + 1,
+                        label,
+                    )
+                )
+            if oi < len(opens):  # one run left open past the chunk end
+                open_start = base + int(opens[oi])
             self._open[li] = open_start
-        self._n_frames += probs_mask.shape[0]
+        self._n_frames += t
         return out
 
     def _process_chunk(self, chunk: np.ndarray, keep_frames: int) -> np.ndarray:
