@@ -32,6 +32,15 @@ if __name__ == "__main__":
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--thresholds", default=None)
     parser.add_argument("--batch_size", "--batch-size", default=128, type=int)
+    parser.add_argument(
+        "--batch-window-ms", type=float, default=0.0,
+        help="micro-batch concurrent requests arriving within this window "
+        "into one packed device dispatch (0 disables)",
+    )
+    parser.add_argument(
+        "--max-batch", type=int, default=8,
+        help="max requests per micro-batch dispatch",
+    )
     args, extra = parser.parse_known_args()
 
     import yaml
@@ -51,4 +60,6 @@ if __name__ == "__main__":
         port=args.port,
         thresholds=thresholds,
         batch_size=args.batch_size,
+        batch_window_ms=args.batch_window_ms,
+        max_batch=args.max_batch,
     )

@@ -21,8 +21,10 @@ packed run-length decode and interval math run underneath.
 from __future__ import annotations
 
 import json
+import queue
 import tempfile
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Any
@@ -39,6 +41,58 @@ from segma_tpu.inference import (
 from segma_tpu.utils.conversions import frames_to_seconds
 
 
+class _MicroBatcher:
+    """Group concurrent requests into one packed device dispatch.
+
+    Requests arriving within ``window_ms`` of the first queued one (up to
+    ``max_batch``) share a single ``logits_for_audios_async`` call — same
+    mechanism as the predict CLI's ``--pack-files`` (fills device batches
+    that single short requests leave mostly idle; measured 1.7x on
+    whisper-base over 20 s clips)."""
+
+    def __init__(self, service, window_ms: float, max_batch: int) -> None:
+        self.service = service
+        self.window_s = window_ms / 1000.0
+        self.max_batch = max(1, max_batch)
+        self.q: queue.Queue = queue.Queue()
+        self.dispatches = 0  # observability / tests
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def submit(self, audio: np.ndarray) -> list[tuple]:
+        done = threading.Event()
+        box: dict[str, Any] = {}
+        self.q.put((audio, done, box))
+        done.wait()
+        if "err" in box:
+            raise box["err"]
+        return box["result"]
+
+    def _run(self) -> None:
+        while True:
+            group = [self.q.get()]
+            deadline = time.monotonic() + self.window_s
+            while len(group) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self.dispatches += 1
+            try:
+                results = self.service._segment_audios(
+                    [audio for audio, _, _ in group]
+                )
+                for (_, done, box), result in zip(group, results):
+                    box["result"] = result
+                    done.set()
+            except Exception as e:  # noqa: BLE001 — propagate per request
+                for _, done, box in group:
+                    box["err"] = e
+                    done.set()
+
+
 class SegmentationService:
     """Model + thresholds + device serialization, shared by HTTP threads."""
 
@@ -47,12 +101,19 @@ class SegmentationService:
         pipeline: InferencePipeline,
         thresholds: dict[str, dict[str, float]] | None = None,
         transport: str = "int16",
+        batch_window_ms: float = 0.0,
+        max_batch: int = 8,
     ) -> None:
         self.pipeline = pipeline
         enc = pipeline.model.label_encoder
         self.thresholds = thresholds or default_thresholds(enc.base_labels)
         self.transport = transport
         self._device_lock = threading.Lock()
+        self._batcher = (
+            _MicroBatcher(self, batch_window_ms, max_batch)
+            if batch_window_ms > 0
+            else None
+        )
 
     # -- decode -----------------------------------------------------------------
     def _audio_from_body(self, body: bytes, content_type: str) -> np.ndarray:
@@ -71,20 +132,36 @@ class SegmentationService:
             return _load_mono(Path(f.name), self.transport)
 
     # -- inference ---------------------------------------------------------------
+    def _segment_audios(self, audios: list[np.ndarray]) -> list[list[tuple]]:
+        """Decoded audios -> per-audio sorted interval lists (one packed
+        device dispatch when several arrive together)."""
+        with self._device_lock:
+            if len(audios) == 1:
+                outs = [self.pipeline.logits_for_audio_async(audios[0])]
+            else:
+                outs = self.pipeline.logits_for_audios_async(
+                    audios, pack_files=len(audios)
+                )
+            results = []
+            for lg, tf in outs:
+                if lg is None:
+                    results.append([])
+                else:
+                    results.append(
+                        sorted(
+                            self.pipeline.decode_intervals(
+                                lg, self.thresholds, valid_frames=tf
+                            )
+                        )
+                    )
+            return results
+
     def segment(self, body: bytes, content_type: str = "") -> list[tuple]:
         """audio bytes -> sorted [(start_f, end_f, label), ...]."""
         audio = self._audio_from_body(body, content_type)
-        with self._device_lock:
-            logits_dev, total_frames = self.pipeline.logits_for_audio_async(
-                audio
-            )
-            if logits_dev is None:
-                return []
-            return sorted(
-                self.pipeline.decode_intervals(
-                    logits_dev, self.thresholds, valid_frames=total_frames
-                )
-            )
+        if self._batcher is not None:
+            return self._batcher.submit(audio)
+        return self._segment_audios([audio])[0]
 
     # -- formatting ---------------------------------------------------------------
     def to_json(self, intervals: list[tuple], uri: str) -> bytes:
@@ -196,6 +273,8 @@ def serve_forever(
     port: int = 8000,
     thresholds: dict | None = None,
     batch_size: int = 128,
+    batch_window_ms: float = 0.0,
+    max_batch: int = 8,
 ) -> None:
     """Load the model and serve until interrupted (CLI entry)."""
     from segma_tpu.checkpoint import load_model_for_inference
@@ -205,7 +284,12 @@ def serve_forever(
     cfg = config if isinstance(config, Config) else load_config(config)
     model = load_model_for_inference(cfg, checkpoint)
     pipeline = InferencePipeline(model, model.params, batch_size=batch_size)
-    service = SegmentationService(pipeline, thresholds)
+    service = SegmentationService(
+        pipeline,
+        thresholds,
+        batch_window_ms=batch_window_ms,
+        max_batch=max_batch,
+    )
     server = make_server(service, host, port)
     log(f"serving {model.name} on http://{host}:{server.server_address[1]}")
     try:

@@ -126,6 +126,46 @@ def test_unknown_path_is_404(server):
     assert e.value.code == 404
 
 
+def test_micro_batching_groups_concurrent_requests(service, wav_bytes):
+    """With a batching window, concurrent requests share device dispatches
+    and return the same intervals as the direct path."""
+    from segma_tpu.serve import SegmentationService
+
+    body, _ = wav_bytes
+    batched = SegmentationService(
+        service.pipeline, batch_window_ms=200.0, max_batch=8
+    )
+    direct = service.segment(body)
+    results = []
+
+    def hit():
+        results.append(batched.segment(body))
+
+    threads = [threading.Thread(target=hit) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 6
+    assert all(r == direct for r in results)
+    # 6 requests within one 200 ms window -> far fewer dispatches than 6
+    assert batched._batcher.dispatches < 6
+
+
+def test_micro_batching_propagates_errors(service):
+    from segma_tpu.serve import SegmentationService
+
+    batched = SegmentationService(
+        service.pipeline, batch_window_ms=50.0, max_batch=4
+    )
+    with pytest.raises(ValueError, match="RIFF"):
+        batched.segment(b"definitely not audio")
+    # the batcher keeps working after a bad request
+    pcm = np.zeros(20_000, "<i2").tobytes()
+    out = batched.segment(pcm, "audio/l16")
+    assert out == service.segment(pcm, "audio/l16")
+
+
 def test_concurrent_requests(server, wav_bytes):
     """Parallel clients all get correct, identical answers (device access
     is serialized internally)."""
