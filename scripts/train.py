@@ -98,6 +98,12 @@ def run_training(
     log("started training")
     result = trainer.fit(dm, resume_from=resume_from)
 
+    if result.get("interrupted"):
+        # preempted: last/ holds the resumable state; requeue with
+        # --auto-resume (the SLURM scripts do this automatically)
+        log(f"preempted — resume from {run_dir / 'checkpoints' / 'last'}")
+        return result
+
     # static best-model pointer (reference symlinks models/last/best.ckpt)
     static_p = Path("models/last")
     static_p.mkdir(parents=True, exist_ok=True)

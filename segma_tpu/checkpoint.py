@@ -135,19 +135,7 @@ class CheckpointManager:
         top-k dirs."""
         meta = {**meta, "epoch": epoch, "score": float(score)}
         if self.save_last:
-            last = self.dirpath / "last"
-            tmp = self.dirpath / ".last.tmp"
-            save_params(tmp, trainable_params, meta)
-            if opt_state is not None:
-                host_opt = jax.tree.map(np.asarray, opt_state)
-                (tmp / "opt_state.msgpack").write_bytes(
-                    serialization.to_bytes(host_opt)
-                )
-            if train_state is not None:
-                with (tmp / "train_state.yaml").open("w") as f:
-                    yaml.dump(train_state, f)
-            shutil.rmtree(last, ignore_errors=True)
-            tmp.rename(last)
+            self._write_last(trainable_params, meta, opt_state, train_state)
 
         # keep the epoch directory only while it ranks within top-k
         name = f"epoch={epoch:02d}-{self.monitor.replace('/', '_')}={score:.3f}"
@@ -166,6 +154,45 @@ class CheckpointManager:
             best_link = self.dirpath / "best.ckpt"
             best_link.unlink(missing_ok=True)
             best_link.symlink_to(path.resolve())
+
+    def _write_last(
+        self,
+        trainable_params: Any,
+        meta: dict,
+        opt_state: Any = None,
+        train_state: dict | None = None,
+    ) -> None:
+        """Atomically replace ``last/`` (write to a tmp dir, then rename)."""
+        last = self.dirpath / "last"
+        tmp = self.dirpath / ".last.tmp"
+        save_params(tmp, trainable_params, meta)
+        if opt_state is not None:
+            host_opt = jax.tree.map(np.asarray, opt_state)
+            (tmp / "opt_state.msgpack").write_bytes(
+                serialization.to_bytes(host_opt)
+            )
+        if train_state is not None:
+            with (tmp / "train_state.yaml").open("w") as f:
+                yaml.dump(train_state, f)
+        shutil.rmtree(last, ignore_errors=True)
+        tmp.rename(last)
+
+    def save_interrupt(
+        self,
+        epoch: int,
+        trainable_params: Any,
+        meta: dict,
+        opt_state: Any = None,
+        train_state: dict | None = None,
+    ) -> Path:
+        """Preemption save: write ONLY ``last/`` (no top-k accounting).
+
+        ``epoch`` is the last COMPLETED epoch (resume redoes the
+        interrupted one); pass -1 if none completed.
+        """
+        meta = {**meta, "epoch": epoch, "interrupted": True}
+        self._write_last(trainable_params, meta, opt_state, train_state)
+        return self.last_path
 
     @property
     def last_path(self) -> Path:

@@ -203,6 +203,18 @@ class Trainer:
         self.early_stopping = EarlyStopping(
             self.mode, patience=tc.early_stop_patience
         )
+        self._preempt_requested = False
+
+    # -- preemption ---------------------------------------------------------------
+    def request_preemption(self) -> None:
+        """Ask the training loop to stop after the current step and write a
+        resumable ``last/`` checkpoint. Called by the SIGTERM handler (SLURM
+        sends SIGTERM ahead of the hard kill); safe to call from anywhere."""
+        self._preempt_requested = True
+
+    def _handle_preempt_signal(self, signum, _frame) -> None:
+        self.logger.log({"preempt_signal": int(signum)})
+        self.request_preemption()
 
     # -- data placement ---------------------------------------------------------
     def _put(self, batch: dict[str, np.ndarray]) -> dict[str, jnp.ndarray]:
@@ -234,6 +246,8 @@ class Trainer:
                 for i, label in enumerate(labels):
                     step_metrics[f"train/loss_step_{label}"] = float(per_label[i])
                 self.logger.log(step_metrics)
+            if self._preempt_requested:
+                break
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         return params, opt_state, mean_loss, key
 
@@ -389,7 +403,33 @@ class Trainer:
         # epoch to <run_dir>/profile, xprof-compatible
         profile_epoch = start_epoch + 1 if tc.profiler else None
 
+        # preemption safety: SLURM/k8s send SIGTERM before the hard kill;
+        # stop after the in-flight step and write a resumable last/ (only
+        # the main thread may install handlers)
+        import signal
+        import threading
+
+        installed: list[tuple[int, Any]] = []
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM,):
+                installed.append((sig, signal.getsignal(sig)))
+                signal.signal(sig, self._handle_preempt_signal)
+
+        def train_state_snapshot() -> dict:
+            return {
+                "scheduler": {
+                    "best": self.scheduler.best,
+                    "bad_epochs": self.scheduler.bad_epochs,
+                    "scale": self.scheduler.scale,
+                },
+                "early_stopping": {
+                    "best": self.early_stopping.best,
+                    "bad_epochs": self.early_stopping.bad_epochs,
+                },
+            }
+
         history = []
+        interrupted = False
         for epoch in range(start_epoch, max_epochs):
             if epoch == profile_epoch:
                 jax.profiler.start_trace(str(self.run_dir / "profile"))
@@ -401,6 +441,20 @@ class Trainer:
                 jax.block_until_ready(params)
                 jax.profiler.stop_trace()
                 self.logger.log({"profile_dir": str(self.run_dir / "profile")})
+            if self._preempt_requested:
+                # epoch incomplete: persist params + optimizer state tagged
+                # with the last COMPLETED epoch so resume redoes this one
+                trainable, _ = self.model.split_params(params)
+                path = self.ckpt.save_interrupt(
+                    epoch - 1,
+                    trainable,
+                    meta={"config": self.config.as_dict(), "monitor": self.monitor},
+                    opt_state=opt_state,
+                    train_state=train_state_snapshot(),
+                )
+                self.logger.log({"preempted_at_epoch": epoch, "saved": str(path)})
+                interrupted = True
+                break
             metrics = self._val_epoch(params, val_loader)
             metrics["train/loss"] = train_loss
             metrics["lr"] = get_learning_rate(opt_state)
@@ -432,27 +486,22 @@ class Trainer:
                 trainable,
                 meta={"config": self.config.as_dict(), "monitor": self.monitor},
                 opt_state=opt_state,
-                train_state={
-                    "scheduler": {
-                        "best": self.scheduler.best,
-                        "bad_epochs": self.scheduler.bad_epochs,
-                        "scale": self.scheduler.scale,
-                    },
-                    "early_stopping": {
-                        "best": self.early_stopping.best,
-                        "bad_epochs": self.early_stopping.bad_epochs,
-                    },
-                },
+                train_state=train_state_snapshot(),
             )
 
             if self.early_stopping.step(monitored):
                 self.logger.log({"early_stop": epoch})
                 break
 
+        for sig, prev in installed:
+            signal.signal(sig, prev)
         self.model.params = params
         return {
             "params": params,
             "history": history,
+            "interrupted": interrupted,
             "best_score": self.ckpt.best_score,
-            "best_path": str(self.ckpt.best_path),
+            "best_path": str(self.ckpt.best_path)
+            if self.ckpt.best_path is not None
+            else None,
         }

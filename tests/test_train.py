@@ -107,6 +107,57 @@ def train_cfg(synthetic_dataset):
     )
 
 
+def test_preemption_saves_resumable_last(train_cfg, tmp_path):
+    """A SIGTERM-style preemption mid-epoch stops after the in-flight step,
+    writes a resumable last/ checkpoint, and a fresh Trainer resumes and
+    finishes (role of SLURM's pre-kill SIGTERM; reference has no in-process
+    handling at all)."""
+    import signal
+
+    from segma_tpu.checkpoint import load_meta
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    enc = MultiLabelEncoder(train_cfg.data.classes)
+    model = Models["conv_vad"](enc, train_cfg)
+    ds = SegmaFileDataset.from_config(train_cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, train_cfg, model.conv_settings)
+
+    run_dir = tmp_path / "run"
+    trainer = Trainer(model=model, config=train_cfg, run_dir=run_dir)
+    # simulate SIGTERM arriving during the 3rd train step
+    orig_step = trainer.train_step
+    calls = {"n": 0}
+
+    def wrapped(*args):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            trainer._handle_preempt_signal(signal.SIGTERM, None)
+        return orig_step(*args)
+
+    trainer.train_step = wrapped
+    result = trainer.fit(dm)
+    assert result["interrupted"] is True
+    assert calls["n"] == 3  # stopped right after the in-flight step
+    last = run_dir / "checkpoints" / "last"
+    assert (last / "params.msgpack").exists()
+    assert (last / "opt_state.msgpack").exists()
+    meta = load_meta(last)
+    assert meta["interrupted"] is True and meta["epoch"] == -1
+
+    # fresh trainer resumes from the preemption save and completes
+    model2 = Models["conv_vad"](MultiLabelEncoder(train_cfg.data.classes),
+                                train_cfg)
+    t2 = Trainer(model=model2, config=train_cfg, run_dir=run_dir,
+                 max_epochs=1)
+    result2 = t2.fit(dm, resume_from=last)
+    assert result2["interrupted"] is False
+    assert len(result2["history"]) == 1
+    assert result2["best_path"] is not None
+
+
 def test_trainer_fit_smoke(train_cfg, tmp_path):
     """Loss must go down over a few epochs on the sine-tone dataset, and the
     checkpoint layout must materialize."""
