@@ -141,6 +141,29 @@ class MacroAverageFMeasure:
             out[c] = {"miss": miss, "false_alarm": fa}
         return out
 
+    def error_rates(self) -> dict[str, float]:
+        """Per-class detection error rate: (miss + false alarm) / ref
+        duration — the DER analog for per-class detection (segma_tpu
+        extension; the reference reports F-measure only)."""
+        out = {}
+        for c, (rel, ret, rr) in self._acc.items():
+            if rel > 0:
+                out[c] = ((rel - rr) + (ret - rr)) / rel
+            else:
+                out[c] = 0.0 if ret == 0 else float("inf")
+        return out
+
+    def der(self) -> float:
+        """Micro-averaged detection error rate over all classes: total
+        missed + falsely-alarmed duration over total reference duration
+        (all classes pooled)."""
+        rel = sum(v[0] for v in self._acc.values())
+        ret = sum(v[1] for v in self._acc.values())
+        rr = sum(v[2] for v in self._acc.values())
+        if rel == 0:
+            return 0.0 if ret == 0 else float("inf")
+        return ((rel - rr) + (ret - rr)) / rel
+
     def __abs__(self) -> float:
         scores = self.class_scores()
         return sum(scores.values()) / len(scores) if scores else 0.0
@@ -198,6 +221,7 @@ def eval_model_output(
 
     final = {"Total": abs(metric), **metric.class_scores()}
     rates = metric.detection_rates()
+    ers = metric.error_rates()
     width = max(len(k) for k in final) + 1
     print("=====================")
     print("[log] - Results\n")
@@ -206,10 +230,13 @@ def eval_model_output(
         if k in rates:
             extra = (
                 f"  (miss {rates[k]['miss']:.3f}, "
-                f"fa {rates[k]['false_alarm']:.3f})"
+                f"fa {rates[k]['false_alarm']:.3f}, "
+                f"der {ers[k]:.3f})"
             )
         print(f"{k:<{width}}: {round(fscore, 5)}{extra}")
+    print(f"{'DER':<{width}}: {round(metric.der(), 5)}  (micro, pooled)")
     print("=====================", flush=True)
+    final["DER"] = metric.der()
     return final
 
 

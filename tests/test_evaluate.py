@@ -119,6 +119,39 @@ def test_uem_cropping(tmp_path):
     assert m2.class_scores()["a"] == pytest.approx(1.0)
 
 
+def test_error_rates_and_der():
+    """Per-class detection error rate and pooled DER, hand-computed."""
+    # class a: ref [0,2], hyp [1,3] -> 1 s miss + 1 s fa over 2 s ref = 1.0
+    # class b: ref [0,4], hyp [0,4] -> 0.0
+    ref = [AudioAnnotation("u", 0.0, 2.0, "a"), AudioAnnotation("u", 0.0, 4.0, "b")]
+    hyp = [AudioAnnotation("u", 1.0, 2.0, "a"), AudioAnnotation("u", 0.0, 4.0, "b")]
+    m = MacroAverageFMeasure(["a", "b"])
+    m(ref, hyp, uri="u")
+    ers = m.error_rates()
+    assert ers["a"] == pytest.approx(1.0)
+    assert ers["b"] == pytest.approx(0.0)
+    # pooled: (1 miss + 1 fa) / 6 s total ref
+    assert m.der() == pytest.approx(2.0 / 6.0)
+    # perfect prediction -> DER 0
+    m2 = MacroAverageFMeasure(["a", "b"])
+    m2(ref, list(ref), uri="u")
+    assert m2.der() == pytest.approx(0.0)
+    # empty reference but spurious hyp -> inf
+    m3 = MacroAverageFMeasure(["a"])
+    m3([], [AudioAnnotation("u", 0.0, 1.0, "a")], uri="u")
+    assert m3.error_rates()["a"] == float("inf")
+    assert m3.der() == float("inf")
+
+
+def test_eval_model_output_reports_der(tmp_path):
+    gt, pred = tmp_path / "gt", tmp_path / "pred"
+    gt.mkdir(), pred.mkdir()
+    (gt / "u.rttm").write_text(AudioAnnotation("u", 0.0, 2.0, "a").to_rttm() + "\n")
+    (pred / "u.rttm").write_text(AudioAnnotation("u", 0.0, 1.0, "a").to_rttm() + "\n")
+    final = eval_model_output(gt, pred, ["a"], scores_output=tmp_path / "f.csv")
+    assert final["DER"] == pytest.approx(0.5)  # 1 s miss / 2 s ref
+
+
 def test_detection_rates():
     from segma_tpu.evaluate import MacroAverageFMeasure
 
