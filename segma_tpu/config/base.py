@@ -180,6 +180,24 @@ class ConvVADConfig(BaseConfig):
 
 
 @dataclass
+class SincNetHydraConfig(BaseConfig):
+    """Learnable band-pass (SincNet) frontend + BiLSTM + hydra heads.
+
+    The reference declares a ``SincNetConfig`` (``config/base.py:83-85``)
+    but ships no SincNet model; segma_tpu implements it
+    (``segma_tpu/models/sincnet.py``). ``stride`` keeps the reference's
+    field name; rf_step = 32 * stride (320 = 20 ms grid at default 10).
+    """
+
+    stride: int = 10
+    filters: int = 80
+    kernel_size: int = 251
+    hidden: int = 128
+    lstm: LSTMConfig | None = None
+    dtype: str = "bf16"  # compute dtype: bf16 | f32
+
+
+@dataclass
 class ModelConfig(BaseConfig):
     name: str
     chkp_path: str | None = None
@@ -191,6 +209,7 @@ class ModelConfig(BaseConfig):
         | HydraWhisperConfig
         | SurgicalHydraConfig
         | SurgicalHubertHydraConfig
+        | SincNetHydraConfig
         | ConvVADConfig
     ) = None
 

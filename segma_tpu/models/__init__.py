@@ -45,6 +45,12 @@ def _lazy_wavlm(name: str) -> ModelBuilder:
     return build
 
 
+def _build_sincnet(label_encoder: LabelEncoder, config: Config) -> SegmentationModel:
+    from segma_tpu.models.sincnet import build_sincnet_hydra
+
+    return build_sincnet_hydra(label_encoder, config)
+
+
 Models: dict[str, ModelBuilder] = {
     "whisperidou": _lazy_whisper("whisperidou"),
     "whisperimax": _lazy_whisper("whisperimax"),
@@ -55,6 +61,7 @@ Models: dict[str, ModelBuilder] = {
     "surgical_wavlm_hydra": _lazy_wavlm("surgical_wavlm_hydra"),
     "conv_vad": build_conv_vad,
     "powerset_vad": build_powerset_vad,
+    "sincnet_hydra": _build_sincnet,
 }
 
 __all__ = ["ConvolutionSettings", "Models", "SegmentationModel"]

@@ -15,6 +15,7 @@ EXPECTED = {
     "surgical_hubert_hydra",
     "surgical_wavlm_hydra",
     "conv_vad",
+    "sincnet_hydra",
 }
 
 
