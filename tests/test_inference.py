@@ -242,6 +242,33 @@ def test_run_inference_on_audios_pipelined(vad_model, synthetic_dataset, tmp_pat
         assert (tmp_path / "logits" / f"{f.stem}-logits_dict_t.npz").exists()
 
 
+def test_long_file_segmented_dispatch_matches_single(vad_model):
+    """Files above max_bucket_chunks dispatch in segments; logits and
+    intervals must match the single-dispatch path (bucket-cap correctness)."""
+    rng = np.random.default_rng(11)
+    # 11 chunks needed at the 1 s geometry; cap at 4 -> 3 segments (4+4+3)
+    n = STRIDE_1S * 10 + CHUNK_1S + 2_000
+    audio = (rng.standard_normal(n) * 3000).astype(np.int16)
+
+    single = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    seg = InferencePipeline(
+        vad_model, vad_model.params, batch_size=4, max_bucket_chunks=4
+    )
+    ref = single.logits_for_audio(audio)
+    got = seg.logits_for_audio(audio)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    thr = default_thresholds(vad_model.label_encoder.base_labels)
+    lg, tf = seg.logits_for_audio_async(audio)
+    assert sorted(seg.decode_intervals(lg, thr, valid_frames=tf)) == sorted(
+        single.decode_intervals(ref, thr)
+    )
+    # the device grid row count is re-bucketed to a power of two >= tf
+    rows = int(lg.shape[0])
+    assert rows >= tf and rows & (rows - 1) == 0
+
+
 def test_packed_multifile_matches_per_file(vad_model):
     """logits_for_audios_async (packed dispatch) must match per-file calls
     (to float ulps — batch regrouping changes XLA fusion order) across mixed
