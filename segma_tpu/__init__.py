@@ -31,6 +31,7 @@ __all__ = [
     "InferencePipeline",
     "Models",
     "SegmaFileDataset",
+    "SegmentationService",
     "StreamingSegmenter",
     "Trainer",
     "__version__",
@@ -63,4 +64,8 @@ def __getattr__(name):  # lazy: keep bare `import segma_tpu` lightweight
         from segma_tpu.data import SegmaFileDataset
 
         return SegmaFileDataset
+    if name == "SegmentationService":
+        from segma_tpu.serve import SegmentationService
+
+        return SegmentationService
     raise AttributeError(f"module 'segma_tpu' has no attribute {name!r}")
