@@ -705,12 +705,18 @@ def infer_file(
 
     if audio is None:
         audio = _load_mono(audio_path)
-    logits = pipeline.logits_for_audio(audio)
+    logits_dev, total_frames = pipeline.logits_for_audio_async(audio)
+    if logits_dev is None:
+        logits_dev = np.zeros((0, pipeline.model.n_labels), np.float32)
 
     if dump_logits:
-        save_logits(logits, enc, output_p, audio_path.stem)
+        save_logits(
+            np.asarray(logits_dev[:total_frames]), enc, output_p, audio_path.stem
+        )
 
-    intervals = pipeline.decode_intervals(logits, thresholds)
+    intervals = pipeline.decode_intervals(
+        logits_dev, thresholds, valid_frames=total_frames
+    )
     sr = pipeline.model.config.audio.sample_rate
     intervals = postprocess_intervals(
         intervals,
