@@ -290,6 +290,13 @@ def serve_forever(
         batch_window_ms=batch_window_ms,
         max_batch=max_batch,
     )
+    # warmup: compile the smallest forward + decode before accepting
+    # traffic so the first request doesn't pay the (remote) compile
+    log("warming up (first compile)...")
+    warm = np.zeros(cfg.audio.chunk_duration_f, np.int16)
+    lg, tf = pipeline.logits_for_audio_async(warm)
+    if lg is not None:
+        pipeline.decode_intervals(lg, service.thresholds, valid_frames=tf)
     server = make_server(service, host, port)
     log(f"serving {model.name} on http://{host}:{server.server_address[1]}")
     try:
