@@ -467,9 +467,12 @@ class InferencePipeline:
         if t == 0 or valid == 0:
             return []
         thr = self._threshold_vector(thresholds)
-        # worst case is alternating frames: T//2 + 1 runs; cap stays small
-        # for real audio — bucketed to limit distinct compilations
-        cap = min(_bucket(max(t // 64, 16)), t // 2 + 1)
+        # capacity: one run per 32 frames (640 ms) covers dense dialog with
+        # plenty of margin while keeping the download ~8x smaller than the
+        # old boolean masks; the worst case (alternating frames, T//2 + 1
+        # runs) falls back to the mask path below. Bucketed to limit
+        # distinct compilations.
+        cap = min(_bucket(max(t // 32, 16)), t // 2 + 1)
         packed = np.asarray(
             self._decode_packed_jit(jnp.asarray(logits), thr, valid, cap)
         )

@@ -104,3 +104,18 @@ def test_bad_type_rejected():
 def test_bad_literal_rejected():
     with pytest.raises(ConfigError):
         load_config(CONFIG_DIR / "default.yml", ["model.config.reduction=bogus"])
+
+
+def test_reference_train_configs_load_unchanged():
+    """Migration contract (MIGRATION.md §2): the reference's full train
+    configs load as-is. Skipped when the reference checkout isn't present
+    (e.g. public CI)."""
+    ref_dir = Path("/root/reference/src/segma/config")
+    if not ref_dir.exists():
+        pytest.skip("reference checkout not mounted")
+    cfg = load_config(ref_dir / "default.yml")
+    assert cfg.model.name == "surgical_hydra"
+    assert cfg.audio.chunk_duration_f == 64_000
+    cfg2 = load_config(ref_dir / "train_surgical_hubert_hydra.yml")
+    assert cfg2.model.name == "surgical_hubert_hydra"
+    assert cfg2.train.batch_size == 128
