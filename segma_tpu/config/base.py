@@ -231,6 +231,9 @@ class TrainConfig(BaseConfig):
     # the total and per-head losses, models/base.py:171-187). 0 disables.
     # Each step log forces a device sync, so keep the cadence coarse.
     log_every_n_steps: int = 50
+    # accumulate gradients over k micro-batches before each optimizer
+    # update (effective batch = k * batch_size); 1 = off
+    grad_accum_steps: int = 1
     early_stop_patience: int = 10
     save_top_k: int = 5
     # rematerialize encoder transformer layers in the backward pass

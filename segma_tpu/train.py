@@ -54,24 +54,41 @@ def get_metric(metric: str) -> tuple[str, str]:
 
 
 def make_optimizer(
-    model: SegmentationModel, lr: float
+    model: SegmentationModel, lr: float, grad_accum_steps: int = 1
 ) -> optax.GradientTransformation:
     """AdamW over trainable params only; LR injected as a runtime
-    hyperparameter so plateau scaling never recompiles."""
+    hyperparameter so plateau scaling never recompiles.
+
+    ``grad_accum_steps > 1`` wraps the transformation in
+    ``optax.MultiSteps``: every train step processes one micro-batch and
+    parameters update once per k steps with the averaged gradient — the
+    single-chip route to reference-scale effective batches (segma_tpu
+    extension; the reference trainer has no accumulation).
+    """
     opt = optax.inject_hyperparams(optax.adamw)(learning_rate=lr)
     # callable mask: resolved lazily at optimizer.init time
-    return optax.masked(opt, model.trainable_mask)
+    opt = optax.masked(opt, model.trainable_mask)
+    if grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_accum_steps)
+    return opt
+
+
+def _masked_state(opt_state):
+    """Unwrap to the masked-AdamW state (through MultiSteps if present)."""
+    if hasattr(opt_state, "inner_opt_state"):  # optax.MultiStepsState
+        return opt_state.inner_opt_state
+    return opt_state
 
 
 def set_learning_rate(opt_state, lr: float):
     """Update the injected learning rate in a masked-optimizer state."""
-    inner = opt_state.inner_state
+    inner = _masked_state(opt_state).inner_state
     inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state.inner_state.hyperparams["learning_rate"])
+    return float(_masked_state(opt_state).inner_state.hyperparams["learning_rate"])
 
 
 class ReduceLROnPlateau:
@@ -189,7 +206,9 @@ class Trainer:
             self.logger = MetricsLogger(self.run_dir / "metrics.jsonl")
         tc = self.config.train
         self.mode, self.monitor = get_metric(tc.validation_metric)
-        self.optimizer = make_optimizer(self.model, tc.lr)
+        self.optimizer = make_optimizer(
+            self.model, tc.lr, grad_accum_steps=tc.grad_accum_steps
+        )
         self.train_step = make_train_step(self.model, self.optimizer)
         self.eval_step = make_eval_step(self.model)
         self.ckpt = CheckpointManager(
