@@ -84,6 +84,12 @@ class DataloaderConfig(BaseConfig):
 @dataclass
 class SchedulerConfig(BaseConfig):
     patience: int
+    # "plateau" (reference parity: ReduceLROnPlateau on the monitored
+    # metric) or "cosine" (segma_tpu extension: per-step warmup + cosine
+    # decay to min_lr_ratio * lr over the full run)
+    type: str = "plateau"
+    warmup_steps: int = 0
+    min_lr_ratio: float = 0.0
 
 
 @dataclass

@@ -3,7 +3,9 @@
 The six reference model names map onto composable pieces — encoder
 (whisper | hubert) x layer reduction (last | weighted/average) x temporal
 head (none | bi-LSTM) x head type (softmax multiclass | per-label hydra) —
-plus the TPU-first ``conv_vad``.
+plus segma_tpu additions: ``surgical_wavlm_hydra`` (WavLM), the TPU-first
+``conv_vad``, ``powerset_vad`` (subset-softmax head) and ``sincnet_hydra``
+(learnable band-pass frontend).
 """
 
 from __future__ import annotations
@@ -51,7 +53,17 @@ def _build_sincnet(label_encoder: LabelEncoder, config: Config) -> SegmentationM
     return build_sincnet_hydra(label_encoder, config)
 
 
-Models: dict[str, ModelBuilder] = {
+class _Registry(dict):
+    """Model registry with a helpful unknown-name error."""
+
+    def __missing__(self, name: str):
+        raise KeyError(
+            f"unknown model {name!r}; registered models: "
+            + ", ".join(sorted(self))
+        )
+
+
+Models: dict[str, ModelBuilder] = _Registry({
     "whisperidou": _lazy_whisper("whisperidou"),
     "whisperimax": _lazy_whisper("whisperimax"),
     "surgical_whisper": _lazy_whisper("surgical_whisper"),
@@ -62,6 +74,6 @@ Models: dict[str, ModelBuilder] = {
     "conv_vad": build_conv_vad,
     "powerset_vad": build_powerset_vad,
     "sincnet_hydra": _build_sincnet,
-}
+})
 
 __all__ = ["ConvolutionSettings", "Models", "SegmentationModel"]

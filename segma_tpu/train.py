@@ -91,6 +91,24 @@ def get_learning_rate(opt_state) -> float:
     return float(_masked_state(opt_state).inner_state.hyperparams["learning_rate"])
 
 
+def cosine_lr(
+    step: int,
+    base_lr: float,
+    total_steps: int,
+    warmup_steps: int = 0,
+    min_lr_ratio: float = 0.0,
+) -> float:
+    """Linear warmup then cosine decay to ``min_lr_ratio * base_lr``."""
+    import math
+
+    if warmup_steps > 0 and step < warmup_steps:
+        return base_lr * (step + 1) / warmup_steps
+    span = max(1, total_steps - warmup_steps)
+    t = min(1.0, max(0.0, (step - warmup_steps) / span))
+    floor = min_lr_ratio
+    return base_lr * (floor + (1.0 - floor) * 0.5 * (1.0 + math.cos(math.pi * t)))
+
+
 class ReduceLROnPlateau:
     """Host-side plateau scheduler (torch semantics: ``factor`` scale after
     ``patience`` epochs without improvement)."""
@@ -244,9 +262,22 @@ class Trainer:
     # -- epochs -------------------------------------------------------------------
     def _train_epoch(self, params, opt_state, loader, key) -> tuple:
         losses = []
-        every = self.config.train.log_every_n_steps
+        tc = self.config.train
+        every = tc.log_every_n_steps
         labels = self.model.label_encoder.base_labels
+        cosine = tc.scheduler.type == "cosine"
         for batch in loader:
+            if cosine:
+                opt_state = set_learning_rate(
+                    opt_state,
+                    cosine_lr(
+                        getattr(self, "_global_step", 0),
+                        tc.lr,
+                        self._total_steps,
+                        tc.scheduler.warmup_steps,
+                        tc.scheduler.min_lr_ratio,
+                    ),
+                )
             key, sub = jax.random.split(key)
             params, opt_state, loss, per_label = self.train_step(
                 params, opt_state, self._put(batch), sub
@@ -416,6 +447,9 @@ class Trainer:
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
         max_epochs = self.max_epochs or tc.max_epochs
+        # cosine schedule state: the global step counter survives resume
+        self._global_step = start_epoch * len(train_loader)
+        self._total_steps = max_epochs * len(train_loader)
 
         # config-gated profiler (role of the reference's pl.Trainer
         # profiler slot, scripts/train.py:175): trace the first post-compile
@@ -492,8 +526,9 @@ class Trainer:
                     f"monitored metric {self.monitor!r} missing from val metrics"
                 )
 
-            # plateau scheduler -> scale injected LR (no recompiles)
-            if self.scheduler.step(monitored):
+            # plateau scheduler -> scale injected LR (no recompiles);
+            # cosine mode sets the LR per step in _train_epoch instead
+            if tc.scheduler.type == "plateau" and self.scheduler.step(monitored):
                 opt_state = set_learning_rate(
                     opt_state, base_lr * self.scheduler.scale
                 )

@@ -107,6 +107,49 @@ def train_cfg(synthetic_dataset):
     )
 
 
+def test_cosine_lr_function():
+    from segma_tpu.train import cosine_lr
+
+    # warmup ramps linearly to base
+    assert cosine_lr(0, 1.0, 100, warmup_steps=10) == pytest.approx(0.1)
+    assert cosine_lr(9, 1.0, 100, warmup_steps=10) == pytest.approx(1.0)
+    # midpoint of decay = half of base (min_ratio 0)
+    assert cosine_lr(55, 1.0, 100, warmup_steps=10) == pytest.approx(0.5)
+    # end of schedule hits the floor
+    assert cosine_lr(100, 1.0, 100, warmup_steps=10) == pytest.approx(0.0)
+    assert cosine_lr(100, 1.0, 100, warmup_steps=10, min_lr_ratio=0.1) == (
+        pytest.approx(0.1)
+    )
+    # monotone non-increasing after warmup
+    vals = [cosine_lr(s, 1.0, 100, warmup_steps=10) for s in range(10, 101)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_cosine_schedule_in_fit(train_cfg, tmp_path):
+    """train.scheduler.type=cosine: the logged LR decays over epochs and
+    training still converges."""
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    cfg = train_cfg  # function-scoped fixture: safe to mutate
+    cfg.train.scheduler.type = "cosine"
+    cfg.train.scheduler.warmup_steps = 2
+    cfg.train.scheduler.min_lr_ratio = 0.1
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+    trainer = Trainer(model=model, config=cfg, run_dir=tmp_path / "run")
+    result = trainer.fit(dm)
+    hist = result["history"]
+    lrs = [h["lr"] for h in hist]
+    assert lrs[-1] < lrs[0]  # decayed
+    assert lrs[-1] >= 0.1 * cfg.train.lr - 1e-9  # floor respected
+    assert hist[-1]["train/loss"] < hist[0]["train/loss"]
+
+
 def test_grad_accumulation_matches_full_batch(train_cfg):
     """k micro-batches of size B with grad_accum_steps=k must produce the
     same parameter update as one batch of size k*B (mean losses over
