@@ -380,20 +380,21 @@ class InferencePipeline:
             )
             plan.append((i, n_chunks, total_frames))
 
-        # group by bucket, preserving order within each bucket
-        by_bucket: dict[int, list[tuple[int, int]]] = {}
+        # group by (bucket, transport dtype) — mixed dtypes must never share
+        # a packed buffer (an f32 waveform cast to int16 would be destroyed)
+        by_bucket: dict[tuple, list[tuple[int, int]]] = {}
         for i, n_chunks, total_frames in plan:
-            by_bucket.setdefault(n_chunks, []).append((i, total_frames))
+            key = (n_chunks, np.dtype(audios[i].dtype).str)
+            by_bucket.setdefault(key, []).append((i, total_frames))
 
-        for n_chunks, items in by_bucket.items():
+        for (n_chunks, dtype_str), items in by_bucket.items():
             padded_len = n_chunks * ck.chunk_stride + ck.chunk_duration_f
             for g in range(0, len(items), max(1, pack_files)):
                 group = items[g : g + max(1, pack_files)]
-                dtype = audios[group[0][0]].dtype
-                packed = np.zeros((len(group), padded_len), dtype)
+                packed = np.zeros((len(group), padded_len), np.dtype(dtype_str))
                 for row, (i, _tf) in enumerate(group):
                     a = audios[i]
-                    packed[row, : a.shape[0]] = a.astype(dtype, copy=False)
+                    packed[row, : a.shape[0]] = a
                 logits = self._infer_jit(
                     self.params, jnp.asarray(packed), n_chunks
                 )

@@ -295,6 +295,22 @@ def test_packed_multifile_matches_per_file(vad_model):
             )
 
 
+def test_packed_multifile_mixed_dtypes(vad_model):
+    """int16 and f32 audios in one call must land in separate packed
+    buffers (an f32 cast to int16 would zero the signal)."""
+    rng = np.random.default_rng(14)
+    a16 = (rng.standard_normal(20_000) * 3000).astype(np.int16)
+    af = (rng.standard_normal(20_000) * 0.1).astype(np.float32)
+    pipe = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    packed = pipe.logits_for_audios_async([a16, af, a16], pack_files=3)
+    for audio, (lg, tf) in zip([a16, af, a16], packed):
+        ref_lg, ref_tf = pipe.logits_for_audio_async(audio)
+        assert tf == ref_tf
+        np.testing.assert_allclose(
+            np.asarray(lg[:tf]), np.asarray(ref_lg[:tf]), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_run_inference_pack_files_identical_rttm(
     vad_model, synthetic_dataset, tmp_path
 ):
