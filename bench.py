@@ -61,18 +61,19 @@ def main() -> None:
     pipe = InferencePipeline(model, model.params, batch_size=128)
     ck = pipe.chunkyfier
 
-    # ~34 minutes of audio per call (512 chunks). Transport: int8 mu-law
-    # with on-device expansion — the serving fast path (the host link is
-    # the measured bottleneck at ~30 MB/s in this environment; int16 and
-    # f32 numbers land at 1/2 and 1/4 of this throughput respectively).
-    from segma_tpu.inference import mulaw_compress
+    # ~34 minutes of audio per call (512 chunks). Transport: 4-bit block
+    # ADPCM (0.547 B/sample), encoded once per file on the host prefetch
+    # side and expanded on device — the serving fast path (the host link is
+    # the measured bottleneck in this environment; measured same-session:
+    # adpcm 8293x vs mulaw 5210x vs int16 ~1/2 of mulaw).
+    from segma_tpu.ops.adpcm import adpcm_encode_audio
 
     n_chunks = 512
     n_samples = n_chunks * ck.chunk_stride + ck.missing_n_frames
     audio_s = n_samples / SR
     rng = np.random.default_rng(0)
     pcm = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
-    audio = mulaw_compress(pcm)
+    audio = adpcm_encode_audio(pcm)
 
     # warmup (compile)
     _ = pipe.logits_for_audio(audio)
@@ -106,7 +107,7 @@ def main() -> None:
             "wall_s_all_rounds": [round(w, 3) for w in walls],
             "frames": int(logits.shape[0]),
             "audio_hours_per_sec": round(xrt / 3600, 4),
-            "transport": "int8_mulaw (device-expanded)",
+            "transport": "adpcm4 (0.547 B/sample, device-expanded)",
         },
     }
     print(json.dumps(result))

@@ -70,15 +70,27 @@ def bench_one(
         warnings.simplefilter("ignore")  # random-weights warning expected
         model = Models[cfg.model.name](enc, cfg)
     model.init_params(jax.random.key(0))
-    pipe = InferencePipeline(model, model.params, batch_size=batch_size)
+    pipe = InferencePipeline(
+        model,
+        model.params,
+        batch_size=batch_size,
+        transport="adpcm" if transport == "adpcm" else "auto",
+    )
     ck = pipe.chunkyfier
     n = n_chunks * ck.chunk_stride + ck.missing_n_frames
     pcm = (np.random.default_rng(0).standard_normal(n) * 3000).astype(np.int16)
-    audio = {
-        "mulaw": mulaw_compress(pcm),
-        "int16": pcm,
-        "f32": pcm.astype(np.float32) / 32768.0,
-    }[transport]
+    if transport == "adpcm":
+        from segma_tpu.ops.adpcm import adpcm_encode_audio
+
+        # encoded ONCE (as the prefetch thread does in production); the
+        # dispatch path pads bytes only (0.547 B/sample on the wire)
+        audio = adpcm_encode_audio(pcm)
+    else:
+        audio = {
+            "mulaw": mulaw_compress(pcm),
+            "int16": pcm,
+            "f32": pcm.astype(np.float32) / 32768.0,
+        }[transport]
     t0 = time.perf_counter()
     _ = pipe.logits_for_audio(audio)
     print(f"{name}: compile+first {time.perf_counter() - t0:.1f}s", flush=True)
@@ -106,7 +118,8 @@ if __name__ == "__main__":
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--rounds", type=int, default=3)
     parser.add_argument(
-        "--transport", default="mulaw", choices=["mulaw", "int16", "f32"]
+        "--transport", default="mulaw",
+        choices=["mulaw", "adpcm", "int16", "f32"],
     )
     args = parser.parse_args()
     for name in args.backbones:

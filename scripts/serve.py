@@ -41,6 +41,12 @@ if __name__ == "__main__":
         "--max-batch", type=int, default=8,
         help="max requests per micro-batch dispatch",
     )
+    parser.add_argument(
+        "--transport", default="int16",
+        choices=["int16", "mulaw", "adpcm", "f32"],
+        help="host->device sample encoding (mulaw/adpcm: lossy, 2x/3.7x "
+        "fewer bytes than int16)",
+    )
     args, extra = parser.parse_known_args()
 
     import yaml
@@ -62,4 +68,5 @@ if __name__ == "__main__":
         batch_size=args.batch_size,
         batch_window_ms=args.batch_window_ms,
         max_batch=args.max_batch,
+        transport=args.transport,
     )

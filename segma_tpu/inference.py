@@ -40,6 +40,7 @@ import yaml
 from segma_tpu.annotation import AudioAnnotation
 from segma_tpu.config import Config, load_config
 from segma_tpu.models.base import ConvolutionSettings, SegmentationModel
+from segma_tpu.ops.adpcm import AdpcmAudio, adpcm_encode_audio, n_blocks
 from segma_tpu.utils.conversions import frames_to_seconds
 from segma_tpu.utils.encoders import MultiLabelEncoder
 from segma_tpu.utils.io import get_all_samples, read_pcm16_mono
@@ -151,6 +152,11 @@ class InferencePipeline:
     # padding to the next power of two (a 600-chunk file would otherwise pad
     # to 1024 — ~70% wasted host->HBM transfer, the measured bottleneck)
     max_bucket_chunks: int = 512
+    # "auto": ship buffers as-is (their dtype selects the device-side
+    # expansion: f32 / int16 / int8 mu-law). "adpcm": re-encode every padded
+    # buffer to 4-bit block ADPCM (0.547 B/sample — 1.83x fewer bytes than
+    # mu-law; see segma_tpu/ops/adpcm.py) right before the device hop.
+    transport: str = "auto"
 
     def __post_init__(self) -> None:
         cfg = self.model.config
@@ -243,7 +249,12 @@ class InferencePipeline:
             host->HBM copy ships half the bytes) or int8 mu-law (expanded
             here: quarter the bytes — see ``mulaw_compress``)."""
             f = audio.shape[0]
-            if audio.dtype == jnp.int8:
+            if audio.dtype == jnp.uint8:
+                # 4-bit block ADPCM (ops/adpcm.py): parallel cumsum decode
+                from segma_tpu.ops.adpcm import adpcm_decode
+
+                audio = adpcm_decode(audio, n_chunks * stride + chunk_f)
+            elif audio.dtype == jnp.int8:
                 # ITU-T G.711 mu-law expansion (mu = 255)
                 y = audio.astype(jnp.float32) * (1.0 / 127.0)
                 audio = jnp.sign(y) * (1.0 / 255.0) * (256.0 ** jnp.abs(y) - 1.0)
@@ -289,19 +300,36 @@ class InferencePipeline:
 
         return infer
 
+    def _ship(self, padded: np.ndarray) -> jnp.ndarray:
+        """Host buffer -> device array, applying the transport codec.
+
+        uint8 buffers are already ADPCM bytes (pre-encoded ``AdpcmAudio``
+        input) and pass through; ``transport='adpcm'`` encodes everything
+        else at the dispatch site (convenient for in-memory waveforms, but
+        pays a per-dispatch host encode — prefer ``adpcm_encode_audio``
+        once per file on the prefetch thread).
+        """
+        if self.transport == "adpcm" and padded.dtype != np.uint8:
+            from segma_tpu.ops.adpcm import adpcm_encode
+
+            return jnp.asarray(adpcm_encode(padded))
+        return jnp.asarray(padded)
+
     def logits_for_audio_async(
-        self, audio: np.ndarray
+        self, audio: np.ndarray | AdpcmAudio
     ) -> tuple[jax.Array | None, int]:
         """Dispatch full-file inference without blocking.
 
-        ``audio``: mono (n,) float32 in [-1, 1] OR raw int16 PCM (normalized
-        on device — preferred: halves the host->HBM transfer).
+        ``audio``: mono (n,) float32 in [-1, 1], raw int16 PCM (normalized
+        on device — halves the host->HBM transfer), int8 mu-law, or a
+        pre-encoded ``AdpcmAudio`` (0.547 B/sample; padded here with zero
+        BLOCKS, so no per-dispatch host encode).
 
         Returns (device logits of shape (grid_frames, L) or None, total_frames):
         slice the first ``total_frames`` rows after blocking.
         """
         ck = self.chunkyfier
-        n = int(audio.shape[0])
+        n = audio.n_samples if isinstance(audio, AdpcmAudio) else int(audio.shape[0])
         audio_cfg = self.model.config.audio
         total_frames = ck.total_frames(
             n,
@@ -317,9 +345,12 @@ class InferencePipeline:
         if n_chunks_needed <= self.max_bucket_chunks:
             n_chunks = _bucket(n_chunks_needed, minimum=min_chunks)
             padded_len = n_chunks * ck.chunk_stride + ck.chunk_duration_f
-            padded = np.zeros((1, padded_len), audio.dtype)
-            padded[0, :n] = audio
-            logits = self._infer_jit(self.params, jnp.asarray(padded), n_chunks)[0]
+            if isinstance(audio, AdpcmAudio):
+                padded = audio.block_slice(0, n_blocks(padded_len))[None]
+            else:
+                padded = np.zeros((1, padded_len), audio.dtype)
+                padded[0, :n] = audio
+            logits = self._infer_jit(self.params, self._ship(padded), n_chunks)[0]
             return logits, total_frames
 
         # long file: dispatch max_bucket_chunks-sized segments (chunks are
@@ -333,11 +364,16 @@ class InferencePipeline:
             n_chunks = _bucket(seg_chunks, minimum=min_chunks)
             padded_len = n_chunks * ck.chunk_stride + ck.chunk_duration_f
             off = start_chunk * ck.chunk_stride
-            seg = np.zeros((1, padded_len), audio.dtype)
-            take = min(padded_len, max(0, n - off))
-            if take > 0:
-                seg[0, :take] = audio[off : off + take]
-            out = self._infer_jit(self.params, jnp.asarray(seg), n_chunks)[0]
+            if isinstance(audio, AdpcmAudio):
+                # exact: blocks are independent and every current model's
+                # chunk stride is a multiple of BLOCK (rf_step 320 = 5*64)
+                seg = audio.block_slice(off, n_blocks(padded_len))[None]
+            else:
+                seg = np.zeros((1, padded_len), audio.dtype)
+                take = min(padded_len, max(0, n - off))
+                if take > 0:
+                    seg[0, :take] = audio[off : off + take]
+            out = self._infer_jit(self.params, self._ship(seg), n_chunks)[0]
             seg_logits.append(out[: seg_chunks * ck.n_windows])
             start_chunk += seg_chunks
         logits = jnp.concatenate(seg_logits, axis=0)
@@ -368,8 +404,13 @@ class InferencePipeline:
         plan: list[tuple[int, int, int]] = []  # (input idx, n_chunks, total)
         results: list[tuple[jax.Array | None, int]] = [(None, 0)] * len(audios)
         for i, audio in enumerate(audios):
+            n = (
+                audio.n_samples
+                if isinstance(audio, AdpcmAudio)
+                else int(audio.shape[0])
+            )
             total_frames = ck.total_frames(
-                int(audio.shape[0]),
+                n,
                 strict_tail=audio_cfg.strict_frames,
                 reference_tail=audio_cfg.reference_tail,
             )
@@ -384,19 +425,33 @@ class InferencePipeline:
         # a packed buffer (an f32 waveform cast to int16 would be destroyed)
         by_bucket: dict[tuple, list[tuple[int, int]]] = {}
         for i, n_chunks, total_frames in plan:
-            key = (n_chunks, np.dtype(audios[i].dtype).str)
-            by_bucket.setdefault(key, []).append((i, total_frames))
+            tag = (
+                "adpcm"
+                if isinstance(audios[i], AdpcmAudio)
+                else np.dtype(audios[i].dtype).str
+            )
+            by_bucket.setdefault((n_chunks, tag), []).append((i, total_frames))
 
         for (n_chunks, dtype_str), items in by_bucket.items():
             padded_len = n_chunks * ck.chunk_stride + ck.chunk_duration_f
             for g in range(0, len(items), max(1, pack_files)):
                 group = items[g : g + max(1, pack_files)]
-                packed = np.zeros((len(group), padded_len), np.dtype(dtype_str))
-                for row, (i, _tf) in enumerate(group):
-                    a = audios[i]
-                    packed[row, : a.shape[0]] = a
+                if dtype_str == "adpcm":
+                    packed = np.stack(
+                        [
+                            audios[i].block_slice(0, n_blocks(padded_len))
+                            for i, _tf in group
+                        ]
+                    )
+                else:
+                    packed = np.zeros(
+                        (len(group), padded_len), np.dtype(dtype_str)
+                    )
+                    for row, (i, _tf) in enumerate(group):
+                        a = audios[i]
+                        packed[row, : a.shape[0]] = a
                 logits = self._infer_jit(
-                    self.params, jnp.asarray(packed), n_chunks
+                    self.params, self._ship(packed), n_chunks
                 )
                 for row, (i, tf) in enumerate(group):
                     results[i] = (logits[row], tf)
@@ -673,12 +728,16 @@ def _load_mono(audio_path: Path, transport: str = "int16") -> np.ndarray:
     transport: 'int16' (default; half the bytes of f32, exact),
     'mulaw' (quarter the bytes; ~38 dB SNR companding noise — throughput
     mode: borderline/single-frame detections can flip, so keep int16 for
-    parity-critical runs), 'f32' (full precision).
+    parity-critical runs), 'adpcm' (~7x fewer bytes than f32, encoded HERE
+    — on the prefetch thread — so dispatch pads bytes only), 'f32' (full
+    precision).
     """
     raw = read_pcm16_mono(audio_path)
     if raw is not None:
         if transport == "mulaw":
             return mulaw_compress(raw)
+        if transport == "adpcm":
+            return adpcm_encode_audio(raw)
         if transport == "f32":
             return raw.astype(np.float32) / 32768.0
         return raw
@@ -686,7 +745,11 @@ def _load_mono(audio_path: Path, transport: str = "int16") -> np.ndarray:
     if audio.shape[0] > 1:
         audio = audio.mean(axis=0, keepdims=True)
     mono = audio[0]
-    return mulaw_compress(mono) if transport == "mulaw" else mono
+    if transport == "mulaw":
+        return mulaw_compress(mono)
+    if transport == "adpcm":
+        return adpcm_encode_audio(mono)
+    return mono
 
 
 def infer_file(
@@ -810,7 +873,11 @@ def run_inference_on_audios(
         mesh = None
 
     pipeline = InferencePipeline(
-        model, model.params, batch_size=batch_size, mesh=mesh
+        model,
+        model.params,
+        batch_size=batch_size,
+        mesh=mesh,
+        transport="adpcm" if transport == "adpcm" else "auto",
     )
 
     # two-level pipelining: a thread reads file i+2 from disk while file
@@ -933,8 +1000,10 @@ def main(argv: list[str] | None = None) -> None:
         help="merge same-label intervals separated by less than this many seconds",
     )
     parser.add_argument(
-        "--transport", default="int16", choices=["int16", "mulaw", "f32"],
-        help="host->device sample encoding (mulaw: 4x fewer bytes, lossy)",
+        "--transport", default="int16",
+        choices=["int16", "mulaw", "adpcm", "f32"],
+        help="host->device sample encoding (mulaw: 4x fewer bytes than f32; "
+        "adpcm: ~7x fewer, both lossy)",
     )
     parser.add_argument(
         "--mesh", default="auto", choices=["auto", "off"],

@@ -275,6 +275,7 @@ def serve_forever(
     batch_size: int = 128,
     batch_window_ms: float = 0.0,
     max_batch: int = 8,
+    transport: str = "int16",
 ) -> None:
     """Load the model and serve until interrupted (CLI entry)."""
     from segma_tpu.checkpoint import load_model_for_inference
@@ -283,10 +284,16 @@ def serve_forever(
 
     cfg = config if isinstance(config, Config) else load_config(config)
     model = load_model_for_inference(cfg, checkpoint)
-    pipeline = InferencePipeline(model, model.params, batch_size=batch_size)
+    pipeline = InferencePipeline(
+        model,
+        model.params,
+        batch_size=batch_size,
+        transport="adpcm" if transport == "adpcm" else "auto",
+    )
     service = SegmentationService(
         pipeline,
         thresholds,
+        transport=transport,
         batch_window_ms=batch_window_ms,
         max_batch=max_batch,
     )
