@@ -261,6 +261,13 @@ class MeshConfig(BaseConfig):
 
     data: int = -1  # -1 = all remaining devices
     model: int = 1
+    # sequence parallelism: shard the TIME axis of encoder activations
+    # (whisper's padded 1500-position context) over this many chips —
+    # attention/MLP compute per chip drops accordingly and XLA inserts the
+    # collectives around attention. For latency-bound serving of single
+    # requests; throughput work scales better over `data` (windows are
+    # embarrassingly parallel, SURVEY.md §5.7).
+    seq: int = 1
 
 
 @dataclass

@@ -274,7 +274,10 @@ class InferencePipeline:
             total = f * n_chunks
             if mesh is not None:
                 # shard the window axis across chips; XLA splits the whole
-                # forward (and TP-sharded params add head/ffn parallelism)
+                # forward (and TP-sharded params add head/ffn parallelism).
+                # When the mesh carries a seq>1 axis, the model's internal
+                # time-axis constraints own it (latency mode: fewer windows,
+                # each split over seq); windows always ride `data`.
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 chunks = jax.lax.with_sharding_constraint(

@@ -149,6 +149,14 @@ class SegmentationModel:
             strict=self.config.audio.strict_frames,
         )
 
+    def with_module(self, module: nn.Module) -> "SegmentationModel":
+        """Copy of this model with a replaced flax module — e.g. one
+        carrying a sequence-parallel ``mesh`` — sharing the same params
+        (pure-function modules make this safe)."""
+        import dataclasses
+
+        return dataclasses.replace(self, module=module)
+
     # -- parameter management -------------------------------------------------
     def init_params(self, key: jax.Array) -> Any:
         """Initialize the full parameter tree (random heads; pretrained

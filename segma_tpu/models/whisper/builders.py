@@ -73,6 +73,10 @@ class WhisperSegModule(nn.Module):
     # and MLP work; numerics differ slightly from the padded reference
     fast_context: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    # device mesh for sequence parallelism (config mesh.seq > 1): the
+    # encoder shards its time axis per layer; the sequence is gathered
+    # back ahead of the (sequential-scan) LSTM and the heads
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -85,9 +89,9 @@ class WhisperSegModule(nn.Module):
             feats = jnp.swapaxes(mel, 1, 2)
         else:
             feats = whisper_input_features(wav)  # (B, n_mels, 3000)
-        last, hidden = WhisperEncoder(self.enc_cfg, self.dtype, name="encoder")(
-            feats, output_hidden_states=(tap == "weighted")
-        )
+        last, hidden = WhisperEncoder(
+            self.enc_cfg, self.dtype, mesh=self.mesh, name="encoder"
+        )(feats, output_hidden_states=(tap == "weighted"))
 
         if tap == "weighted":
             layer_outputs = hidden[1:]  # per-layer outputs, HF indexing
@@ -102,6 +106,12 @@ class WhisperSegModule(nn.Module):
             )(jax.lax.stop_gradient(stacked))
         else:
             x = jax.lax.stop_gradient(last)
+
+        # sequence-parallel runs gather the time axis here: everything
+        # downstream (scan-LSTM, tiny heads) wants the whole sequence local
+        from segma_tpu.models.whisper.encoder import shard_time_axis
+
+        x = shard_time_axis(x, self.mesh, spec=("data", None, None))
 
         if trunc == "before_lstm":
             x = x[:, : self.n_windows, :]
@@ -159,6 +169,11 @@ def build_whisper_model(
         config.audio.chunk_duration_f, strict=config.audio.strict_frames
     )
     dtype = jnp.float32 if config.train.precision == "f32" else jnp.bfloat16
+    mesh = None
+    if config.mesh.seq > 1:
+        from segma_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(config)
     module = WhisperSegModule(
         enc_cfg=enc_cfg,
         n_labels=len(label_encoder.base_labels),
@@ -170,6 +185,7 @@ def build_whisper_model(
         classifier_hidden=getattr(mc, "classifier", 256),
         fast_context=getattr(mc, "fast_context", False),
         dtype=dtype,
+        mesh=mesh,
     )
 
     pretrained_loader = None

@@ -19,10 +19,44 @@ XLA tiles it straight onto the MXU.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def shard_time_axis(
+    x: jnp.ndarray, mesh: Any, spec: tuple = ("data", "seq", None)
+) -> jnp.ndarray:
+    """Sequence-parallel constraint on (B, T, D) activations.
+
+    When the mesh carries a non-trivial ``seq`` axis, pins the time axis to
+    it (default ``P("data", "seq", None)``) — LayerNorm/MLP compute is
+    pointwise over time so it splits for free, and XLA inserts the
+    all-gathers around attention. Pass ``("data", None, None)`` to gather
+    the time axis back (e.g. ahead of a scan-LSTM, which must see the whole
+    sequence locally). Identity when there is no seq axis, so single-device
+    programs are untouched.
+    """
+    if (
+        mesh is None
+        or "seq" not in mesh.axis_names
+        or mesh.shape["seq"] == 1
+    ):
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # drop axes the (static) shape cannot honor — e.g. the batch-1 dummy
+    # that flax init traces, or a time axis not divisible by seq
+    axes = [
+        a if a is None or x.shape[d] % mesh.shape[a] == 0 else None
+        for d, a in enumerate(spec)
+    ]
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*axes))
+    )
 
 
 @dataclass(frozen=True)
@@ -116,6 +150,9 @@ class WhisperEncoder(nn.Module):
 
     cfg: WhisperEncoderConfig
     dtype: jnp.dtype = jnp.bfloat16
+    # device mesh for sequence parallelism (mesh.seq > 1): encoder
+    # activations carry a time-axis sharding constraint per layer
+    mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -141,10 +178,12 @@ class WhisperEncoder(nn.Module):
             lambda _key: sinusoidal_positions(cfg.max_positions, cfg.d_model),
         )
         x = x + pos[None, : x.shape[1], :].astype(self.dtype)
+        x = shard_time_axis(x, self.mesh)
 
         hidden_states: list[jnp.ndarray] = [x]
         for i in range(cfg.n_layers):
             x = EncoderLayer(cfg, self.dtype, name=f"layers_{i}")(x)
+            x = shard_time_axis(x, self.mesh)
             hidden_states.append(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
         hidden_states[-1] = x  # HF: final entry carries the last LayerNorm

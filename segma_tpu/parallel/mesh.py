@@ -30,29 +30,37 @@ def make_mesh(
     devices: list | None = None,
     data: int | None = None,
     model: int | None = None,
+    seq: int | None = None,
 ) -> Mesh:
-    """Build the (data, model) mesh.
+    """Build the (data, seq, model) mesh.
 
-    ``data = -1`` (default) uses all devices not claimed by ``model``.
+    ``data = -1`` (default) uses all devices not claimed by ``seq*model``.
+    ``seq`` (sequence parallelism over the encoder time axis) defaults
+    to 1, in which case the axis is a harmless singleton.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     model_sz = model if model is not None else (
         config.mesh.model if config is not None else 1
     )
+    seq_sz = seq if seq is not None else (
+        config.mesh.seq if config is not None else 1
+    )
     data_sz = data if data is not None else (
         config.mesh.data if config is not None else -1
     )
     if data_sz == -1:
-        if n % model_sz:
-            raise ValueError(f"{n} devices not divisible by model={model_sz}")
-        data_sz = n // model_sz
-    if data_sz * model_sz != n:
+        if n % (model_sz * seq_sz):
+            raise ValueError(
+                f"{n} devices not divisible by seq={seq_sz} * model={model_sz}"
+            )
+        data_sz = n // (model_sz * seq_sz)
+    if data_sz * seq_sz * model_sz != n:
         raise ValueError(
-            f"mesh {data_sz}x{model_sz} does not match {n} devices"
+            f"mesh {data_sz}x{seq_sz}x{model_sz} does not match {n} devices"
         )
-    dev_array = np.asarray(devices).reshape(data_sz, model_sz)
-    return Mesh(dev_array, axis_names=("data", "model"))
+    dev_array = np.asarray(devices).reshape(data_sz, seq_sz, model_sz)
+    return Mesh(dev_array, axis_names=("data", "seq", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -26,9 +26,11 @@ def _require_8_devices():
 def test_make_mesh_shapes():
     _require_8_devices()
     mesh = make_mesh(data=4, model=2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "seq": 1, "model": 2}
     mesh = make_mesh(data=-1, model=2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "seq": 1, "model": 2}
+    mesh = make_mesh(data=-1, seq=2, model=2)
+    assert mesh.shape == {"data": 2, "seq": 2, "model": 2}
     with pytest.raises(ValueError):
         make_mesh(data=3, model=2)
 
@@ -145,6 +147,67 @@ def test_mesh_sharded_inference_matches_single_device(tp_model):
     got_single = single.logits_for_audio(audio)
 
     sharded = InferencePipeline(tp_model, tp_model.params, batch_size=4, mesh=mesh)
+    got_sharded = sharded.logits_for_audio(audio)
+
+    assert got_single.shape == got_sharded.shape
+    np.testing.assert_allclose(got_single, got_sharded, rtol=2e-4, atol=2e-5)
+
+
+def test_dp_sp_tp_train_step_and_parity(tp_model):
+    """Sequence parallelism: the full train step over a 2x2x2
+    (data x seq x model) mesh — with the whisper encoder's per-layer
+    time-axis constraints active — executes, and its loss matches the
+    unsharded step (the constraints only move data, never change math)."""
+    _require_8_devices()
+    import jax.numpy as jnp
+
+    from segma_tpu.train import make_optimizer, make_train_step
+
+    mesh = make_mesh(data=2, seq=2, model=2)
+    sp_model = tp_model.with_module(tp_model.module.clone(mesh=mesh))
+    optimizer = make_optimizer(sp_model, 1e-3)
+
+    batch_np = {
+        "x": np.random.default_rng(0)
+        .standard_normal((8, 16_000))
+        .astype(np.float32),
+        "y": np.zeros((8, 49, 4), np.float32),
+    }
+
+    # unsharded reference loss (same params, no mesh on the module)
+    ref_step = make_train_step(tp_model, optimizer)
+    ref_params = jax.tree.map(jnp.array, tp_model.params)
+    ref_opt = jax.jit(optimizer.init)(ref_params)
+    _, _, ref_loss, _ = ref_step(
+        ref_params, ref_opt, jax.tree.map(jnp.asarray, batch_np), jax.random.key(0)
+    )
+
+    sp_step = make_train_step(sp_model, optimizer)
+    params = shard_params(jax.tree.map(jnp.array, tp_model.params), mesh)
+    opt_state = jax.jit(optimizer.init)(params)
+    params, opt_state, loss, _ = sp_step(
+        params, opt_state, shard_batch(batch_np, mesh), jax.random.key(0)
+    )
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
+
+def test_seq_sharded_inference_matches_single_device(tp_model):
+    """Latency-mode mesh (seq=4, model=2): encoder time axis sharded; the
+    logits must match the single-device pipeline."""
+    _require_8_devices()
+    mesh = make_mesh(data=1, seq=4, model=2)
+    sp_model = tp_model.with_module(tp_model.module.clone(mesh=mesh))
+    audio = (
+        np.random.default_rng(1).standard_normal(50_000) * 0.1
+    ).astype(np.float32)
+
+    single = InferencePipeline(tp_model, tp_model.params, batch_size=4)
+    got_single = single.logits_for_audio(audio)
+
+    sharded = InferencePipeline(
+        sp_model, tp_model.params, batch_size=4, mesh=mesh
+    )
     got_sharded = sharded.logits_for_audio(audio)
 
     assert got_single.shape == got_sharded.shape
