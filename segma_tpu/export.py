@@ -1,0 +1,333 @@
+"""Self-contained inference artifacts (jax.export / StableHLO).
+
+Production deployment without the model zoo: ``export_inference`` freezes a
+trained model into a directory of serialized StableHLO programs — one
+full-pipeline forward per chunk bucket (parameters baked in as constants)
+plus the fused packed-run decode — and a JSON manifest carrying the chunk
+geometry, labels and tuned thresholds. ``ExportedPipeline`` loads the
+directory back in any process with jax installed — no flax module tree, no
+registry, no checkpoint handling — and reproduces the live pipeline's
+numerics end-to-end (pinned by ``tests/test_export.py``).
+
+Artifacts are lowered for both ``cpu`` and ``tpu`` by default, so the same
+directory serves on a TPU pod and in a CPU canary. The reference has no
+deployment story at all (inference requires the full torch/Lightning stack
+plus the checkpoint, ``/root/reference/src/segma/inference.py:398-440``);
+this is the TPU-native answer: ship one directory.
+
+Layout::
+
+    manifest.json            geometry, labels, thresholds, buckets, version
+    infer_<n_chunks>.jaxexp  waveform (1, padded_len) -> logits grid
+    decode_<n_chunks>.jaxexp logits grid + thresholds + valid -> packed runs
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import numpy as np
+from jax import export as jax_export
+
+from segma_tpu.inference import (
+    InferencePipeline,
+    create_intervals,
+    default_thresholds,
+    threshold_vector,
+)
+from segma_tpu.models.base import ConvolutionSettings
+from segma_tpu.ops.adpcm import AdpcmAudio, adpcm_encode_audio, encoded_nbytes
+
+FORMAT_VERSION = 1
+_TRANSPORT_DTYPES = {
+    "f32": np.float32,
+    "int16": np.int16,
+    "mulaw": np.int8,
+    "adpcm": np.uint8,
+}
+
+
+def _decode_cap(rows: int) -> int:
+    """Packed-run capacity for a grid of ``rows`` frames (same policy as
+    ``InferencePipeline.decode_intervals``)."""
+    cap = max(rows // 32, 16)
+    cap = 1 << (cap - 1).bit_length()
+    return min(cap, rows // 2 + 1)
+
+
+def export_inference(
+    model,
+    output_dir: Path | str,
+    thresholds: dict | None = None,
+    buckets: tuple[int, ...] = (8, 32, 128, 512),
+    batch_size: int = 128,
+    transport: str = "int16",
+    platforms: tuple[str, ...] = ("cpu", "tpu"),
+) -> Path:
+    """Freeze ``model`` (with its current params) into an artifact dir."""
+    import os
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    pipe = InferencePipeline(model, model.params, batch_size=batch_size)
+    ck = pipe.chunkyfier
+    enc = model.label_encoder
+    thresholds = thresholds or default_thresholds(enc.base_labels)
+    dtype = _TRANSPORT_DTYPES[transport]
+    params = model.params
+
+    # Pallas kernels (the fused log-mel frontend) only lower for TPU; a
+    # multi-platform artifact must trace the portable XLA formulation
+    # instead. Single-platform TPU exports keep the fused kernel.
+    force_portable = tuple(platforms) != ("tpu",)
+    prev_no_pallas = os.environ.get("SEGMA_TPU_NO_PALLAS")
+    if force_portable:
+        os.environ["SEGMA_TPU_NO_PALLAS"] = "1"
+    try:
+        _export_programs(
+            pipe, params, model, output_dir, buckets, transport, dtype,
+            platforms,
+        )
+    finally:
+        if force_portable:
+            if prev_no_pallas is None:
+                os.environ.pop("SEGMA_TPU_NO_PALLAS", None)
+            else:
+                os.environ["SEGMA_TPU_NO_PALLAS"] = prev_no_pallas
+
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "model_name": model.name,
+        "labels": list(enc.base_labels),
+        "sample_rate": model.config.audio.sample_rate,
+        "chunk_duration_f": ck.chunk_duration_f,
+        "chunk_stride": ck.chunk_stride,
+        "n_windows": ck.n_windows,
+        "rf_step": int(model.conv_settings.rf_step),
+        "strict_frames": model.config.audio.strict_frames,
+        "reference_tail": model.config.audio.reference_tail,
+        "transport": transport,
+        "buckets": sorted(set(buckets)),
+        "decode_caps": {
+            str(n): _decode_cap(n * ck.n_windows) for n in sorted(set(buckets))
+        },
+        "thresholds": thresholds,
+        "platforms": list(platforms),
+    }
+    (output_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    return output_dir
+
+
+def _export_programs(
+    pipe, params, model, output_dir, buckets, transport, dtype, platforms
+) -> None:
+    ck = pipe.chunkyfier
+    buckets = tuple(sorted(set(buckets)))
+    for n_chunks in buckets:
+        padded_len = n_chunks * ck.chunk_stride + ck.chunk_duration_f
+        in_len = (
+            encoded_nbytes(padded_len) if transport == "adpcm" else padded_len
+        )
+
+        def infer(audio, _n=n_chunks):
+            return pipe._infer_jit(params, audio, _n)[0]
+
+        exp = jax_export.export(jax.jit(infer), platforms=platforms)(
+            jax.ShapeDtypeStruct((1, in_len), dtype)
+        )
+        (output_dir / f"infer_{n_chunks}.jaxexp").write_bytes(exp.serialize())
+
+        rows = n_chunks * ck.n_windows
+        cap = _decode_cap(rows)
+
+        def decode(logits, thr, valid, _cap=cap):
+            return pipe._decode_packed_jit(logits, thr, valid, _cap)
+
+        exp_d = jax_export.export(jax.jit(decode), platforms=platforms)(
+            jax.ShapeDtypeStruct((rows, model.n_labels), np.float32),
+            jax.ShapeDtypeStruct((model.n_labels,), np.float32),
+            jax.ShapeDtypeStruct((), np.int32),
+        )
+        (output_dir / f"decode_{n_chunks}.jaxexp").write_bytes(
+            exp_d.serialize()
+        )
+
+
+@dataclass
+class ExportedPipeline:
+    """Serve an exported artifact directory (no model zoo needed)."""
+
+    manifest: dict
+    infer_fns: dict  # n_chunks -> Exported
+    decode_fns: dict  # n_chunks -> Exported
+
+    @classmethod
+    def load(cls, artifact_dir: Path | str) -> "ExportedPipeline":
+        artifact_dir = Path(artifact_dir)
+        manifest = json.loads((artifact_dir / "manifest.json").read_text())
+        if manifest["format_version"] > FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {manifest['format_version']} is newer than "
+                f"this build ({FORMAT_VERSION})"
+            )
+        infer_fns, decode_fns = {}, {}
+        for n in manifest["buckets"]:
+            infer_fns[n] = jax_export.deserialize(
+                (artifact_dir / f"infer_{n}.jaxexp").read_bytes()
+            )
+            decode_fns[n] = jax_export.deserialize(
+                (artifact_dir / f"decode_{n}.jaxexp").read_bytes()
+            )
+        return cls(manifest, infer_fns, decode_fns)
+
+    # -- geometry ---------------------------------------------------------------
+    @property
+    def labels(self) -> list[str]:
+        return self.manifest["labels"]
+
+    @property
+    def frame_settings(self) -> ConvolutionSettings:
+        step = self.manifest["rf_step"]
+        return ConvolutionSettings((step,), (step,), (0,))
+
+    def _chunkyfier(self):
+        from segma_tpu.inference import Chunkyfier
+
+        return Chunkyfier(
+            1, self.manifest["chunk_duration_f"], self.frame_settings
+        )
+
+    # -- inference ----------------------------------------------------------------
+    def prepare(self, audio: np.ndarray) -> np.ndarray | AdpcmAudio:
+        """Encode a decoded waveform (f32 [-1,1] or int16) for the
+        artifact's transport. Accepts 1-D mono or (channels, n) — multi-
+        channel is downmixed, matching ``inference.infer_file``."""
+        if audio.ndim == 2:
+            if audio.shape[0] > 1:
+                audio = audio.astype(np.float32).mean(axis=0)
+            else:
+                audio = audio[0]
+        transport = self.manifest["transport"]
+        if transport == "adpcm":
+            return adpcm_encode_audio(audio)
+        if transport == "mulaw":
+            from segma_tpu.inference import mulaw_compress
+
+            return mulaw_compress(audio)
+        if transport == "int16":
+            if audio.dtype == np.int16:
+                return audio
+            return np.rint(np.clip(audio, -1, 1) * 32767).astype(np.int16)
+        return (
+            audio.astype(np.float32) / 32768.0
+            if audio.dtype == np.int16
+            else audio.astype(np.float32)
+        )
+
+    def logits_for_audio(self, audio: np.ndarray | AdpcmAudio) -> np.ndarray:
+        """Full-file frame logits (total_frames, n_labels); dispatches in
+        segments of the largest exported bucket for very long files."""
+        m = self.manifest
+        ck = self._chunkyfier()
+        n = (
+            audio.n_samples
+            if isinstance(audio, AdpcmAudio)
+            else int(audio.shape[0])
+        )
+        total = ck.total_frames(
+            n,
+            strict_tail=m["strict_frames"],
+            reference_tail=m["reference_tail"],
+        )
+        if total == 0:
+            return np.zeros((0, len(self.labels)), np.float32)
+        needed = -(-total // ck.n_windows)
+        buckets = m["buckets"]
+        grids = []
+        start_chunk = 0
+        while start_chunk < needed:
+            remaining = needed - start_chunk
+            n_chunks = next(
+                (b for b in buckets if b >= remaining), buckets[-1]
+            )
+            seg_chunks = min(n_chunks, remaining)
+            padded_len = n_chunks * ck.chunk_stride + ck.chunk_duration_f
+            off = start_chunk * ck.chunk_stride
+            if isinstance(audio, AdpcmAudio):
+                from segma_tpu.ops.adpcm import n_blocks
+
+                seg = audio.block_slice(off, n_blocks(padded_len))[None]
+            else:
+                seg = np.zeros((1, padded_len), audio.dtype)
+                take = min(padded_len, max(0, n - off))
+                if take > 0:
+                    seg[0, :take] = audio[off : off + take]
+            grid = np.asarray(self.infer_fns[n_chunks].call(seg))
+            grids.append(grid[: seg_chunks * ck.n_windows])
+            start_chunk += seg_chunks
+        return np.concatenate(grids, axis=0)[:total]
+
+    def decode_intervals(
+        self,
+        logits: np.ndarray,
+        thresholds: dict | None = None,
+    ) -> list[tuple[int, int, str]]:
+        """Frame logits -> sample intervals via the exported fused decode
+        (host fallback on packed-capacity overflow)."""
+        m = self.manifest
+        thresholds = thresholds or m["thresholds"]
+        thr = threshold_vector(self.labels, thresholds).astype(np.float32)
+        valid = int(logits.shape[0])
+        if valid == 0:
+            return []
+        n_w = m["n_windows"]
+        needed = -(-valid // n_w)
+        bucket = next(
+            (b for b in m["buckets"] if b >= needed), m["buckets"][-1]
+        )
+        rows = bucket * n_w
+        cs = self.frame_settings
+        if valid > rows:  # longer than the largest exported decode: host path
+            return self._host_decode(logits, thr, cs)
+        grid = np.zeros((rows, len(self.labels)), np.float32)
+        grid[:valid] = logits
+        packed = np.asarray(
+            self.decode_fns[bucket].call(grid, thr, np.int32(valid))
+        )
+        cap = int(m["decode_caps"][str(bucket)])
+        counts, s_idx, e_idx = (
+            packed[:, 0],
+            packed[:, 1 : cap + 1],
+            packed[:, cap + 1 :],
+        )
+        if int(counts.max(initial=0)) > cap:
+            return self._host_decode(logits, thr, cs)
+        intervals: list[tuple[int, int, str]] = []
+        for li, label in enumerate(self.labels):
+            for s, e in zip(s_idx[li, : counts[li]], e_idx[li, : counts[li]]):
+                intervals.append(
+                    (
+                        max(0, cs.rf_start_i(int(s))),
+                        cs.rf_end_i(int(e)) + 1,
+                        label,
+                    )
+                )
+        return intervals
+
+    def _host_decode(self, logits, thr, cs) -> list[tuple[int, int, str]]:
+        mask = 1.0 / (1.0 + np.exp(-logits)) > thr[None, :]
+
+        class _Enc:  # create_intervals only reads .base_labels
+            base_labels = tuple(self.labels)
+
+        return create_intervals(mask, cs, _Enc())
+
+    def segment(
+        self, audio: np.ndarray, thresholds: dict | None = None
+    ) -> list[tuple[int, int, str]]:
+        """Waveform -> sorted sample intervals (the one-call serving API)."""
+        logits = self.logits_for_audio(self.prepare(audio))
+        return sorted(self.decode_intervals(logits, thresholds))

@@ -1,0 +1,150 @@
+"""Self-contained inference artifacts (segma_tpu/export.py).
+
+segma_tpu extension — the reference has no deployment story (inference
+needs the full torch stack + checkpoint, reference inference.py:398-440).
+Contract pinned here: an exported artifact reproduces the live pipeline's
+logits and intervals without touching the model zoo.
+"""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from segma_tpu.config import load_config
+from segma_tpu.export import ExportedPipeline, export_inference
+from segma_tpu.inference import InferencePipeline, default_thresholds
+from segma_tpu.models import Models
+from segma_tpu.utils.encoders import MultiLabelEncoder
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+
+
+@pytest.fixture(scope="module")
+def vad_model():
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            "model.name=conv_vad",
+            "model.config={hidden: 32, depth: 1, dtype: f32}",
+            "audio.chunk_duration_s=1.0",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    model.init_params(jax.random.key(0))
+    return model
+
+
+@pytest.fixture(scope="module")
+def artifact(vad_model, tmp_path_factory) -> Path:
+    out = tmp_path_factory.mktemp("artifact") / "conv_vad"
+    export_inference(
+        vad_model, out, buckets=(2, 4), batch_size=4, transport="int16"
+    )
+    return out
+
+
+def test_artifact_layout(artifact):
+    names = {p.name for p in artifact.iterdir()}
+    assert names == {
+        "manifest.json",
+        "infer_2.jaxexp",
+        "decode_2.jaxexp",
+        "infer_4.jaxexp",
+        "decode_4.jaxexp",
+    }
+
+
+def test_exported_logits_match_live_pipeline(vad_model, artifact):
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(50_000) * 3000).astype(np.int16)
+    live = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    ref = live.logits_for_audio(wav)
+    exp = ExportedPipeline.load(artifact)
+    got = exp.logits_for_audio(wav)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_exported_segment_matches_live_intervals(vad_model, artifact):
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal(33_000) * 3000).astype(np.int16)
+    thr = default_thresholds(vad_model.label_encoder.base_labels)
+
+    live = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    lg, tf = live.logits_for_audio_async(wav)
+    ref = sorted(live.decode_intervals(lg, thr, valid_frames=tf))
+
+    exp = ExportedPipeline.load(artifact)
+    got = exp.segment(wav)
+    assert got == ref
+
+
+def test_exported_long_file_segments_over_largest_bucket(vad_model, artifact):
+    """A file needing more chunks than the largest exported bucket (4)
+    dispatches in segments; logits must still match the live pipeline."""
+    rng = np.random.default_rng(2)
+    wav = (rng.standard_normal(10 * 16_000) * 3000).astype(np.int16)
+    live = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    ref = live.logits_for_audio(wav)
+    got = ExportedPipeline.load(artifact).logits_for_audio(wav)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_exported_adpcm_artifact(vad_model, tmp_path):
+    """ADPCM-transport artifact: prepare() encodes, programs expect bytes."""
+    out = tmp_path / "adpcm_artifact"
+    export_inference(
+        vad_model, out, buckets=(4,), batch_size=4, transport="adpcm"
+    )
+    exp = ExportedPipeline.load(out)
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal(40_000) * 3000).astype(np.int16)
+
+    live = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    from segma_tpu.ops.adpcm import adpcm_encode_audio
+
+    ref = live.logits_for_audio(adpcm_encode_audio(wav))
+    got = exp.logits_for_audio(exp.prepare(wav))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_segment_accepts_channel_major_audio(vad_model, artifact):
+    """segment() takes (channels, n) arrays as io.get_all_samples returns
+    them — same downmix convention as inference.infer_file."""
+    rng = np.random.default_rng(4)
+    mono = (rng.standard_normal(33_000) * 0.2).astype(np.float32)
+    exp = ExportedPipeline.load(artifact)
+    ref = exp.segment(mono)
+    assert exp.segment(mono[None]) == ref  # (1, n)
+    stereo = np.stack([mono, mono])  # (2, n) downmix == mono
+    assert exp.segment(stereo) == ref
+
+
+def test_manifest_carries_tuned_thresholds(vad_model, tmp_path):
+    thr = {
+        lbl: {"lower_bound": 0.3 + 0.1 * i, "upper_bound": 1.0}
+        for i, lbl in enumerate(vad_model.label_encoder.base_labels)
+    }
+    out = tmp_path / "thr_artifact"
+    export_inference(
+        vad_model, out, thresholds=thr, buckets=(2,), transport="int16"
+    )
+    exp = ExportedPipeline.load(out)
+    assert exp.manifest["thresholds"] == thr
+
+
+def test_newer_format_version_rejected(artifact, tmp_path):
+    import json
+    import shutil
+
+    clone = tmp_path / "newer"
+    shutil.copytree(artifact, clone)
+    m = json.loads((clone / "manifest.json").read_text())
+    m["format_version"] = 999
+    (clone / "manifest.json").write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="newer"):
+        ExportedPipeline.load(clone)
