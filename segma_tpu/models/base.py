@@ -162,7 +162,14 @@ class SegmentationModel:
         """Initialize the full parameter tree (random heads; pretrained
         encoder weights grafted in when a loader is configured)."""
         wav = jnp.zeros((1, self.config.audio.chunk_duration_f), jnp.float32)
-        params = self.module.init({"params": key}, wav, train=False)["params"]
+        # One compiled program, not op-by-op eager: with a seq/model mesh on
+        # the module, eager init would execute each attention einsum as its
+        # own 8-partition program on resharded arrays (collective soup; the
+        # CPU backend's permute rendezvous is flaky under virtual-device
+        # oversubscription). Jitted, XLA propagates the constraints and emits
+        # zero collectives for the batch-1 init trace.
+        init_fn = jax.jit(lambda k: self.module.init({"params": k}, wav, train=False))
+        params = init_fn(key)["params"]
         if self.pretrained_loader is not None:
             params = self.pretrained_loader(params)
         self.params = params

@@ -160,10 +160,20 @@ class WhisperEncoder(nn.Module):
     ) -> tuple[jnp.ndarray, tuple[jnp.ndarray, ...]]:
         cfg = self.cfg
         x = jnp.swapaxes(mel, 1, 2).astype(self.dtype)  # (B, frames, n_mels)
+        # Anchor the conv frontend as NOT seq-sharded. Without this, the
+        # per-layer seq constraint below propagates backward through
+        # conv1/conv2 and the log-mel framing convs, and XLA shards their
+        # time axis spatially — inserting halo-exchange collective-permutes
+        # for a frontend that is a rounding error of encoder compute (and
+        # whose CPU-backend rendezvous is flaky under virtual-device
+        # oversubscription). Anchored, the reshard after conv2 is a local
+        # slice: no communication at all.
+        x = shard_time_axis(x, self.mesh, spec=("data", None, None))
         x = nn.gelu(
             nn.Conv(cfg.d_model, (3,), padding=1, dtype=self.dtype, name="conv1")(x),
             approximate=False,
         )
+        x = shard_time_axis(x, self.mesh, spec=("data", None, None))
         x = nn.gelu(
             nn.Conv(
                 cfg.d_model, (3,), strides=(2,), padding=1, dtype=self.dtype,
@@ -171,6 +181,7 @@ class WhisperEncoder(nn.Module):
             )(x),
             approximate=False,
         )
+        x = shard_time_axis(x, self.mesh, spec=("data", None, None))
         # fixed sinusoidal positions, stored as a (frozen) parameter so HF
         # snapshots (which persist the table) restore bit-identically
         pos = self.param(
