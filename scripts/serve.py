@@ -6,6 +6,7 @@ Usage:
     python scripts/serve.py --config models/<run>/config.yml \
         --checkpoint models/<run>/checkpoints/best.ckpt --port 8000 \
         [--thresholds best_thresholds.yml]
+    python scripts/serve.py --artifact exported/<model>  # frozen export dir
 
 Then:
     curl -s --data-binary @file.wav localhost:8000/v1/segment?uri=file
@@ -26,8 +27,13 @@ enable_compilation_cache()
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="segma_tpu HTTP serving")
-    parser.add_argument("--config", required=True)
+    parser.add_argument("--config", default=None)
     parser.add_argument("--checkpoint", default="models/last/best.ckpt")
+    parser.add_argument(
+        "--artifact", default=None,
+        help="serve a frozen export directory (scripts/export.py) instead "
+        "of config+checkpoint — no model zoo needed",
+    )
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--thresholds", default=None)
@@ -48,6 +54,8 @@ if __name__ == "__main__":
         "fewer bytes than int16)",
     )
     args, extra = parser.parse_known_args()
+    if (args.config is None) == (args.artifact is None):
+        parser.error("exactly one of --config or --artifact is required")
 
     import yaml
 
@@ -60,7 +68,8 @@ if __name__ == "__main__":
             thresholds = yaml.safe_load(f)
 
     serve_forever(
-        config=load_config(args.config, extra),
+        config=load_config(args.config, extra) if args.config else None,
+        artifact=args.artifact,
         checkpoint=args.checkpoint,
         host=args.host,
         port=args.port,

@@ -94,19 +94,38 @@ class _MicroBatcher:
 
 
 class SegmentationService:
-    """Model + thresholds + device serialization, shared by HTTP threads."""
+    """Model + thresholds + device serialization, shared by HTTP threads.
+
+    ``pipeline`` is either a live :class:`InferencePipeline` (model zoo +
+    checkpoint) or a :class:`segma_tpu.export.ExportedPipeline` (frozen
+    StableHLO artifact directory) — the serving surface is identical.
+    """
 
     def __init__(
         self,
-        pipeline: InferencePipeline,
+        pipeline,
         thresholds: dict[str, dict[str, float]] | None = None,
         transport: str = "int16",
         batch_window_ms: float = 0.0,
         max_batch: int = 8,
     ) -> None:
         self.pipeline = pipeline
-        enc = pipeline.model.label_encoder
-        self.thresholds = thresholds or default_thresholds(enc.base_labels)
+        self.exported = not hasattr(pipeline, "model")
+        if self.exported:
+            m = pipeline.manifest
+            self.labels = list(pipeline.labels)
+            self.sample_rate = int(m["sample_rate"])
+            self.model_name = f"{m['model_name']} (exported artifact)"
+            self.thresholds = thresholds or m["thresholds"]
+            # decode uploads to int16; ExportedPipeline.prepare() re-encodes
+            # for whatever transport the artifact was frozen with
+            transport = "int16"
+        else:
+            enc = pipeline.model.label_encoder
+            self.labels = list(enc.base_labels)
+            self.sample_rate = pipeline.model.config.audio.sample_rate
+            self.model_name = pipeline.model.name
+            self.thresholds = thresholds or default_thresholds(enc.base_labels)
         self.transport = transport
         self._device_lock = threading.Lock()
         self._batcher = (
@@ -135,6 +154,14 @@ class SegmentationService:
     def _segment_audios(self, audios: list[np.ndarray]) -> list[list[tuple]]:
         """Decoded audios -> per-audio sorted interval lists (one packed
         device dispatch when several arrive together)."""
+        if self.exported:
+            # exported programs are frozen at batch 1: no cross-request
+            # packing, but the lock still serializes device use
+            with self._device_lock:
+                return [
+                    sorted(self.pipeline.segment(a, self.thresholds))
+                    for a in audios
+                ]
         with self._device_lock:
             if len(audios) == 1:
                 outs = [self.pipeline.logits_for_audio_async(audios[0])]
@@ -165,11 +192,10 @@ class SegmentationService:
 
     # -- formatting ---------------------------------------------------------------
     def to_json(self, intervals: list[tuple], uri: str) -> bytes:
-        sr = self.pipeline.model.config.audio.sample_rate
         return json.dumps(
             {
                 "uri": uri,
-                "sample_rate": sr,
+                "sample_rate": self.sample_rate,
                 "intervals": [
                     {
                         "label": label,
@@ -199,8 +225,8 @@ class SegmentationService:
         return json.dumps(
             {
                 "status": "ok",
-                "model": self.pipeline.model.name,
-                "labels": list(self.pipeline.model.label_encoder.base_labels),
+                "model": self.model_name,
+                "labels": self.labels,
                 "device": str(jax.devices()[0]),
             }
         ).encode()
@@ -267,8 +293,8 @@ def make_server(
 
 
 def serve_forever(
-    config: Any,
-    checkpoint: Path | str | None,
+    config: Any = None,
+    checkpoint: Path | str | None = None,
     host: str = "127.0.0.1",
     port: int = 8000,
     thresholds: dict | None = None,
@@ -276,20 +302,36 @@ def serve_forever(
     batch_window_ms: float = 0.0,
     max_batch: int = 8,
     transport: str = "int16",
+    artifact: Path | str | None = None,
 ) -> None:
-    """Load the model and serve until interrupted (CLI entry)."""
-    from segma_tpu.checkpoint import load_model_for_inference
-    from segma_tpu.config import Config, load_config
+    """Load the model and serve until interrupted (CLI entry).
+
+    Either ``config`` (+ ``checkpoint``) for a live model-zoo pipeline, or
+    ``artifact`` for a frozen export directory (``scripts/export.py``) —
+    the latter needs no model code or checkpoint format at all.
+    """
     from segma_tpu.utils.logging import log
 
-    cfg = config if isinstance(config, Config) else load_config(config)
-    model = load_model_for_inference(cfg, checkpoint)
-    pipeline = InferencePipeline(
-        model,
-        model.params,
-        batch_size=batch_size,
-        transport="adpcm" if transport == "adpcm" else "auto",
-    )
+    if artifact is not None:
+        from segma_tpu.export import ExportedPipeline
+
+        pipeline = ExportedPipeline.load(artifact)
+        warm_f = (
+            pipeline.manifest["chunk_duration_f"]
+        )
+    else:
+        from segma_tpu.checkpoint import load_model_for_inference
+        from segma_tpu.config import Config, load_config
+
+        cfg = config if isinstance(config, Config) else load_config(config)
+        model = load_model_for_inference(cfg, checkpoint)
+        pipeline = InferencePipeline(
+            model,
+            model.params,
+            batch_size=batch_size,
+            transport="adpcm" if transport == "adpcm" else "auto",
+        )
+        warm_f = cfg.audio.chunk_duration_f
     service = SegmentationService(
         pipeline,
         thresholds,
@@ -297,15 +339,21 @@ def serve_forever(
         batch_window_ms=batch_window_ms,
         max_batch=max_batch,
     )
-    # warmup: compile the smallest forward + decode before accepting
-    # traffic so the first request doesn't pay the (remote) compile
+    # warmup: compile (or, for artifacts, load+link) the smallest forward +
+    # decode before accepting traffic so the first request doesn't pay it
     log("warming up (first compile)...")
-    warm = np.zeros(cfg.audio.chunk_duration_f, np.int16)
-    lg, tf = pipeline.logits_for_audio_async(warm)
-    if lg is not None:
-        pipeline.decode_intervals(lg, service.thresholds, valid_frames=tf)
+    warm = np.zeros(warm_f, np.int16)
+    if service.exported:
+        pipeline.segment(warm, service.thresholds)
+    else:
+        lg, tf = pipeline.logits_for_audio_async(warm)
+        if lg is not None:
+            pipeline.decode_intervals(lg, service.thresholds, valid_frames=tf)
     server = make_server(service, host, port)
-    log(f"serving {model.name} on http://{host}:{server.server_address[1]}")
+    log(
+        f"serving {service.model_name} on "
+        f"http://{host}:{server.server_address[1]}"
+    )
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -183,3 +183,44 @@ def test_concurrent_requests(server, wav_bytes):
         t.join()
     assert len(results) == 4
     assert all(r == results[0] for r in results)
+
+
+def test_serve_from_exported_artifact(service, wav_bytes, tmp_path):
+    """The HTTP surface runs identically off a frozen export directory:
+    same endpoints, responses bit-identical to the live-pipeline server."""
+    from segma_tpu.export import ExportedPipeline, export_inference
+
+    model = service.pipeline.model
+    out = tmp_path / "artifact"
+    export_inference(model, out, buckets=(2, 4), batch_size=8,
+                     transport="int16")
+    exp_service = SegmentationService(ExportedPipeline.load(out))
+    srv = make_server(exp_service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        body, _ = wav_bytes
+        status, raw = _post(f"{url}/v1/segment?uri=x", body)
+        assert status == 200
+        got = json.loads(raw)
+
+        with urllib.request.urlopen(f"{url}/healthz", timeout=30) as resp:
+            health = json.loads(resp.read())
+        assert "exported artifact" in health["model"]
+        assert health["labels"] == list(
+            model.label_encoder.base_labels
+        )
+    finally:
+        srv.shutdown()
+
+    # parity with the live-pipeline server on the same body
+    live_srv = make_server(service, port=0)
+    t2 = threading.Thread(target=live_srv.serve_forever, daemon=True)
+    t2.start()
+    try:
+        live_url = f"http://127.0.0.1:{live_srv.server_address[1]}"
+        _, live_raw = _post(f"{live_url}/v1/segment?uri=x", body)
+    finally:
+        live_srv.shutdown()
+    assert got == json.loads(live_raw)
