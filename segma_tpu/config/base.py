@@ -220,6 +220,25 @@ class ModelConfig(BaseConfig):
     ) = None
 
 
+# model.name -> its config dataclass. Used to resolve the ``config`` union
+# by NAME instead of structural arbitration: all-default dataclasses (e.g.
+# ConvVADConfig vs SincNetHydraConfig) structurally accept the same minimal
+# dicts ({hidden: 256}, {}), which strict_unions_match would reject as
+# ambiguous even though the model name pins the intent.
+_MODEL_CONFIG_TYPES: dict[str, type] = {
+    "whisperidou": WhisperidouConfig,
+    "whisperimax": WhisperimaxConfig,
+    "surgical_whisper": SurgicalWhisperConfig,
+    "hydra_whisper": HydraWhisperConfig,
+    "surgical_hydra": SurgicalHydraConfig,
+    "surgical_hubert_hydra": SurgicalHubertHydraConfig,
+    "surgical_wavlm_hydra": SurgicalHubertHydraConfig,
+    "sincnet_hydra": SincNetHydraConfig,
+    "conv_vad": ConvVADConfig,
+    "powerset_vad": ConvVADConfig,
+}
+
+
 @dataclass
 class TrainConfig(BaseConfig):
     lr: float
@@ -306,6 +325,8 @@ def _type_matches(value, tp) -> bool:
     if origin is dict:
         return isinstance(value, dict)
     if dataclasses.is_dataclass(tp):
+        if isinstance(value, tp):  # already constructed (name-resolved)
+            return True
         return isinstance(value, dict) and _dataclass_accepts(tp, value)
     if tp is float:
         return isinstance(value, (int, float)) and not isinstance(value, bool)
@@ -373,6 +394,8 @@ def _convert(value, tp, path: str):
         ]
         return tuple(seq) if origin is tuple else seq
     if dataclasses.is_dataclass(tp):
+        if isinstance(value, tp):  # already constructed (name-resolved)
+            return value
         if not isinstance(value, dict):
             raise ConfigError(f"{path}: expected mapping for {tp.__name__}")
         return _from_dict(tp, value, path)
@@ -385,6 +408,15 @@ def _convert(value, tp, path: str):
 
 def _from_dict(cls, data: dict, path: str = "config"):
     """Strict recursive dataclass instantiation (unknown keys are errors)."""
+    if cls is ModelConfig:
+        # resolve the config union by model name, sidestepping structural
+        # ambiguity between all-default config dataclasses
+        known = _MODEL_CONFIG_TYPES.get(data.get("name"))
+        if known is not None and isinstance(data.get("config"), dict):
+            data = {
+                **data,
+                "config": _from_dict(known, data["config"], f"{path}.config"),
+            }
     fields = {f.name: f for f in dataclasses.fields(cls)}
     unknown = [k for k in data if k not in fields]
     if unknown:

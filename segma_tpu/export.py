@@ -35,8 +35,10 @@ from jax import export as jax_export
 from segma_tpu.inference import (
     InferencePipeline,
     create_intervals,
+    decode_capacity,
     default_thresholds,
     threshold_vector,
+    unpack_run_intervals,
 )
 from segma_tpu.models.base import ConvolutionSettings
 from segma_tpu.ops.adpcm import AdpcmAudio, adpcm_encode_audio, encoded_nbytes
@@ -50,12 +52,8 @@ _TRANSPORT_DTYPES = {
 }
 
 
-def _decode_cap(rows: int) -> int:
-    """Packed-run capacity for a grid of ``rows`` frames (same policy as
-    ``InferencePipeline.decode_intervals``)."""
-    cap = max(rows // 32, 16)
-    cap = 1 << (cap - 1).bit_length()
-    return min(cap, rows // 2 + 1)
+# packed-run capacity policy is shared with the live pipeline
+# (inference.decode_capacity) so artifacts always match its decode programs
 
 
 def export_inference(
@@ -112,7 +110,7 @@ def export_inference(
         "transport": transport,
         "buckets": sorted(set(buckets)),
         "decode_caps": {
-            str(n): _decode_cap(n * ck.n_windows) for n in sorted(set(buckets))
+            str(n): decode_capacity(n * ck.n_windows) for n in sorted(set(buckets))
         },
         "thresholds": thresholds,
         "platforms": list(platforms),
@@ -141,7 +139,7 @@ def _export_programs(
         (output_dir / f"infer_{n_chunks}.jaxexp").write_bytes(exp.serialize())
 
         rows = n_chunks * ck.n_windows
-        cap = _decode_cap(rows)
+        cap = decode_capacity(rows)
 
         def decode(logits, thr, valid, _cap=cap):
             return pipe._decode_packed_jit(logits, thr, valid, _cap)
@@ -298,23 +296,9 @@ class ExportedPipeline:
             self.decode_fns[bucket].call(grid, thr, np.int32(valid))
         )
         cap = int(m["decode_caps"][str(bucket)])
-        counts, s_idx, e_idx = (
-            packed[:, 0],
-            packed[:, 1 : cap + 1],
-            packed[:, cap + 1 :],
-        )
-        if int(counts.max(initial=0)) > cap:
+        intervals = unpack_run_intervals(packed, cap, self.labels, cs)
+        if intervals is None:  # capacity overflow: exact host fallback
             return self._host_decode(logits, thr, cs)
-        intervals: list[tuple[int, int, str]] = []
-        for li, label in enumerate(self.labels):
-            for s, e in zip(s_idx[li, : counts[li]], e_idx[li, : counts[li]]):
-                intervals.append(
-                    (
-                        max(0, cs.rf_start_i(int(s))),
-                        cs.rf_end_i(int(e)) + 1,
-                        label,
-                    )
-                )
         return intervals
 
     def _host_decode(self, logits, thr, cs) -> list[tuple[int, int, str]]:

@@ -160,6 +160,15 @@ class InferencePipeline:
 
     def __post_init__(self) -> None:
         cfg = self.model.config
+        # meshless pipeline (--mesh off / single device) over a module that
+        # baked in seq-parallel constraints at build time: strip them so the
+        # jitted program stays single-device (the constraints are pure data
+        # movement — numerics are identical either way)
+        module_mesh = getattr(self.model.module, "mesh", None)
+        if self.mesh is None and module_mesh is not None:
+            self.model = self.model.with_module(
+                self.model.module.clone(mesh=None)
+            )
         step = int(self.model.conv_settings.rf_step)
         # the model's output grid: one frame per rf_step samples
         # (reference builds ConvolutionSettings((320,),(320,),(0,)),
@@ -419,9 +428,14 @@ class InferencePipeline:
             )
             if total_frames == 0:
                 continue
-            n_chunks = _bucket(
-                -(-total_frames // ck.n_windows), minimum=min_chunks
-            )
+            needed = -(-total_frames // ck.n_windows)
+            if needed > self.max_bucket_chunks:
+                # very long file: the single-file path dispatches it in
+                # max_bucket_chunks segments instead of padding to the next
+                # power of two (same cap the constructor documents)
+                results[i] = self.logits_for_audio_async(audios[i])
+                continue
+            n_chunks = _bucket(needed, minimum=min_chunks)
             plan.append((i, n_chunks, total_frames))
 
         # group by (bucket, transport dtype) — mixed dtypes must never share
@@ -531,26 +545,57 @@ class InferencePipeline:
         # old boolean masks; the worst case (alternating frames, T//2 + 1
         # runs) falls back to the mask path below. Bucketed to limit
         # distinct compilations.
-        cap = min(_bucket(max(t // 32, 16)), t // 2 + 1)
+        cap = decode_capacity(t)
         packed = np.asarray(
             self._decode_packed_jit(jnp.asarray(logits), thr, valid, cap)
         )
-        counts, s_idx, e_idx = packed[:, 0], packed[:, 1 : cap + 1], packed[:, cap + 1 :]
-        if int(counts.max(initial=0)) > cap:
+        intervals = unpack_run_intervals(
+            packed, cap, enc.base_labels, self.frame_settings
+        )
+        if intervals is None:  # capacity overflow: exact mask fallback
             mask_logits = np.asarray(logits)[:valid]
             starts, ends = self.decode_boundaries(mask_logits, thresholds)
             return intervals_from_boundaries(
                 starts, ends, self.frame_settings, enc
             )
-        cs = self.frame_settings
-        intervals: list[tuple[int, int, str]] = []
-        for li, label in enumerate(enc.base_labels):
-            k = int(counts[li])
-            for s, e in zip(s_idx[li, :k], e_idx[li, :k]):
-                intervals.append(
-                    (max(0, cs.rf_start_i(int(s))), cs.rf_end_i(int(e)) + 1, label)
-                )
         return intervals
+
+
+def decode_capacity(rows: int) -> int:
+    """Packed-run capacity for a ``rows``-frame grid: one run per 32 frames
+    (640 ms) covers dense dialog with margin, bucketed to limit distinct
+    compilations; the worst case (alternating frames) overflows and callers
+    fall back to the exact mask path. Shared by the live pipeline and the
+    export artifact writer so both sides always agree."""
+    return min(_bucket(max(rows // 32, 16)), rows // 2 + 1)
+
+
+def unpack_run_intervals(
+    packed: np.ndarray, cap: int, labels, frame_settings
+) -> list[tuple[int, int, str]] | None:
+    """(n_labels, 1+2*cap) packed device runs -> sample intervals.
+
+    Row layout: [count, starts[cap], ends[cap]] per label (frame indices);
+    returns None when any label overflowed ``cap`` (caller falls back to the
+    exact mask decode). Shared by ``InferencePipeline.decode_intervals`` and
+    ``ExportedPipeline.decode_intervals`` — one implementation of the
+    run->rf-interval math, so live and exported numerics cannot diverge.
+    """
+    counts, s_idx, e_idx = packed[:, 0], packed[:, 1 : cap + 1], packed[:, cap + 1 :]
+    if int(counts.max(initial=0)) > cap:
+        return None
+    intervals: list[tuple[int, int, str]] = []
+    for li, label in enumerate(labels):
+        k = int(counts[li])
+        for s, e in zip(s_idx[li, :k], e_idx[li, :k]):
+            intervals.append(
+                (
+                    max(0, frame_settings.rf_start_i(int(s))),
+                    frame_settings.rf_end_i(int(e)) + 1,
+                    label,
+                )
+            )
+    return intervals
 
 
 def default_thresholds(labels: tuple[str, ...]) -> dict[str, dict[str, float]]:

@@ -171,9 +171,18 @@ def build_whisper_model(
     dtype = jnp.float32 if config.train.precision == "f32" else jnp.bfloat16
     mesh = None
     if config.mesh.seq > 1:
+        import jax
+
         from segma_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(config)
+        # A seq-trained config must still build on fewer devices (e.g.
+        # single-chip inference/serving with --mesh off): only bake the
+        # seq constraints in when the visible devices actually fit the
+        # configured layout — without a mesh the constraints are identity
+        # and the math is unchanged.
+        needed = config.mesh.seq * config.mesh.model
+        if len(jax.devices()) % needed == 0:
+            mesh = make_mesh(config)
     module = WhisperSegModule(
         enc_cfg=enc_cfg,
         n_labels=len(label_encoder.base_labels),

@@ -199,8 +199,12 @@ class SegmentationService:
                 "intervals": [
                     {
                         "label": label,
-                        "start_s": round(float(frames_to_seconds(s)), 6),
-                        "end_s": round(float(frames_to_seconds(e)), 6),
+                        "start_s": round(
+                            float(frames_to_seconds(s, self.sample_rate)), 6
+                        ),
+                        "end_s": round(
+                            float(frames_to_seconds(e, self.sample_rate)), 6
+                        ),
                     }
                     for s, e, label in intervals
                 ],
@@ -211,8 +215,8 @@ class SegmentationService:
         lines = [
             AudioAnnotation(
                 uid=uri,
-                start_time_s=float(frames_to_seconds(s)),
-                duration_s=float(frames_to_seconds(e - s)),
+                start_time_s=float(frames_to_seconds(s, self.sample_rate)),
+                duration_s=float(frames_to_seconds(e - s, self.sample_rate)),
                 label=str(label),
             ).to_rttm()
             for s, e, label in intervals

@@ -250,7 +250,11 @@ class Trainer:
         self._preempt_requested = True
 
     def _handle_preempt_signal(self, signum, _frame) -> None:
-        self.logger.log({"preempt_signal": int(signum)})
+        # async-signal-safe: only set flags — logging (stdout/wandb I/O) from
+        # signal context can raise a reentrant-call RuntimeError at the
+        # interrupted bytecode and kill the loop before the interrupt
+        # checkpoint is written; the training loop logs when it sees the flag
+        self._preempt_signum = int(signum)
         self.request_preemption()
 
     # -- data placement ---------------------------------------------------------
@@ -483,72 +487,77 @@ class Trainer:
 
         history = []
         interrupted = False
-        for epoch in range(start_epoch, max_epochs):
-            if epoch == profile_epoch:
-                jax.profiler.start_trace(str(self.run_dir / "profile"))
-            t0 = time.perf_counter()
-            params, opt_state, train_loss, key = self._train_epoch(
-                params, opt_state, train_loader, key
-            )
-            if epoch == profile_epoch:
-                jax.block_until_ready(params)
-                jax.profiler.stop_trace()
-                self.logger.log({"profile_dir": str(self.run_dir / "profile")})
-            if self._preempt_requested:
-                # epoch incomplete: persist params + optimizer state tagged
-                # with the last COMPLETED epoch so resume redoes this one
+        try:
+            for epoch in range(start_epoch, max_epochs):
+                if epoch == profile_epoch:
+                    jax.profiler.start_trace(str(self.run_dir / "profile"))
+                t0 = time.perf_counter()
+                params, opt_state, train_loss, key = self._train_epoch(
+                    params, opt_state, train_loader, key
+                )
+                if epoch == profile_epoch:
+                    jax.block_until_ready(params)
+                    jax.profiler.stop_trace()
+                    self.logger.log({"profile_dir": str(self.run_dir / "profile")})
+                if self._preempt_requested:
+                    signum = getattr(self, "_preempt_signum", None)
+                    if signum is not None:
+                        self.logger.log({"preempt_signal": signum})
+                    # epoch incomplete: persist params + optimizer state tagged
+                    # with the last COMPLETED epoch so resume redoes this one
+                    trainable, _ = self.model.split_params(params)
+                    path = self.ckpt.save_interrupt(
+                        epoch - 1,
+                        trainable,
+                        meta={"config": self.config.as_dict(), "monitor": self.monitor},
+                        opt_state=opt_state,
+                        train_state=train_state_snapshot(),
+                    )
+                    self.logger.log({"preempted_at_epoch": epoch, "saved": str(path)})
+                    interrupted = True
+                    break
+                metrics = self._val_epoch(params, val_loader)
+                metrics["train/loss"] = train_loss
+                metrics["lr"] = get_learning_rate(opt_state)
+                metrics["epoch"] = epoch
+                metrics["time_s"] = time.perf_counter() - t0
+                n_train_samples = len(train_loader) * tc.batch_size
+                metrics["samples_per_s"] = round(
+                    n_train_samples / max(metrics["time_s"], 1e-9), 2
+                )
+                self.logger.log(metrics)
+                history.append(metrics)
+
+                monitored = metrics.get(self.monitor)
+                if monitored is None:
+                    raise ValueError(
+                        f"monitored metric {self.monitor!r} missing from val metrics"
+                    )
+
+                # plateau scheduler -> scale injected LR (no recompiles);
+                # cosine mode sets the LR per step in _train_epoch instead
+                if tc.scheduler.type == "plateau" and self.scheduler.step(monitored):
+                    opt_state = set_learning_rate(
+                        opt_state, base_lr * self.scheduler.scale
+                    )
+
                 trainable, _ = self.model.split_params(params)
-                path = self.ckpt.save_interrupt(
-                    epoch - 1,
+                self.ckpt.step(
+                    epoch,
+                    monitored,
                     trainable,
                     meta={"config": self.config.as_dict(), "monitor": self.monitor},
                     opt_state=opt_state,
                     train_state=train_state_snapshot(),
                 )
-                self.logger.log({"preempted_at_epoch": epoch, "saved": str(path)})
-                interrupted = True
-                break
-            metrics = self._val_epoch(params, val_loader)
-            metrics["train/loss"] = train_loss
-            metrics["lr"] = get_learning_rate(opt_state)
-            metrics["epoch"] = epoch
-            metrics["time_s"] = time.perf_counter() - t0
-            n_train_samples = len(train_loader) * tc.batch_size
-            metrics["samples_per_s"] = round(
-                n_train_samples / max(metrics["time_s"], 1e-9), 2
-            )
-            self.logger.log(metrics)
-            history.append(metrics)
 
-            monitored = metrics.get(self.monitor)
-            if monitored is None:
-                raise ValueError(
-                    f"monitored metric {self.monitor!r} missing from val metrics"
-                )
+                if self.early_stopping.step(monitored):
+                    self.logger.log({"early_stop": epoch})
+                    break
 
-            # plateau scheduler -> scale injected LR (no recompiles);
-            # cosine mode sets the LR per step in _train_epoch instead
-            if tc.scheduler.type == "plateau" and self.scheduler.step(monitored):
-                opt_state = set_learning_rate(
-                    opt_state, base_lr * self.scheduler.scale
-                )
-
-            trainable, _ = self.model.split_params(params)
-            self.ckpt.step(
-                epoch,
-                monitored,
-                trainable,
-                meta={"config": self.config.as_dict(), "monitor": self.monitor},
-                opt_state=opt_state,
-                train_state=train_state_snapshot(),
-            )
-
-            if self.early_stopping.step(monitored):
-                self.logger.log({"early_stop": epoch})
-                break
-
-        for sig, prev in installed:
-            signal.signal(sig, prev)
+        finally:
+            for sig, prev in installed:
+                signal.signal(sig, prev)
         self.model.params = params
         return {
             "params": params,

@@ -119,3 +119,41 @@ def test_reference_train_configs_load_unchanged():
     cfg2 = load_config(ref_dir / "train_surgical_hubert_hydra.yml")
     assert cfg2.model.name == "surgical_hubert_hydra"
     assert cfg2.train.batch_size == 128
+
+
+def test_minimal_config_resolved_by_model_name():
+    """All-default config dataclasses (ConvVADConfig vs SincNetHydraConfig)
+    structurally accept the same minimal dicts; the union must resolve by
+    model NAME, not ambiguity-error (regression: round-2 review)."""
+    from segma_tpu.config.base import ConvVADConfig, SincNetHydraConfig
+
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        ["model.name=conv_vad", "model.config={hidden: 64}"],
+    )
+    assert isinstance(cfg.model.config, ConvVADConfig)
+    assert cfg.model.config.hidden == 64
+
+    cfg2 = load_config(
+        CONFIG_DIR / "default.yml",
+        ["model.name=sincnet_hydra", "model.config={hidden: 64}"],
+    )
+    assert isinstance(cfg2.model.config, SincNetHydraConfig)
+    assert cfg2.model.config.hidden == 64
+
+    # empty dict: still name-resolved, all defaults
+    cfg3 = load_config(
+        CONFIG_DIR / "default.yml",
+        ["model.name=conv_vad", "model.config={}"],
+    )
+    assert isinstance(cfg3.model.config, ConvVADConfig)
+
+
+def test_unknown_model_name_keeps_structural_union():
+    """Names outside the registry mapping still go through structural
+    arbitration (and unknown keys still error)."""
+    with pytest.raises(ConfigError):
+        load_config(
+            CONFIG_DIR / "default.yml",
+            ["model.name=conv_vad", "model.config={bogus_key: 1}"],
+        )

@@ -572,3 +572,23 @@ def test_decode_parity_vs_masked_array_semantics():
 
             got = create_intervals(mask, cs, enc)
             assert sorted(got) == sorted(expected)
+
+
+def test_packed_dispatch_caps_long_files(vad_model):
+    """A file needing more than max_bucket_chunks in a packed dispatch is
+    routed through the segmented single-file path instead of being padded
+    to the next power of two (regression: round-2 review — the cap the
+    constructor documents only applied to single-file calls)."""
+    rng = np.random.default_rng(9)
+    pipe = InferencePipeline(
+        vad_model, vad_model.params, batch_size=4, max_bucket_chunks=2
+    )
+    long_a = (rng.standard_normal(70_000) * 3000).astype(np.int16)  # >2 chunks
+    short_a = (rng.standard_normal(12_000) * 3000).astype(np.int16)
+    packed = pipe.logits_for_audios_async([long_a, short_a], pack_files=4)
+    for audio, (lg, tf) in zip([long_a, short_a], packed):
+        ref_lg, ref_tf = pipe.logits_for_audio_async(audio)
+        assert tf == ref_tf
+        np.testing.assert_allclose(
+            np.asarray(lg[:tf]), np.asarray(ref_lg[:tf]), rtol=1e-5, atol=1e-6
+        )

@@ -277,3 +277,48 @@ def test_maybe_init_distributed_noop(monkeypatch):
     # single process: shard = identity
     assert process_shard([1, 2, 3]) == [1, 2, 3]
     assert process_shard([1, 2, 3, 4], process_index=0) == [1, 2, 3, 4]
+
+
+def test_seq_config_builds_without_matching_devices(tp_model):
+    """A config trained with mesh.seq>1 must still construct (and run
+    meshless) when the visible devices don't fit the layout — e.g.
+    single-chip serving of a pod-trained config (regression: round-2
+    review; build_whisper_model used to raise in make_mesh)."""
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            "model.name=surgical_hydra",
+            "model.config.encoder=missing_tiny",
+            "model.config.lstm={hidden_size: 16, num_layers: 1, "
+            "bidirectional: true, dropout: 0.0}",
+            "audio.chunk_duration_s=1.0",
+            "train.precision=f32",
+            "mesh.seq=3",  # 8 CPU devices % (3*1) != 0 -> no mesh baked
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    with pytest.warns(UserWarning):
+        model = Models["surgical_hydra"](enc, cfg)
+    assert getattr(model.module, "mesh", None) is None
+
+
+def test_meshless_pipeline_strips_module_mesh(tp_model):
+    """InferencePipeline without a mesh over a module that baked seq
+    constraints in at build time: the module mesh is stripped so the
+    jitted program stays single-device; logits match the plain model."""
+    _require_8_devices()
+    mesh = make_mesh(data=2, seq=2, model=2)
+    sp_model = tp_model.with_module(tp_model.module.clone(mesh=mesh))
+    audio = (
+        np.random.default_rng(7).standard_normal(20_000) * 0.1
+    ).astype(np.float32)
+
+    plain = InferencePipeline(tp_model, tp_model.params, batch_size=4)
+    stripped = InferencePipeline(sp_model, tp_model.params, batch_size=4)
+    assert getattr(stripped.model.module, "mesh", None) is None
+    np.testing.assert_allclose(
+        plain.logits_for_audio(audio),
+        stripped.logits_for_audio(audio),
+        rtol=1e-6,
+        atol=1e-6,
+    )

@@ -470,3 +470,21 @@ def test_checkpoint_manager_rediscovers_existing(tmp_path):
     m2.step(3, 0.6, params, meta={})
     assert len(m2.kept) == 3
     assert not any(s == 0.6 for s, _ in m2.kept)
+
+
+def test_preempt_signal_handler_is_async_safe(tmp_path):
+    """The SIGTERM handler must only set flags: logging from signal context
+    can hit CPython's reentrant-I/O guard and kill the loop before the
+    interrupt checkpoint is written (regression: round-2 review)."""
+    from segma_tpu.train import Trainer
+
+    class _ExplodingLogger:
+        def log(self, *_a, **_k):
+            raise RuntimeError("reentrant call")
+
+    t = Trainer.__new__(Trainer)  # handler touches no other state
+    t._preempt_requested = False
+    t.logger = _ExplodingLogger()
+    t._handle_preempt_signal(15, None)  # must not raise
+    assert t._preempt_requested
+    assert t._preempt_signum == 15
