@@ -60,6 +60,19 @@ def available() -> bool:
     return _lib() is not None
 
 
+# wavio.cpp return codes (see native/wavio.cpp)
+_ERRORS = {
+    -1: "cannot open file",
+    -2: "not a decodable RIFF/WAVE file (bad or truncated header)",
+    -3: "unsupported WAV sample encoding",
+}
+
+
+def _err(call: str, rc: int, path) -> ValueError:
+    reason = _ERRORS.get(rc, f"error {rc}")
+    return ValueError(f"{path}: {reason} ({call})")
+
+
 def probe(path: Path | str) -> tuple[int, int, int, int, int] | None:
     """(sample_rate, channels, bits, format, n_frames) or None on fallback."""
     lib = _lib()
@@ -68,7 +81,7 @@ def probe(path: Path | str) -> tuple[int, int, int, int, int] | None:
     out = (ctypes.c_int64 * 5)()
     rc = lib.wavio_probe(str(path).encode(), out)
     if rc != 0:
-        raise ValueError(f"wavio_probe failed ({rc}) for {path}")
+        raise _err("wavio_probe", rc, path)
     return tuple(int(v) for v in out)
 
 
@@ -87,7 +100,7 @@ def read_range(
         str(path).encode(), start, n, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     )
     if got < 0:
-        raise ValueError(f"wavio_read_range failed ({got}) for {path}")
+        raise _err("wavio_read_range", got, path)
     return buf[: got * channels].reshape(int(got), channels)
 
 
@@ -108,7 +121,7 @@ def read_pcm16(path: Path | str, start: int = 0, n: int = -1) -> np.ndarray | No
     if got == -3:  # not mono PCM16 — caller should fall back
         return None
     if got < 0:
-        raise ValueError(f"wavio_read_pcm16 failed ({got}) for {path}")
+        raise _err("wavio_read_pcm16", got, path)
     return buf[:got]
 
 
@@ -132,5 +145,5 @@ def read_batch_pcm16(
         n_threads,
     )
     if rc != 0:
-        raise ValueError(f"wavio_read_batch_pcm16 failed ({rc})")
+        raise _err("wavio_read_batch_pcm16", rc, "batch")
     return buf, lengths

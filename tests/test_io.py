@@ -87,3 +87,77 @@ def test_scipy_written_wav_compat(tmp_path):
     assert info.n_samples == 4000
     y = get_all_samples(p)
     np.testing.assert_allclose(y[0], x, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Malformed input handling — both the native decoder and the numpy fallback
+# must reject corrupt files with a ValueError (never crash or mis-decode)
+# ---------------------------------------------------------------------------
+
+import struct
+
+from segma_tpu.utils import native as native_mod
+from segma_tpu.utils.io import get_audio_info
+
+
+@pytest.fixture(params=["native", "python"])
+def decoder(request, monkeypatch):
+    if request.param == "native":
+        if not native_mod.available():
+            pytest.skip("native decoder not built")
+    else:
+        monkeypatch.setattr(native_mod, "_lib", lambda: None)
+    return request.param
+
+
+def _pcm16_header(n_data_bytes: int, channels: int = 1, bits: int = 16,
+                  fmt: int = 1, sr: int = 16_000) -> bytes:
+    fmt_chunk = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", fmt, channels, sr, sr * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n_data_bytes) + b"WAVE"
+        + fmt_chunk + b"data" + struct.pack("<I", n_data_bytes)
+    )
+
+
+def test_not_riff_rejected(decoder, tmp_path):
+    p = tmp_path / "bad.wav"
+    p.write_bytes(b"JUNKJUNKJUNKJUNK" * 4)
+    with pytest.raises(ValueError):
+        get_audio_info(p)
+    with pytest.raises(ValueError):
+        get_all_samples(p)
+
+
+def test_empty_file_rejected(decoder, tmp_path):
+    p = tmp_path / "empty.wav"
+    p.write_bytes(b"")
+    with pytest.raises(ValueError):
+        get_all_samples(p)
+
+
+def test_unsupported_encoding_rejected(decoder, tmp_path):
+    p = tmp_path / "pcm8.wav"  # 8-bit PCM: not a supported encoding
+    p.write_bytes(_pcm16_header(4, bits=8) + b"\x80" * 4)
+    with pytest.raises(ValueError):
+        get_all_samples(p)
+
+
+def test_truncated_data_chunk_clamps(decoder, tmp_path):
+    """Header claims 1000 frames but only 10 are present: decode what
+    exists rather than erroring mid-read (files cut by a crashed writer)."""
+    p = tmp_path / "truncated.wav"
+    p.write_bytes(_pcm16_header(2000) + struct.pack("<10h", *range(10)))
+    out = get_all_samples(p)
+    assert out.shape == (1, 10)
+    np.testing.assert_allclose(out[0] * 32768.0, np.arange(10), atol=1e-4)
+
+
+def test_missing_data_chunk_rejected(decoder, tmp_path):
+    p = tmp_path / "nodata.wav"
+    hdr = _pcm16_header(0)
+    p.write_bytes(hdr[: hdr.index(b"data")])  # fmt only, no data chunk
+    with pytest.raises(ValueError):
+        get_all_samples(p)
