@@ -6,6 +6,8 @@ One device-resident :class:`~segma_tpu.inference.InferencePipeline` is
 fronted by a threading HTTP server:
 
 - ``GET  /healthz``            liveness + model/device info
+- ``GET  /metrics``            Prometheus text: request/error counters,
+  audio-seconds processed, latency quantiles, batch dispatches
 - ``POST /v1/segment``         one audio body -> intervals
   - body: a RIFF/WAVE file, or raw 16 kHz mono int16 PCM with
     ``Content-Type: audio/l16``
@@ -20,6 +22,7 @@ packed run-length decode and interval math run underneath.
 
 from __future__ import annotations
 
+import collections
 import json
 import queue
 import tempfile
@@ -93,6 +96,64 @@ class _MicroBatcher:
                     done.set()
 
 
+class _Stats:
+    """Thread-safe serving counters + latency reservoir for ``/metrics``."""
+
+    def __init__(self, window: int = 1024) -> None:
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self.audio_seconds = 0.0
+        self.started = time.monotonic()
+        self._lat = collections.deque(maxlen=window)
+
+    def record(self, latency_s: float, audio_s: float) -> None:
+        with self._lock:
+            self.requests += 1
+            self.audio_seconds += audio_s
+            self._lat.append(latency_s)
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    def render(self, service: "SegmentationService") -> bytes:
+        """Prometheus text exposition format."""
+        with self._lock:
+            lat = sorted(self._lat)
+            requests, errors = self.requests, self.errors
+            audio_s = self.audio_seconds
+        q = (
+            {
+                p: lat[min(len(lat) - 1, int(p * len(lat)))]
+                for p in (0.5, 0.9, 0.99)
+            }
+            if lat
+            else {}
+        )
+        lines = [
+            "# TYPE segma_requests_total counter",
+            f"segma_requests_total {requests}",
+            "# TYPE segma_request_errors_total counter",
+            f"segma_request_errors_total {errors}",
+            "# TYPE segma_audio_seconds_total counter",
+            f"segma_audio_seconds_total {audio_s:.3f}",
+            "# TYPE segma_uptime_seconds gauge",
+            f"segma_uptime_seconds {time.monotonic() - self.started:.3f}",
+            "# TYPE segma_batch_dispatches_total counter",
+            "segma_batch_dispatches_total "
+            f"{service._batcher.dispatches if service._batcher else requests}",
+        ]
+        lines += [
+            "# TYPE segma_request_latency_seconds summary",
+            *(
+                f'segma_request_latency_seconds{{quantile="{p}"}} {v:.4f}'
+                for p, v in q.items()
+            ),
+        ]
+        return ("\n".join(lines) + "\n").encode()
+
+
 class SegmentationService:
     """Model + thresholds + device serialization, shared by HTTP threads.
 
@@ -128,6 +189,7 @@ class SegmentationService:
             self.thresholds = thresholds or default_thresholds(enc.base_labels)
         self.transport = transport
         self._device_lock = threading.Lock()
+        self.stats = _Stats()
         self._batcher = (
             _MicroBatcher(self, batch_window_ms, max_batch)
             if batch_window_ms > 0
@@ -185,7 +247,10 @@ class SegmentationService:
 
     def segment(self, body: bytes, content_type: str = "") -> list[tuple]:
         """audio bytes -> sorted [(start_f, end_f, label), ...]."""
-        audio = self._audio_from_body(body, content_type)
+        return self.segment_audio(self._audio_from_body(body, content_type))
+
+    def segment_audio(self, audio: np.ndarray) -> list[tuple]:
+        """decoded audio -> sorted [(start_f, end_f, label), ...]."""
         if self._batcher is not None:
             return self._batcher.submit(audio)
         return self._segment_audios([audio])[0]
@@ -256,8 +321,15 @@ def _make_handler(service: SegmentationService):
             )
 
         def do_GET(self):  # noqa: N802 (http.server API)
-            if urlparse(self.path).path == "/healthz":
+            path = urlparse(self.path).path
+            if path == "/healthz":
                 self._reply(200, service.health(), "application/json")
+            elif path == "/metrics":
+                self._reply(
+                    200,
+                    service.stats.render(service),
+                    "text/plain; version=0.0.4",
+                )
             else:
                 self._error(404, f"unknown path {self.path!r}")
 
@@ -269,21 +341,29 @@ def _make_handler(service: SegmentationService):
             q = parse_qs(url.query)
             uri = q.get("uri", ["audio"])[0]
             fmt = q.get("format", ["json"])[0]
+            t0 = time.monotonic()
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
-                intervals = service.segment(
+                audio = service._audio_from_body(
                     body, self.headers.get("Content-Type", "")
                 )
+                intervals = service.segment_audio(audio)
                 if fmt == "rttm":
                     self._reply(200, service.to_rttm(intervals, uri), "text/plain")
                 else:
                     self._reply(
                         200, service.to_json(intervals, uri), "application/json"
                     )
+                n = audio.n_samples if hasattr(audio, "n_samples") else audio.size
+                service.stats.record(
+                    time.monotonic() - t0, n / service.sample_rate
+                )
             except ValueError as e:
+                service.stats.record_error()
                 self._error(400, str(e))
             except Exception as e:  # noqa: BLE001 — keep the server alive
+                service.stats.record_error()
                 self._error(500, f"{type(e).__name__}: {e}")
 
     return Handler

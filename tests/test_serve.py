@@ -224,3 +224,42 @@ def test_serve_from_exported_artifact(service, wav_bytes, tmp_path):
     finally:
         live_srv.shutdown()
     assert got == json.loads(live_raw)
+
+
+def test_metrics_endpoint(service, wav_bytes):
+    """GET /metrics: Prometheus counters advance with requests and errors."""
+    def scrape(url):
+        with urllib.request.urlopen(f"{url}/metrics", timeout=30) as resp:
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            text = resp.read().decode()
+        return text, {
+            line.split()[0]: line.split()[1]
+            for line in text.splitlines()
+            if line and not line.startswith("#")
+        }
+
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        body, audio = wav_bytes
+        _, before = scrape(url)
+        _post(f"{url}/v1/segment?uri=m", body)
+        _post(f"{url}/v1/segment?uri=m", body)
+        try:
+            _post(f"{url}/v1/segment", b"notawav")
+        except urllib.error.HTTPError:
+            pass
+        text, after = scrape(url)
+    finally:
+        srv.shutdown()
+
+    def delta(key):
+        return float(after[key]) - float(before[key])
+
+    assert delta("segma_requests_total") == 2
+    assert delta("segma_request_errors_total") == 1
+    expect_s = 2 * audio.size / service.sample_rate
+    assert abs(delta("segma_audio_seconds_total") - expect_s) < 0.1
+    assert 'segma_request_latency_seconds{quantile="0.5"}' in text
