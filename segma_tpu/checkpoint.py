@@ -143,10 +143,14 @@ class CheckpointManager:
         save_params(path, trainable_params, meta)
         self.kept.append((score, path))
         self.kept.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
-        while len(self.kept) > self.save_top_k:
-            # the best checkpoint always ranks first, so it is never evicted
-            _, evicted = self.kept.pop()
-            shutil.rmtree(evicted, ignore_errors=True)
+        if self.save_top_k >= 0:  # Lightning convention: -1 keeps all
+            while len(self.kept) > max(self.save_top_k, 1):
+                # best always ranks first, so it is never evicted; floor of
+                # 1 keeps the checkpoint best.ckpt points at even for
+                # save_top_k=0 (a 0 that deleted it would leave best.ckpt a
+                # dangling symlink)
+                _, evicted = self.kept.pop()
+                shutil.rmtree(evicted, ignore_errors=True)
 
         if self.best_score is None or self._is_better(score, self.best_score):
             self.best_score = float(score)
@@ -165,6 +169,10 @@ class CheckpointManager:
         """Atomically replace ``last/`` (write to a tmp dir, then rename)."""
         last = self.dirpath / "last"
         tmp = self.dirpath / ".last.tmp"
+        # a stale tmp from a crashed earlier write could carry an old
+        # opt_state.msgpack/train_state.yaml into the new last/ when this
+        # write omits them — always start from an empty tmp
+        shutil.rmtree(tmp, ignore_errors=True)
         save_params(tmp, trainable_params, meta)
         if opt_state is not None:
             host_opt = jax.tree.map(np.asarray, opt_state)
@@ -174,8 +182,15 @@ class CheckpointManager:
         if train_state is not None:
             with (tmp / "train_state.yaml").open("w") as f:
                 yaml.dump(train_state, f)
-        shutil.rmtree(last, ignore_errors=True)
+        # swap via a second rename so there is never a moment with no
+        # resumable last/ on disk (a crash mid-replace loses at most the
+        # epoch being written, not the previous one)
+        old = self.dirpath / ".last.old"
+        shutil.rmtree(old, ignore_errors=True)
+        if last.exists():
+            last.rename(old)
         tmp.rename(last)
+        shutil.rmtree(old, ignore_errors=True)
 
     def save_interrupt(
         self,
@@ -196,7 +211,14 @@ class CheckpointManager:
 
     @property
     def last_path(self) -> Path:
-        return self.dirpath / "last"
+        last = self.dirpath / "last"
+        old = self.dirpath / ".last.old"
+        # crash window of _write_last's two-rename swap: last/ was moved
+        # aside but the replacement never landed — the previous epoch in
+        # .last.old is still a fully valid resume point
+        if not last.exists() and old.exists():
+            old.rename(last)
+        return last
 
 
 def resolve_checkpoint(path: Path | str) -> Path:

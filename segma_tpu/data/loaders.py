@@ -70,6 +70,7 @@ class AudioSegmentationSampler:
         seed: int | None = None,
         host_hook: Callable[[np.ndarray], np.ndarray] | None = None,
         cache_audio_gb: float = 8.0,
+        shared_audio_cache: dict | None = None,
     ) -> None:
         self.uris = subset.uris
         self.durations = subset.durations
@@ -83,8 +84,13 @@ class AudioSegmentationSampler:
         # host cost of the sampling loop. Disabled when the subset exceeds
         # the budget.
         self._audio_cache: dict[int, np.ndarray] | None = None
+        self._cache_budget = int(cache_audio_gb * 1e9)
         total_bytes = int(subset.durations["audio_duration_f"].sum()) * 2
-        if cache_audio_gb > 0 and total_bytes <= cache_audio_gb * 1e9:
+        if shared_audio_cache is not None:
+            # N workers over one subset must share ONE cache: per-worker
+            # copies would multiply host RAM by num_workers
+            self._audio_cache = shared_audio_cache
+        elif cache_audio_gb > 0 and total_bytes <= self._cache_budget:
             self._audio_cache = {}
 
         if len(self.uris) != self.durations.shape[0]:
@@ -137,7 +143,12 @@ class AudioSegmentationSampler:
                     ).astype(np.float32)
                 else:
                     cached = raw
-                self._audio_cache[uri_i] = cached
+                # enforce the budget on ACTUAL stored bytes (float32 entries
+                # are 2x the int16 estimate used at construction): once
+                # full, existing entries stay but new files read directly
+                held = sum(a.nbytes for a in self._audio_cache.values())
+                if held + cached.nbytes <= self._cache_budget:
+                    self._audio_cache[uri_i] = cached
             crop = cached[start_f : start_f + self.chunk_f]
             if crop.dtype == np.int16:
                 return crop.astype(np.float32) / 32768.0
@@ -205,6 +216,10 @@ class PrefetchingLoader:
             try:
                 for _ in range(n):
                     q.put(sampler.sample_batch(self.batch_size))
+            except BaseException as e:  # noqa: BLE001 — surface in consumer
+                # a worker dying must FAIL the epoch, not silently shrink
+                # it (train.py's step accounting trusts len(loader))
+                q.put((stop, e))
             finally:
                 q.put(stop)
 
@@ -217,6 +232,10 @@ class PrefetchingLoader:
             if item is stop:
                 finished += 1
                 continue
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is stop:
+                raise RuntimeError(
+                    "data loader worker failed"
+                ) from item[1]
             yield item
 
 
@@ -244,6 +263,8 @@ class SegmentationDataLoader:
             dataset.load()
 
     def _loader(self, subset: DatasetSubset, seed_offset: int) -> PrefetchingLoader:
+        shared_cache: dict = {}
+
         def make_sampler(worker: int) -> AudioSegmentationSampler:
             return AudioSegmentationSampler(
                 subset=subset,
@@ -254,6 +275,8 @@ class SegmentationDataLoader:
                 if self.seed is None
                 else self.seed + seed_offset + 1000 * worker,
                 host_hook=self.host_hook,
+                # one decoded-audio cache per SUBSET, not per worker
+                shared_audio_cache=shared_cache,
             )
 
         n_workers = max(1, self.config.train.dataloader.num_workers)

@@ -588,13 +588,7 @@ def unpack_run_intervals(
     for li, label in enumerate(labels):
         k = int(counts[li])
         for s, e in zip(s_idx[li, :k], e_idx[li, :k]):
-            intervals.append(
-                (
-                    max(0, frame_settings.rf_start_i(int(s))),
-                    frame_settings.rf_end_i(int(e)) + 1,
-                    label,
-                )
-            )
+            intervals.append((*frame_settings.run_interval(s, e), label))
     return intervals
 
 
@@ -655,13 +649,7 @@ def intervals_from_boundaries(
         run_starts = np.where(starts[:, label_i])[0]
         run_ends = np.where(ends[:, label_i])[0]  # inclusive last frame
         for s, e in zip(run_starts, run_ends):
-            intervals.append(
-                (
-                    max(0, conv_settings.rf_start_i(int(s))),
-                    conv_settings.rf_end_i(int(e)) + 1,
-                    label,
-                )
-            )
+            intervals.append((*conv_settings.run_interval(s, e), label))
     return intervals
 
 
@@ -685,10 +673,8 @@ def create_intervals(
     for label_i, label in enumerate(label_encoder.base_labels):
         starts = np.where(diff[:, label_i] == 1)[0]
         ends = np.where(diff[:, label_i] == -1)[0]  # exclusive frame index
-        for s, e in zip(starts, ends):
-            interval_start = max(0, conv_settings.rf_start_i(int(s)))
-            interval_end = conv_settings.rf_end_i(int(e) - 1) + 1
-            intervals.append((interval_start, interval_end, label))
+        for s, e in zip(starts, ends):  # e is exclusive -> last frame e-1
+            intervals.append((*conv_settings.run_interval(s, e - 1), label))
     return intervals
 
 
@@ -937,11 +923,18 @@ def run_inference_on_audios(
 
     q: queue.Queue = queue.Queue(maxsize=2)
     stop = object()
+    decode_error = object()
+    failed: list[tuple[Path, Exception]] = []
 
     def producer():
         try:
             for audio_path in files_to_infer_on:
-                q.put((audio_path, _load_mono(audio_path, transport)))
+                try:
+                    item = (audio_path, _load_mono(audio_path, transport))
+                except Exception as e:  # noqa: BLE001 — one bad file must
+                    # not silently abandon the rest of the batch
+                    item = (audio_path, decode_error, e)
+                q.put(item)
         finally:
             q.put(stop)
 
@@ -1012,13 +1005,28 @@ def run_inference_on_audios(
         item = q.get()
         if item is stop:
             break
+        if len(item) == 3 and item[1] is decode_error:
+            audio_path, _, e = item
+            failed.append((audio_path, e))
+            print(
+                f"[log] - SKIPPED '{audio_path}': {type(e).__name__}: {e}",
+                flush=True,
+            )
+            continue
         group.append(item)
         if len(group) >= max(1, pack_files):
             dispatch_group()
     dispatch_group()
     while pending:
         finalize(pending.popleft())
-    return files_to_infer_on
+    if failed:
+        print(
+            f"[log] - WARNING: {len(failed)}/{n_files} files failed to "
+            "decode and have no output (listed above)",
+            flush=True,
+        )
+    done = {p for p, _ in failed}
+    return [p for p in files_to_infer_on if p not in done]
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -70,6 +70,21 @@ class ConvolutionSettings:
         )
         return v_L * self._total_stride - tail
 
+    def run_interval(self, first_frame: int, last_frame: int) -> tuple[int, int]:
+        """Sample interval ``[start, end)`` covered by the frame run
+        ``[first_frame, last_frame]`` (inclusive).
+
+        THE decode invariant (pinned by tests/golden/decode.rttm):
+        start = max(0, rf_start(first)), end = rf_end(last) + 1 — matching
+        the reference's ``create_intervals`` (``inference.py:237-263``).
+        Every decode path (packed device runs, mask fallback, streaming
+        emit/flush) must build intervals through this one method.
+        """
+        return (
+            max(0, self.rf_start_i(int(first_frame))),
+            self.rf_end_i(int(last_frame)) + 1,
+        )
+
     @property
     def rf_size(self) -> int:
         """Receptive-field size of one output frame (distill.pub eq 2)."""

@@ -69,7 +69,6 @@ def binary_auroc_np(scores: np.ndarray, targets: np.ndarray) -> np.ndarray:
             continue
         order = np.argsort(s)
         ranks = np.empty(n, np.float64)
-        ranks[order] = np.arange(1, n + 1)
         # average ranks over ties
         s_sorted = s[order]
         _, inv, counts = np.unique(s_sorted, return_inverse=True, return_counts=True)
@@ -94,35 +93,3 @@ def roc_curve_np(
     return fps / n_neg, tps / n_pos
 
 
-def binary_auroc(scores: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Exact AUROC per label via the Mann-Whitney U statistic.
-
-    scores: (N, L) real-valued; targets: (N, L) in {0, 1}.
-    Ties handled by average ranks. Labels with no positives or no
-    negatives return 0.5.
-    """
-
-    def one_label(s: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-        order = jnp.argsort(s)
-        s_sorted = s[order]
-        t_sorted = t[order]
-        n = s.shape[0]
-        ranks = jnp.arange(1, n + 1, dtype=jnp.float64)
-        # average ranks for ties: segment means over equal-value runs
-        new_group = jnp.concatenate(
-            [jnp.array([True]), s_sorted[1:] != s_sorted[:-1]]
-        )
-        group_id = jnp.cumsum(new_group) - 1
-        group_sum = jax.ops.segment_sum(ranks, group_id, num_segments=n)
-        group_cnt = jax.ops.segment_sum(jnp.ones_like(ranks), group_id, num_segments=n)
-        avg_rank = (group_sum / jnp.maximum(group_cnt, 1))[group_id]
-        n_pos = jnp.sum(t_sorted)
-        n_neg = n - n_pos
-        rank_sum_pos = jnp.sum(avg_rank * t_sorted)
-        u = rank_sum_pos - n_pos * (n_pos + 1) / 2
-        auc = u / jnp.maximum(n_pos * n_neg, 1)
-        return jnp.where((n_pos == 0) | (n_neg == 0), 0.5, auc)
-
-    return jax.vmap(one_label, in_axes=(1, 1))(
-        scores.astype(jnp.float64), targets.astype(jnp.float64)
-    )

@@ -38,6 +38,12 @@ class StreamingSegmenter:
         params: Any,
         thresholds: dict[str, dict[str, float]] | None = None,
     ) -> None:
+        # streaming is single-device: strip a seq-parallel mesh the module
+        # may have baked in at build time (same normalization as
+        # InferencePipeline.__post_init__ — the constraints are pure data
+        # movement, numerics are identical)
+        if getattr(model.module, "mesh", None) is not None:
+            model = model.with_module(model.module.clone(mesh=None))
         self.model = model
         self.params = params
         cfg = model.config
@@ -102,8 +108,9 @@ class StreamingSegmenter:
                     oi += 1
                 out.append(
                     (
-                        max(0, self.frame_settings.rf_start_i(start)),
-                        self.frame_settings.rf_end_i(base + int(c) - 1) + 1,
+                        *self.frame_settings.run_interval(
+                            start, base + int(c) - 1
+                        ),
                         label,
                     )
                 )
@@ -176,8 +183,9 @@ class StreamingSegmenter:
             if self._open[li] >= 0:
                 out.append(
                     (
-                        max(0, self.frame_settings.rf_start_i(int(self._open[li]))),
-                        self.frame_settings.rf_end_i(self._n_frames - 1) + 1,
+                        *self.frame_settings.run_interval(
+                            int(self._open[li]), self._n_frames - 1
+                        ),
                         label,
                     )
                 )

@@ -592,3 +592,34 @@ def test_packed_dispatch_caps_long_files(vad_model):
         np.testing.assert_allclose(
             np.asarray(lg[:tf]), np.asarray(ref_lg[:tf]), rtol=1e-5, atol=1e-6
         )
+
+
+def test_run_inference_skips_undecodable_file(vad_model, synthetic_dataset, tmp_path, capsys):
+    """One corrupt WAV must not abandon the rest of the batch: good files
+    still get RTTMs, the bad one is reported and excluded from the return
+    (regression: round-2 review — the producer's stop sentinel silently
+    ended the whole run)."""
+    import shutil
+
+    from segma_tpu.inference import run_inference_on_audios
+
+    wav_dir = tmp_path / "wav"
+    shutil.copytree(synthetic_dataset / "wav", wav_dir)
+    bad = wav_dir / "0002.wav"  # uri order: corrupt a middle file
+    bad.write_bytes(b"NOT A WAV FILE")
+
+    files = run_inference_on_audios(
+        config=vad_model.config,
+        wavs=wav_dir,
+        checkpoint=None,
+        output=tmp_path / "out",
+        batch_size=16,
+        model=vad_model,
+    )
+    out = capsys.readouterr().out
+    assert "SKIPPED" in out and "0002" in out and "WARNING: 1/" in out
+    assert all(f.stem != "0002" for f in files)
+    assert len(files) >= 2
+    for f in files:
+        assert (tmp_path / "out" / "raw_rttm" / f"{f.stem}.rttm").exists()
+    assert not (tmp_path / "out" / "raw_rttm" / "0002.rttm").exists()

@@ -130,3 +130,36 @@ def test_multi_worker_loader(cfg, loaded_ds):
     for b in batches:
         assert b["x"].shape == (4, 64_000)
         assert b["y"].shape == (4, 199, 4)
+
+
+def test_worker_failure_raises_not_truncates(cfg, loaded_ds):
+    """A dying producer thread must fail the epoch loudly, not silently
+    shrink it (regression: round-2 review)."""
+    from segma_tpu.data.loaders import PrefetchingLoader
+
+    class _BadSampler:
+        def sample_batch(self, batch_size):
+            raise OSError("disk gone")
+
+    loader = PrefetchingLoader(_BadSampler(), batch_size=2, n_batches=4)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(loader)
+
+
+def test_workers_share_one_audio_cache(cfg, loaded_ds):
+    """num_workers samplers over one subset share a single decoded-audio
+    cache (per-worker copies would multiply host RAM by num_workers)."""
+    from segma_tpu.data.loaders import SegmentationDataLoader
+    from segma_tpu.models.base import ConvolutionSettings
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    cfg.train.dataloader.num_workers = 3
+    enc = MultiLabelEncoder(cfg.data.classes)
+    cs = ConvolutionSettings((320,), (320,), (0,))
+    dl = SegmentationDataLoader(loaded_ds, enc, cfg, cs)
+    loader = dl.train_dataloader()
+    caches = [id(s._audio_cache) for s in [loader.sampler] + loader.extra_samplers]
+    assert len(loader.extra_samplers) >= 1
+    assert len(set(caches)) == 1
+    next(iter(loader))  # populates the shared cache through any worker
+    assert len(loader.sampler._audio_cache) > 0

@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 from segma_tpu.ops.metrics import (
-    binary_auroc,
     binary_auroc_np,
     binary_counts,
     f1_from_counts,
@@ -52,15 +51,6 @@ def test_auroc_np_matches_sklearn():
     for li in range(3):
         ref = sk.roc_auc_score(targets[:, li], scores[:, li])
         assert got[li] == pytest.approx(ref, abs=1e-12)
-
-
-def test_auroc_jax_matches_np():
-    rng = np.random.default_rng(2)
-    scores = rng.random((200, 2)).astype(np.float32)
-    targets = (rng.random((200, 2)) > 0.5).astype(np.float32)
-    got_jax = np.asarray(binary_auroc(jnp.asarray(scores), jnp.asarray(targets)))
-    got_np = binary_auroc_np(scores, targets)
-    np.testing.assert_allclose(got_jax, got_np, atol=1e-5)
 
 
 def test_roc_curve_endpoints():

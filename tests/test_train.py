@@ -488,3 +488,44 @@ def test_preempt_signal_handler_is_async_safe(tmp_path):
     t._handle_preempt_signal(15, None)  # must not raise
     assert t._preempt_requested
     assert t._preempt_signum == 15
+
+
+def test_checkpoint_manager_keep_all_and_zero(tmp_path):
+    """save_top_k=-1 keeps every checkpoint (Lightning convention);
+    save_top_k=0 still keeps the one best.ckpt points at (regression:
+    round-2 review — -1 destroyed everything then crashed)."""
+    params = {"heads": {"kernel": np.ones((2, 2), np.float32)}}
+    mgr = CheckpointManager(
+        tmp_path / "all", monitor="val/loss", mode="min", save_top_k=-1
+    )
+    for epoch, score in enumerate([0.5, 0.3, 0.4]):
+        mgr.step(epoch, score, params, meta={})
+    assert len(mgr.kept) == 3
+    assert all(p.exists() for _, p in mgr.kept)
+
+    mgr0 = CheckpointManager(
+        tmp_path / "zero", monitor="val/loss", mode="min", save_top_k=0
+    )
+    for epoch, score in enumerate([0.5, 0.3, 0.4]):
+        mgr0.step(epoch, score, params, meta={})
+    best = resolve_checkpoint(tmp_path / "zero" / "best.ckpt")
+    assert best.exists()  # never a dangling symlink
+
+
+def test_write_last_ignores_stale_tmp_and_recovers_old(tmp_path):
+    """A stale .last.tmp from a crashed write must not leak its old
+    opt_state into the next last/; and a crash between the two renames
+    leaves .last.old, which last_path adopts (regression: round-2 review)."""
+    params = {"heads": {"kernel": np.ones((2, 2), np.float32)}}
+    mgr = CheckpointManager(tmp_path, monitor="val/loss", mode="min")
+    # simulate a crashed earlier write that left opt_state in the tmp dir
+    stale = tmp_path / ".last.tmp"
+    stale.mkdir()
+    (stale / "opt_state.msgpack").write_bytes(b"STALE")
+    mgr._write_last(params, meta={})  # params-only write
+    assert not (tmp_path / "last" / "opt_state.msgpack").exists()
+
+    # simulate the crash window: last/ moved aside, replacement never landed
+    (tmp_path / "last").rename(tmp_path / ".last.old")
+    assert mgr.last_path.exists()  # adopted .last.old
+    assert not (tmp_path / ".last.old").exists()
