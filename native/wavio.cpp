@@ -45,6 +45,10 @@ bool parse_header(FILE* f, WavLayout* out) {
     uint32_t size;
     memcpy(&size, hdr + 4, 4);
     if (memcmp(hdr, "fmt ", 4) == 0) {
+      // 16 bytes is the minimum valid PCM fmt chunk; a smaller size would
+      // make the field reads below run past the buffer, and an absurd one
+      // (e.g. a corrupt 0xFFFFFFFF) would try a 4 GB allocation
+      if (size < 16 || size > (1u << 20)) return false;
       std::vector<unsigned char> body(size);
       if (fread(body.data(), 1, size, f) != size) return false;
       memcpy(&out->format, body.data() + 0, 2);
@@ -53,6 +57,10 @@ bool parse_header(FILE* f, WavLayout* out) {
       memcpy(&out->bits, body.data() + 14, 2);
       if (out->format == kExtensible && size >= 40)
         memcpy(&out->format, body.data() + 24, 2);
+      // sub-byte encodings (e.g. 4-bit ADPCM) would give bytes-per-frame 0
+      // and a SIGFPE at the data_size/bpf divisions below — reject here so
+      // callers get the same -2 a corrupt header gets
+      if (out->bits < 8 || out->bits % 8 != 0) return false;
       have_fmt = true;
     } else if (memcmp(hdr, "data", 4) == 0) {
       if (!have_fmt) return false;

@@ -34,7 +34,7 @@ class AudioAnnotation:
     @classmethod
     def read_line(cls, line: str) -> "AudioAnnotation":
         """Parse one ``.aa`` line: ``<uid> <start_s> <duration_s> <label>``."""
-        uid, start_time, duration, label = line.strip().split(" ")
+        uid, start_time, duration, label = line.split()
         return cls(uid, float(start_time), float(duration), label)
 
     def write(self, n_digits: int = 8) -> str:
@@ -93,7 +93,7 @@ class AudioAnnotation:
     @classmethod
     def from_rttm(cls, line: str) -> "AudioAnnotation":
         """Parse one RTTM line (9 or 10 fields; channel field optional)."""
-        fields = line.strip().split(" ")
+        fields = line.split()  # any whitespace: tabs / aligned columns
         if len(fields) not in (9, 10):
             raise ValueError(f"malformed RTTM line ({len(fields)} fields): {line!r}")
         return cls(

@@ -46,7 +46,16 @@ def load_uem_dir(path: Path) -> dict[str, list[tuple[float, float]]]:
             parts = line.split()
             if len(parts) >= 4:
                 regions.append((float(parts[2]), float(parts[3])))
-        out[uem.stem] = sorted(regions)
+        # merge overlaps: _crop_segments intersects per region, so
+        # overlapping UEM regions would double-count cropped durations and
+        # hand _intersection_duration non-disjoint lists
+        merged: list[tuple[float, float]] = []
+        for s, e in sorted(regions):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        out[uem.stem] = merged
     return out
 
 

@@ -95,7 +95,11 @@ def softmax_ce_loss_per_class(
     flat_t = targets.reshape(-1, targets.shape[-1])
     if class_weights is not None:
         flat_t = flat_t * class_weights[None, :]
-    norm = jnp.maximum(flat_t.sum(), 1e-12)
+    # torch cross_entropy with probabilistic targets, reduction='mean':
+    # mean over ROWS. Normalizing by target mass instead would scale the
+    # loss (and the effective LR) with batch activity — half for
+    # all-overlap rows, huge for mostly-silent batches.
+    norm = flat_lp.shape[0]
     per_class = -(flat_t * flat_lp).sum(axis=0) / norm
     return per_class.sum(), per_class
 

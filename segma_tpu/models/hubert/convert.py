@@ -92,11 +92,13 @@ def _normalize_keys(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
-def _dense(sd, name: str) -> dict[str, np.ndarray]:
-    return {
-        "kernel": np.ascontiguousarray(sd[f"{name}.weight"].T),
-        "bias": sd[f"{name}.bias"],
-    }
+def _dense(sd, name: str, bias: bool = True) -> dict[str, np.ndarray]:
+    """torch Linear -> flax Dense params (shared by all three converters:
+    hubert, wavlm, whisper — one home for the torch->flax rewriters)."""
+    p = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T)}
+    if bias:
+        p["bias"] = sd[f"{name}.bias"]
+    return p
 
 
 def _layernorm(sd, name: str) -> dict[str, np.ndarray]:

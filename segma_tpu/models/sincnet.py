@@ -75,11 +75,15 @@ class SincConv(nn.Module):
         bank = bank / (2.0 * (f2 - f1))[:, None]
 
         kernel = bank.T[:, None, :].astype(self.dtype)  # (K, in=1, F)
+        # EXPLICIT symmetric padding (not SAME): SAME's left pad depends on
+        # the input length, which would silently shift the receptive-field
+        # grid the decode timestamps are computed from. half = the padding
+        # declared in build_sincnet_hydra's ConvolutionSettings.
         out = jax.lax.conv_general_dilated(
             wav[:, :, None].astype(self.dtype),
             kernel,
             window_strides=(self.stride,),
-            padding="SAME",
+            padding=[(half, half)],
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
         return out
@@ -109,14 +113,18 @@ class SincNetModule(nn.Module):
         # log-compress rectified filter energies (stable dynamic range)
         x = jnp.log1p(jnp.abs(x.astype(jnp.float32))).astype(self.dtype)
         x = nn.LayerNorm(dtype=self.dtype)(x)
-        x = nn.max_pool(x, (4,), strides=(4,), padding="SAME")
+        # explicit paddings throughout — each layer's (low, high) pad is
+        # exactly the value declared in build_sincnet_hydra's
+        # ConvolutionSettings (SAME would make the left pad input-length-
+        # dependent and desync the rf grid from the decode math)
+        x = nn.max_pool(x, (4,), strides=(4,), padding="VALID")
         x = nn.gelu(
-            nn.Conv(self.hidden, (5,), strides=(4,), padding="SAME",
+            nn.Conv(self.hidden, (5,), strides=(4,), padding=((2, 2),),
                     dtype=self.dtype, name="conv1")(x)
         )
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.gelu(
-            nn.Conv(self.hidden, (5,), strides=(2,), padding="SAME",
+            nn.Conv(self.hidden, (5,), strides=(2,), padding=((2, 2),),
                     dtype=self.dtype, name="conv2")(x)
         )
         x = nn.LayerNorm(dtype=self.dtype)(x)
@@ -137,12 +145,18 @@ def build_sincnet_hydra(
     lstm = mc.lstm or LSTMConfig(
         hidden_size=128, num_layers=2, bidirectional=True, dropout=0.0
     )
-    # stack: sinc (k, s) -> pool (4, 4) -> conv (5, 4) -> conv (5, 2)
-    # => rf_step = 32 * stride (= 320 at the default stride 10)
+    if mc.kernel_size % 2 == 0:
+        raise ValueError(
+            f"sincnet_hydra kernel_size must be odd, got {mc.kernel_size}"
+        )
+    # stack: sinc (k, s) -> pool (4, 4, VALID) -> conv (5, 4) -> conv (5, 2)
+    # => rf_step = 32 * stride (= 320 at the default stride 10). The
+    # paddings here are the LITERAL left pads the module applies (explicit
+    # padding in SincNetModule) — the decode timestamps depend on them.
     conv_settings = ConvolutionSettings(
         kernels=(mc.kernel_size, 4, 5, 5),
         strides=(mc.stride, 4, 4, 2),
-        paddings=(mc.kernel_size // 2, 2, 2, 2),
+        paddings=(mc.kernel_size // 2, 0, 2, 2),
     )
     n_windows = conv_settings.n_windows(
         config.audio.chunk_duration_f, strict=config.audio.strict_frames

@@ -14,6 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
+from segma_tpu.models.hubert.convert import _as_f32, _dense, _layernorm
 from segma_tpu.models.whisper.encoder import WhisperEncoderConfig
 
 
@@ -63,17 +64,6 @@ def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return sd
 
 
-def _dense(sd, name: str, bias: bool = True) -> dict[str, np.ndarray]:
-    p = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T)}
-    if bias:
-        p["bias"] = sd[f"{name}.bias"]
-    return p
-
-
-def _layernorm(sd, name: str) -> dict[str, np.ndarray]:
-    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
-
-
 def _conv(sd, name: str) -> dict[str, np.ndarray]:
     # torch Conv1d (out, in, k) -> flax (k, in, out)
     return {
@@ -111,7 +101,3 @@ def convert_encoder_params(snapshot: Path) -> tuple[WhisperEncoderConfig, dict]:
     return cfg, params
 
 
-def _as_f32(tree):
-    if isinstance(tree, dict):
-        return {k: _as_f32(v) for k, v in tree.items()}
-    return np.asarray(tree, dtype=np.float32)

@@ -22,9 +22,13 @@ from dataclasses import dataclass
 from typing import Any
 
 import flax.linen as nn
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_seq_degrade_warned: set = set()
 
 
 def shard_time_axis(
@@ -54,6 +58,21 @@ def shard_time_axis(
         a if a is None or x.shape[d] % mesh.shape[a] == 0 else None
         for d, a in enumerate(spec)
     ]
+    if "seq" in spec and "seq" not in axes:
+        # the user configured sequence parallelism but this shape cannot
+        # shard (e.g. whisper's padded T=1500 with seq=8): compute is
+        # silently replicated seq-fold without a warning — say so once
+        key = (x.shape, mesh.shape["seq"])
+        if key not in _seq_degrade_warned:
+            _seq_degrade_warned.add(key)
+            warnings.warn(
+                f"sequence parallelism disabled for activation shape "
+                f"{x.shape}: time axis {x.shape[spec.index('seq')]} is not "
+                f"divisible by mesh seq={mesh.shape['seq']} — compute will "
+                "be replicated across the seq axis (pick a seq size that "
+                "divides the encoder time length)",
+                stacklevel=2,
+            )
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*axes))
     )

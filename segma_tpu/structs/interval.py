@@ -17,9 +17,12 @@ class Intervals:
     """Sorted collection of labeled intervals with per-label merging."""
 
     def __init__(self, intervals: list[Interval] | None = None) -> None:
-        self.intervals: list[Interval] = []
-        for iv in intervals or []:
-            self.add(iv)
+        # bulk construction: ONE sort+merge pass over the whole list —
+        # add() per element would re-sort and re-merge the accumulated
+        # list each time (O(n^2 log n) on large RTTMs)
+        self.intervals: list[Interval] = self._reduce_per_label(
+            list(intervals or [])
+        )
 
     def add(self, interval: Interval) -> None:
         """Insert an interval, re-merging per label."""

@@ -423,7 +423,20 @@ class Trainer:
 
             restored = load_opt_state(resume_ckpt, opt_state)
             if restored is not None:
-                opt_state = restored
+                if self.mesh is not None:
+                    # from_bytes yields host numpy leaves; re-place each on
+                    # the sharding jit(optimizer.init) established (moments
+                    # follow the TP param layout) — otherwise the first
+                    # step replicates them across the model axis
+                    opt_state = jax.tree.map(
+                        lambda r, init: jax.device_put(r, init.sharding)
+                        if hasattr(init, "sharding")
+                        else r,
+                        restored,
+                        opt_state,
+                    )
+                else:
+                    opt_state = restored
             ts = load_train_state(resume_ckpt)
             if ts:
                 for obj, section in (

@@ -100,9 +100,13 @@ mkdir -p "$RUN_DIR" logs
 
 # resilience: resubmit this script after this job ends (any exit state)
 # until the training loop drops the `finished` sentinel
-if [ ! -f "$RUN_DIR/finished" ]; then
-    sbatch --dependency=afterany:$SLURM_JOBID "$0"
+if [ -f "$RUN_DIR/finished" ]; then
+    # successor job queued before the run completed: nothing left to do
+    # (without this guard it would auto-resume a finished run and train
+    # at least one extra epoch over its checkpoints)
+    exit 0
 fi
+sbatch --dependency=afterany:$SLURM_JOBID "$0"
 
 {self.train_command()}
 

@@ -67,12 +67,21 @@ def _parse_wav_header(audio_p: Path) -> _WavLayout:
             chunk_id, chunk_size = header[:4], struct.unpack("<I", header[4:8])[0]
             if chunk_id == b"fmt ":
                 body = f.read(chunk_size)
+                if len(body) < 16:  # minimum valid PCM fmt chunk
+                    raise ValueError(f"{audio_p}: truncated fmt chunk")
                 (audio_format, n_channels, sample_rate, _, _, bits) = struct.unpack(
                     "<HHIIHH", body[:16]
                 )
                 if audio_format == _EXTENSIBLE and chunk_size >= 40:
                     # SubFormat GUID's first two bytes carry the real format.
                     audio_format = struct.unpack("<H", body[24:26])[0]
+                if n_channels == 0 or bits < 8 or bits % 8:
+                    # sub-byte encodings (4-bit ADPCM): bytes_per_frame
+                    # would be 0 and every n_samples division would crash
+                    raise ValueError(
+                        f"{audio_p}: unsupported WAV layout "
+                        f"(channels={n_channels}, bits={bits})"
+                    )
                 fmt = (audio_format, n_channels, sample_rate, bits)
             elif chunk_id == b"data":
                 if fmt is None:

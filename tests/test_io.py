@@ -161,3 +161,31 @@ def test_missing_data_chunk_rejected(decoder, tmp_path):
     p.write_bytes(hdr[: hdr.index(b"data")])  # fmt only, no data chunk
     with pytest.raises(ValueError):
         get_all_samples(p)
+
+
+def test_sub_byte_encoding_rejected(decoder, tmp_path):
+    """4-bit (ADPCM-style) fmt: bytes-per-frame would be 0 — must raise
+    ValueError, never SIGFPE (regression: round-2 review of wavio.cpp)."""
+    p = tmp_path / "adpcm4.wav"
+    fmt4 = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 2, 1, 16_000, 8_000, 1, 4
+    )
+    p.write_bytes(
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE" + fmt4
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(ValueError):
+        get_all_samples(p)
+
+
+def test_short_fmt_chunk_rejected(decoder, tmp_path):
+    """fmt chunk smaller than 16 bytes: field reads would run past the
+    buffer — must be a clean ValueError."""
+    p = tmp_path / "shortfmt.wav"
+    fmts = b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00\x80\x3e\x00\x00"
+    p.write_bytes(
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE" + fmts
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        get_all_samples(p)

@@ -322,3 +322,50 @@ def test_meshless_pipeline_strips_module_mesh(tp_model):
         rtol=1e-6,
         atol=1e-6,
     )
+
+
+def test_resume_under_mesh_restores_sharded_opt_state(tp_model, tmp_path):
+    """Restoring optimizer moments from a checkpoint must re-place them on
+    the shardings jit(optimizer.init) established — not leave host numpy
+    leaves that replicate across the model axis (regression: round-2
+    review)."""
+    _require_8_devices()
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from segma_tpu.checkpoint import load_opt_state
+    from segma_tpu.train import make_optimizer
+
+    import dataclasses
+
+    mesh = make_mesh(data=4, seq=1, model=2)
+    # trainable encoder so some moments carry TP shardings (copy — don't
+    # mutate the module-scoped fixture)
+    model = dataclasses.replace(tp_model, frozen_prefixes=())
+    optimizer = make_optimizer(model, 1e-3)
+    params = shard_params(jax.tree.map(jnp.array, tp_model.params), mesh)
+    opt_state = jax.jit(optimizer.init)(params)
+
+    ckpt = tmp_path / "last"
+    ckpt.mkdir(parents=True)
+    host = jax.tree.map(np.asarray, opt_state)
+    (ckpt / "opt_state.msgpack").write_bytes(serialization.to_bytes(host))
+
+    restored = load_opt_state(ckpt, opt_state)
+    # mirror the fit() resume path
+    resharded = jax.tree.map(
+        lambda r, init: jax.device_put(r, init.sharding)
+        if hasattr(init, "sharding")
+        else r,
+        restored,
+        opt_state,
+    )
+    init_shardings = jax.tree.map(
+        lambda x: getattr(x, "sharding", None), opt_state
+    )
+    got_shardings = jax.tree.map(
+        lambda x: getattr(x, "sharding", None), resharded
+    )
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: a == b, init_shardings, got_shardings)
+    )

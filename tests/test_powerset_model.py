@@ -129,3 +129,32 @@ def test_powerset_training_and_decode(pmodel, synthetic_dataset, tmp_path):
     assert rttm.exists()
     for _, _, label in intervals:
         assert label in pmodel.label_encoder.base_labels
+
+
+def test_softmax_ce_matches_torch_probabilistic_targets():
+    """Normalization parity with torch F.cross_entropy(probabilistic
+    targets, reduction='mean'): mean over rows — including multi-hot and
+    all-zero rows (regression: round-2 review; dividing by target mass
+    scaled the loss with batch activity)."""
+    import torch
+    import torch.nn.functional as F
+
+    from segma_tpu.models.base import softmax_ce_loss_per_class
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((6, 5, 4)).astype(np.float32)
+    targets = np.zeros((6, 5, 4), np.float32)
+    targets[:3, :, 0] = 1.0            # one-hot rows
+    targets[3, :, 1:3] = 1.0           # multi-hot (overlap) rows
+    # rows 4-5 all-zero (silence)
+
+    total, per_class = softmax_ce_loss_per_class(
+        jnp.asarray(logits), jnp.asarray(targets)
+    )
+    ref = F.cross_entropy(
+        torch.from_numpy(logits).reshape(-1, 4),
+        torch.from_numpy(targets).reshape(-1, 4),
+        reduction="mean",
+    )
+    assert float(total) == pytest.approx(float(ref), rel=1e-5)
+    np.testing.assert_allclose(float(per_class.sum()), float(total), rtol=1e-5)

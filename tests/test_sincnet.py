@@ -129,3 +129,44 @@ def test_sincnet_learns(model, synthetic_dataset):
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_rf_alignment_matches_declared_geometry(model):
+    """The declared ConvolutionSettings must describe the module's ACTUAL
+    receptive field: output frame f may depend exactly on samples in
+    [rf_start(f), rf_end(f)] (regression: round-2 review — SAME padding
+    shifted the real grid ~290 samples off the declared one).
+
+    Oracle: finite-difference dependence. A large perturbation at the rf
+    boundary sample must change frame f; one sample outside must not.
+    (LSTM excluded — it mixes all frames by design.)
+    """
+    from segma_tpu.models.sincnet import SincNetModule
+
+    cs = model.conv_settings
+    module = SincNetModule(
+        n_labels=2, n_windows=49, filters=16, kernel_size=101, stride=10,
+        hidden=32, lstm=None, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal(16_000).astype(np.float32) * 0.1
+    params = module.init(jax.random.key(0), jnp.asarray(wav[None]))
+
+    @jax.jit
+    def frame(w, f):
+        return module.apply(params, w[None])[0, f]
+
+    f = 25
+    lo, hi = cs.rf_start_i(f), cs.rf_end_i(f)
+    assert 0 < lo and hi < wav.shape[0]
+    base = np.asarray(frame(jnp.asarray(wav), f))
+
+    def changes(t: int) -> bool:
+        w2 = wav.copy()
+        w2[t] += 1e3
+        return not np.allclose(np.asarray(frame(jnp.asarray(w2), f)), base)
+
+    assert changes(lo), "frame must depend on its first declared rf sample"
+    assert changes(hi), "frame must depend on its last declared rf sample"
+    assert not changes(lo - 1), "dependence before declared rf start"
+    assert not changes(hi + 1), "dependence after declared rf end"
