@@ -17,7 +17,6 @@ python scripts/train.py -c segma_tpu/config/default.yml \
   train.seed=0 model.chkp_path="$OUT/models" wandb.offline=true
 
 RUN_DIR=$(ls -dt "$OUT"/models/*/ | head -1)
-cp "$DS/val.txt" "$DS/val.txt.bak" || true
 
 bash scripts/run_pred_eval.sh "${RUN_DIR%/}" "$DS"
 echo "[log] - debug loop finished OK"

@@ -55,7 +55,7 @@ def run_training(
     enable_compilation_cache()
     if cfg.train.debug_nans:
         __import__("jax").config.update("jax_debug_nans", True)
-    if cfg.train.seed:
+    if cfg.train.seed is not None:  # 0 is a valid seed
         set_seed(cfg.train.seed)
 
     if "hydra" not in cfg.model.name and "vad" not in cfg.model.name:

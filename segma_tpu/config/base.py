@@ -387,6 +387,14 @@ def _convert(value, tp, path: str):
                 )
         return _convert(value, matches[0], path)
     if origin in (list, tuple):
+        if not isinstance(value, (list, tuple)):
+            # without this, a string iterates into characters ('speech' ->
+            # ['s','p','e','e','c','h']) and a scalar raises a bare
+            # TypeError instead of naming the bad path
+            raise ConfigError(
+                f"{path}: expected a list, got {value!r} "
+                "(forgot the [] brackets?)"
+            )
         args = typing.get_args(tp)
         elem_tp = args[0] if args else typing.Any
         seq = [

@@ -85,6 +85,13 @@ class SegmaFileDataset:
 
         self.removed_uris: dict[str, set[str] | list[str]] = {}
         self.subset_to_uris: dict[str, list[str]] = self.load_all_uris()
+        # raw-from-disk split content, snapshotted BEFORE _load() filters
+        # invalid uris out — the cache key must be stable between the
+        # save (post-filter) and a later load (pre-filter)
+        self._splits_fingerprint = "|".join(
+            f"{name}:{','.join(uris)}"
+            for name, uris in sorted(self.subset_to_uris.items())
+        )
 
         # populated by .load()
         self.subds_to_durations: dict[str, np.ndarray] | None = None
@@ -217,9 +224,14 @@ class SegmaFileDataset:
         """
         import hashlib
 
+        # the split lists are part of the key: durations/indexes are stored
+        # POSITIONALLY against the uri lists, so an edited/reordered
+        # train.txt with a stale cache would silently pair every uri with
+        # another file's annotations
         key = hashlib.sha1(
             f"{self.base_p.resolve()}|{sorted(self.classes)}|"
-            f"{self.chunk_duration_s}|{self.sample_rate}".encode()
+            f"{self.chunk_duration_s}|{self.sample_rate}|"
+            f"{self._splits_fingerprint}".encode()
         ).hexdigest()[:10]
         return self.CACHE_ROOT / f"{self.base_p.stem}-{key}"
 
@@ -237,6 +249,13 @@ class SegmaFileDataset:
             self.subds_to_durations = pickle.load(bf)
         with indexes_p.open("rb") as bf:
             self.subds_to_indexes = pickle.load(bf)
+        # restore the FILTERED uri lists (durations/indexes pair with them
+        # positionally; the raw disk lists still contain any invalid uris
+        # that _load() dropped before saving)
+        uris_p = cache_path / "subset_to_uris"
+        if uris_p.exists():
+            with uris_p.open("rb") as bf:
+                self.subset_to_uris = pickle.load(bf)
 
     def save_cache(self) -> None:
         cache_path = self._cache_path
@@ -245,16 +264,22 @@ class SegmaFileDataset:
             pickle.dump(self.subds_to_durations, bf)
         with (cache_path / "subds_to_indexes").open("wb") as bf:
             pickle.dump(self.subds_to_indexes, bf)
+        with (cache_path / "subset_to_uris").open("wb") as bf:
+            pickle.dump(self.subset_to_uris, bf)
 
     @classmethod
     def clean_cache(cls, base_p: str | Path) -> None:
-        cache_path = cls.CACHE_ROOT / str(base_p)
-        (cache_path / "subds_to_durations").unlink(missing_ok=True)
-        (cache_path / "subds_to_indexes").unlink(missing_ok=True)
-        try:
-            cache_path.rmdir()
-        except OSError:
-            pass
+        """Remove every cache entry for ``base_p`` (all config variants).
+
+        Entries are named ``<stem>-<confighash>`` under ``CACHE_ROOT`` —
+        matching on the stem prefix stays inside CACHE_ROOT by construction
+        (joining the raw path would escape it for absolute inputs).
+        """
+        import shutil
+
+        stem = Path(base_p).stem
+        for cache_path in cls.CACHE_ROOT.glob(f"{stem}-*"):
+            shutil.rmtree(cache_path, ignore_errors=True)
 
     # -- layout ------------------------------------------------------------------
     @property

@@ -205,7 +205,10 @@ class ExportedPipeline:
         channel is downmixed, matching ``inference.infer_file``."""
         if audio.ndim == 2:
             if audio.shape[0] > 1:
+                was_int16 = audio.dtype == np.int16
                 audio = audio.astype(np.float32).mean(axis=0)
+                if was_int16:  # back to [-1, 1] — the mean is int16-scaled
+                    audio = audio / 32768.0
             else:
                 audio = audio[0]
         transport = self.manifest["transport"]

@@ -10,7 +10,8 @@ fronted by a threading HTTP server:
   audio-seconds processed, latency quantiles, batch dispatches
 - ``POST /v1/segment``         one audio body -> intervals
   - body: a RIFF/WAVE file, or raw 16 kHz mono int16 PCM with
-    ``Content-Type: audio/l16``
+    ``Content-Type: audio/l16`` (big-endian per RFC 2586; append
+    ``;endianness=little`` for s16le streams)
   - query: ``uri=<name>`` (labels the output), ``format=json|rttm``
 
 The HTTP layer is multi-threaded so upload + WAV decode of request i+1
@@ -199,7 +200,12 @@ class SegmentationService:
     # -- decode -----------------------------------------------------------------
     def _audio_from_body(self, body: bytes, content_type: str) -> np.ndarray:
         if content_type.startswith("audio/l16"):
-            return np.frombuffer(body, dtype="<i2")
+            # RFC 2586 audio/L16 is big-endian network byte order; accept
+            # the explicit non-standard parameter for s16le pipelines
+            # (ffmpeg/sox default output): audio/l16;endianness=little
+            le = "little" in content_type
+            arr = np.frombuffer(body, dtype="<i2" if le else ">i2")
+            return arr.astype(np.int16)  # native order for the device path
         if body[:4] != b"RIFF":
             raise ValueError(
                 "body must be a RIFF/WAVE file or raw int16 PCM "

@@ -148,3 +148,15 @@ def test_newer_format_version_rejected(artifact, tmp_path):
     (clone / "manifest.json").write_text(json.dumps(m))
     with pytest.raises(ValueError, match="newer"):
         ExportedPipeline.load(clone)
+
+
+def test_prepare_stereo_int16_scale(vad_model, artifact):
+    """(2, n) int16 input: the downmix must return to [-1, 1] scale before
+    transport encoding (regression: round-2 review — int16-scale floats
+    were clipped to square waves)."""
+    rng = np.random.default_rng(5)
+    mono16 = (rng.standard_normal(33_000) * 3000).astype(np.int16)
+    exp = ExportedPipeline.load(artifact)
+    ref = exp.segment(mono16)
+    stereo = np.stack([mono16, mono16])
+    assert exp.segment(stereo) == ref

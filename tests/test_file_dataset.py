@@ -142,3 +142,54 @@ def test_cache_distinguishes_same_stem_datasets(synthetic_dataset, tmp_path, mon
         a.subds_to_durations["train"]["annotated_duration_f"],
         b.subds_to_durations["train"]["annotated_duration_f"],
     )
+
+
+def test_warm_cache_restores_filtered_uris(ds_root, tmp_path, monkeypatch):
+    """Warm-cache load must restore the FILTERED uri lists — durations and
+    indexes pair with uris positionally, and the raw disk lists still hold
+    invalid uris (regression: round-2 review; the mismatch crashed the
+    loader on every warm run after a file was dropped)."""
+    from segma_tpu.utils.io import write_data_to_disk
+
+    monkeypatch.setattr(SegmaFileDataset, "CACHE_ROOT", tmp_path / "cache")
+    short = np.zeros((1, 16_000), np.float32)  # 1 s < 4 s chunk -> dropped
+    write_data_to_disk(short, ds_root / "wav" / "0000", 16_000)
+
+    ds = _mk(ds_root)
+    ds.load(use_cache=True)  # cold: filters + saves
+    assert len(ds.train.uris) == 4
+
+    ds2 = _mk(ds_root)
+    ds2.load(use_cache=True)  # warm: must match, not crash
+    assert ds2.train.uris == ds.train.uris
+    assert len(ds2.train.uris) == len(ds2.train.durations)
+
+
+def test_editing_split_invalidates_cache(ds_root, tmp_path, monkeypatch):
+    """Reordering train.txt with an unchanged count must NOT reuse the old
+    cache (durations/indexes would pair with the wrong files)."""
+    monkeypatch.setattr(SegmaFileDataset, "CACHE_ROOT", tmp_path / "cache")
+    ds = _mk(ds_root)
+    ds.load(use_cache=True)
+    first_uri = ds.train.uris[0]
+    first_dur = int(ds.train.durations["audio_duration_f"][0])
+
+    lines = (ds_root / "train.txt").read_text().split()
+    (ds_root / "train.txt").write_text("\n".join(reversed(lines)) + "\n")
+    ds2 = _mk(ds_root)
+    ds2.load(use_cache=True)
+    # same uri still maps to the same duration after the reorder
+    i = ds2.train.uris.index(first_uri)
+    assert int(ds2.train.durations["audio_duration_f"][i]) == first_dur
+    assert ds2.train.uris == list(reversed(ds.train.uris))
+
+
+def test_clean_cache_removes_entries(ds_root, tmp_path, monkeypatch):
+    monkeypatch.setattr(SegmaFileDataset, "CACHE_ROOT", tmp_path / "cache")
+    ds = _mk(ds_root)
+    ds.load(use_cache=True)
+    assert any((tmp_path / "cache").iterdir())
+    SegmaFileDataset.clean_cache(ds_root)
+    assert not list((tmp_path / "cache").glob(f"{ds_root.stem}-*"))
+    # and the dataset itself was never touched
+    assert (ds_root / "train.txt").exists()

@@ -97,12 +97,23 @@ def test_segment_wav_matches_pipeline(server, service, wav_bytes):
 
 
 def test_segment_raw_pcm16(server, wav_bytes):
-    """Raw int16 PCM with audio/l16 must match the WAV upload."""
+    """Raw int16 PCM: audio/l16 is big-endian per RFC 2586; the
+    ;endianness=little parameter selects s16le. Both must match the WAV
+    upload."""
     body, audio = wav_bytes
-    pcm = (np.clip(audio, -1, 1) * 32767.0).astype("<i2").tobytes()
+    samples = (np.clip(audio, -1, 1) * 32767.0).astype(np.int16)
     _, raw_wav = _post(f"{server}/v1/segment?uri=x", body)
-    _, raw_pcm = _post(f"{server}/v1/segment?uri=x", pcm, "audio/l16; rate=16000")
-    assert json.loads(raw_wav) == json.loads(raw_pcm)
+    _, raw_be = _post(
+        f"{server}/v1/segment?uri=x",
+        samples.astype(">i2").tobytes(),
+        "audio/l16; rate=16000",
+    )
+    _, raw_le = _post(
+        f"{server}/v1/segment?uri=x",
+        samples.astype("<i2").tobytes(),
+        "audio/l16; rate=16000; endianness=little",
+    )
+    assert json.loads(raw_wav) == json.loads(raw_be) == json.loads(raw_le)
 
 
 def test_segment_rttm_format(server, wav_bytes):
