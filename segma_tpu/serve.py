@@ -13,6 +13,14 @@ fronted by a threading HTTP server:
     ``Content-Type: audio/l16`` (big-endian per RFC 2586; append
     ``;endianness=little`` for s16le streams)
   - query: ``uri=<name>`` (labels the output), ``format=json|rttm``
+- ``POST /v1/stream/start``    open an online-segmentation session
+- ``POST /v1/stream/<sid>/push``  raw PCM16 samples -> intervals
+  finalized so far (incremental; same ``audio/l16`` semantics,
+  octet-stream defaults to little-endian)
+- ``POST /v1/stream/<sid>/flush`` process the tail, close open runs,
+  end the session. Sessions idle >10 min are evicted. Streaming needs a
+  live model pipeline (``--config``); ``--artifact`` serving is
+  batch-only.
 
 The HTTP layer is multi-threaded so upload + WAV decode of request i+1
 overlap device compute of request i; actual device work is serialized by a
@@ -191,6 +199,9 @@ class SegmentationService:
         self.transport = transport
         self._device_lock = threading.Lock()
         self.stats = _Stats()
+        self._streams: dict[str, tuple] = {}  # sid -> (segmenter, last_use)
+        self._streams_lock = threading.Lock()
+        self._stream_forward = None
         self._batcher = (
             _MicroBatcher(self, batch_window_ms, max_batch)
             if batch_window_ms > 0
@@ -254,6 +265,89 @@ class SegmentationService:
     def segment(self, body: bytes, content_type: str = "") -> list[tuple]:
         """audio bytes -> sorted [(start_f, end_f, label), ...]."""
         return self.segment_audio(self._audio_from_body(body, content_type))
+
+    # -- streaming sessions --------------------------------------------------------
+    STREAM_TTL_S = 600.0
+
+    def _pcm_from_body(self, body: bytes, content_type: str) -> np.ndarray:
+        """Raw PCM16 push payload (no WAV container mid-stream)."""
+        if body[:4] == b"RIFF":
+            raise ValueError(
+                "stream pushes take raw PCM16 (audio/l16), not WAV files"
+            )
+        le = (
+            "little" in content_type
+            or not content_type.startswith("audio/l16")
+        )
+        return np.frombuffer(body, dtype="<i2" if le else ">i2").astype(
+            np.int16
+        )
+
+    def _evict_stale_streams(self) -> None:
+        now = time.monotonic()
+        stale = [
+            sid
+            for sid, (_seg, ts) in self._streams.items()
+            if now - ts > self.STREAM_TTL_S
+        ]
+        for sid in stale:
+            self._streams.pop(sid, None)
+
+    def stream_start(self) -> str:
+        """Open an online-segmentation session; returns its id."""
+        if self.exported:
+            raise ValueError(
+                "streaming requires a live model pipeline "
+                "(exported artifacts are batch-only)"
+            )
+        import uuid
+
+        from segma_tpu.streaming import (
+            StreamingSegmenter,
+            make_streaming_forward,
+        )
+
+        with self._streams_lock:
+            self._evict_stale_streams()
+            if self._stream_forward is None:
+                # one compiled per-chunk program shared by every session
+                self._stream_forward = make_streaming_forward(
+                    self.pipeline.model
+                )
+            sid = uuid.uuid4().hex[:16]
+            seg = StreamingSegmenter(
+                self.pipeline.model,
+                self.pipeline.params,
+                self.thresholds,
+                forward_fn=self._stream_forward,
+            )
+            self._streams[sid] = (seg, time.monotonic())
+        return sid
+
+    def _stream(self, sid: str):
+        with self._streams_lock:
+            entry = self._streams.get(sid)
+            if entry is None:
+                raise KeyError(sid)
+            seg, _ = entry
+            self._streams[sid] = (seg, time.monotonic())
+        return seg
+
+    def stream_push(self, sid: str, body: bytes, content_type: str) -> list:
+        """Feed PCM16 samples; returns newly finalized intervals."""
+        seg = self._stream(sid)
+        samples = self._pcm_from_body(body, content_type)
+        with self._device_lock:
+            return seg.push(samples)
+
+    def stream_flush(self, sid: str) -> list:
+        """Process the tail, close all open runs, end the session."""
+        seg = self._stream(sid)
+        with self._device_lock:
+            out = seg.flush()
+        with self._streams_lock:
+            self._streams.pop(sid, None)
+        return out
 
     def segment_audio(self, audio: np.ndarray) -> list[tuple]:
         """decoded audio -> sorted [(start_f, end_f, label), ...]."""
@@ -326,6 +420,42 @@ def _make_handler(service: SegmentationService):
                 code, json.dumps({"error": message}).encode(), "application/json"
             )
 
+        def _stream_route(self, url) -> None:
+            """POST /v1/stream/start | /v1/stream/<sid>/push | .../flush."""
+            parts = url.path.split("/")  # ['', 'v1', 'stream', ...]
+            try:
+                if parts[3:] == ["start"]:
+                    sid = service.stream_start()
+                    self._reply(
+                        200,
+                        json.dumps({"session": sid}).encode(),
+                        "application/json",
+                    )
+                    return
+                if len(parts) != 5 or parts[4] not in ("push", "flush"):
+                    self._error(404, f"unknown path {url.path!r}")
+                    return
+                sid, op = parts[3], parts[4]
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                if op == "push":
+                    intervals = service.stream_push(
+                        sid, body, self.headers.get("Content-Type", "")
+                    )
+                else:
+                    intervals = service.stream_flush(sid)
+                self._reply(
+                    200,
+                    service.to_json(sorted(intervals), sid),
+                    "application/json",
+                )
+            except KeyError:
+                self._error(404, "unknown or expired stream session")
+            except ValueError as e:
+                self._error(400, str(e))
+            except Exception as e:  # noqa: BLE001 — keep the server alive
+                self._error(500, f"{type(e).__name__}: {e}")
+
         def do_GET(self):  # noqa: N802 (http.server API)
             path = urlparse(self.path).path
             if path == "/healthz":
@@ -341,6 +471,9 @@ def _make_handler(service: SegmentationService):
 
         def do_POST(self):  # noqa: N802
             url = urlparse(self.path)
+            if url.path.startswith("/v1/stream"):
+                self._stream_route(url)
+                return
             if url.path != "/v1/segment":
                 self._error(404, f"unknown path {self.path!r}")
                 return

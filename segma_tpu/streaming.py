@@ -29,6 +29,19 @@ from segma_tpu.inference import (
 from segma_tpu.models.base import ConvolutionSettings, SegmentationModel
 
 
+def make_streaming_forward(model: SegmentationModel):
+    """One jitted per-chunk forward ``(params, chunk) -> (T, L) logits``,
+    shareable across StreamingSegmenter instances."""
+    apply = model.apply
+    transform = model.inference_transform
+
+    @partial(jax.jit, static_argnums=())
+    def forward(params, chunk):
+        return transform(apply(params, chunk[None, :], train=False))[0]
+
+    return forward
+
+
 class StreamingSegmenter:
     """Push samples in, get finalized ``(start_f, end_f, label)`` out."""
 
@@ -37,7 +50,11 @@ class StreamingSegmenter:
         model: SegmentationModel,
         params: Any,
         thresholds: dict[str, dict[str, float]] | None = None,
+        forward_fn: Any = None,
     ) -> None:
+        """``forward_fn``: optional pre-jitted ``(params, chunk) -> logits``
+        to share one compiled program across many segmenters (e.g. one per
+        HTTP streaming session) instead of re-tracing per instance."""
         # streaming is single-device: strip a seq-parallel mesh the module
         # may have baked in at build time (same normalization as
         # InferencePipeline.__post_init__ — the constraints are pure data
@@ -67,15 +84,10 @@ class StreamingSegmenter:
         self._finalized: list[tuple[int, int, str]] = []
         self._done = False
 
-        apply = model.apply
-
-        transform = model.inference_transform
-
-        @partial(jax.jit, static_argnums=())
-        def forward(params, chunk):
-            return transform(apply(params, chunk[None, :], train=False))[0]
-
-        self._forward = forward
+        if forward_fn is not None:
+            self._forward = forward_fn
+        else:
+            self._forward = make_streaming_forward(model)
 
     # -- internals ---------------------------------------------------------------
     def _emit_frames(self, probs_mask: np.ndarray) -> list[tuple[int, int, str]]:

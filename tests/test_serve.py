@@ -274,3 +274,61 @@ def test_metrics_endpoint(service, wav_bytes):
     expect_s = 2 * audio.size / service.sample_rate
     assert abs(delta("segma_audio_seconds_total") - expect_s) < 0.1
     assert 'segma_request_latency_seconds{quantile="0.5"}' in text
+
+
+def test_streaming_session_matches_offline(server, service, wav_bytes):
+    """start -> push (in uneven pieces) -> flush over HTTP reproduces the
+    offline /v1/segment intervals on the same audio."""
+    body, audio = wav_bytes
+    pcm = (np.clip(audio, -1, 1) * 32767.0).astype(np.int16)
+
+    _, raw = _post(f"{server}/v1/stream/start", b"")
+    sid = json.loads(raw)["session"]
+
+    collected = []
+    for chunk in np.array_split(pcm, 5):
+        _, r = _post(
+            f"{server}/v1/stream/{sid}/push",
+            chunk.astype("<i2").tobytes(),
+            "audio/l16; endianness=little",
+        )
+        collected += json.loads(r)["intervals"]
+    _, r = _post(f"{server}/v1/stream/{sid}/flush", b"")
+    collected += json.loads(r)["intervals"]
+
+    _, offline_raw = _post(f"{server}/v1/segment?uri=x", body)
+    offline = json.loads(offline_raw)["intervals"]
+    key = lambda iv: (iv["start_s"], iv["end_s"], iv["label"])  # noqa: E731
+    assert sorted(collected, key=key) == sorted(offline, key=key)
+    assert len(offline) > 0
+
+    # session is gone after flush
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/v1/stream/{sid}/push", b"\x00\x00")
+    assert e.value.code == 404
+
+
+def test_streaming_sessions_share_one_forward(service):
+    """Two concurrent sessions reuse one jitted forward (no per-session
+    re-trace) and keep independent run state."""
+    sid1 = service.stream_start()
+    sid2 = service.stream_start()
+    assert sid1 != sid2
+    seg1, _ = service._streams[sid1]
+    seg2, _ = service._streams[sid2]
+    assert seg1._forward is seg2._forward
+    service.stream_flush(sid1)
+    service.stream_flush(sid2)
+
+
+def test_streaming_rejected_for_exported_artifact(service, tmp_path):
+    from segma_tpu.export import ExportedPipeline, export_inference
+
+    out = tmp_path / "artifact_stream"
+    export_inference(
+        service.pipeline.model, out, buckets=(2,), batch_size=4,
+        transport="int16",
+    )
+    exp_service = SegmentationService(ExportedPipeline.load(out))
+    with pytest.raises(ValueError, match="batch-only"):
+        exp_service.stream_start()
