@@ -318,3 +318,60 @@ class ExportedPipeline:
         """Waveform -> sorted sample intervals (the one-call serving API)."""
         logits = self.logits_for_audio(self.prepare(audio))
         return sorted(self.decode_intervals(logits, thresholds))
+
+
+def run_inference_on_artifact(
+    artifact: Path | str,
+    wavs: Path | str,
+    output: Path | str,
+    uris: Path | str | None = None,
+    thresholds: dict | None = None,
+    recursive: bool = False,
+    rttm_dirname: str = "raw_rttm",
+    min_duration_s: float = 0.0,
+    merge_gap_s: float = 0.0,
+) -> list[Path]:
+    """Batch prediction from a frozen export directory — same RTTM layout
+    as ``run_inference_on_audios`` but no model zoo, registry, or
+    checkpoint handling (``scripts/predict.py --artifact``)."""
+    import time
+
+    from segma_tpu.inference import (
+        _load_mono,
+        get_list_of_files_to_process,
+        postprocess_intervals,
+        write_intervals,
+    )
+
+    pipe = ExportedPipeline.load(artifact)
+    files, n_files = get_list_of_files_to_process(Path(wavs), recursive, uris)
+    sr = int(pipe.manifest["sample_rate"])
+    processed: list[Path] = []
+    for i, audio_path in enumerate(files, 1):
+        t0 = time.perf_counter()
+        try:
+            # same decode as the live CLI (zero-decode int16 fast path) so
+            # artifact predictions are byte-identical to config+checkpoint
+            audio = _load_mono(audio_path, "int16")
+        except ValueError as e:
+            print(
+                f"[log] - SKIPPED '{audio_path}': {type(e).__name__}: {e}",
+                flush=True,
+            )
+            continue
+        # per-label decode order (not segment()'s time-sorted order) so the
+        # RTTM files are byte-identical to the live CLI's
+        logits = pipe.logits_for_audio(pipe.prepare(audio))
+        intervals = postprocess_intervals(
+            pipe.decode_intervals(logits, thresholds),
+            min_duration_f=int(min_duration_s * sr),
+            merge_gap_f=int(merge_gap_s * sr),
+        )
+        write_intervals(intervals, audio_path, Path(output), rttm_dirname)
+        print(
+            f"[log] - ({i:>{len(str(n_files))}}/{n_files}) inference for "
+            f"'{audio_path.stem}' in {time.perf_counter() - t0:.2f}s",
+            flush=True,
+        )
+        processed.append(audio_path)
+    return processed

@@ -1037,10 +1037,15 @@ def main(argv: list[str] | None = None) -> None:
     enable_compilation_cache()
 
     parser = argparse.ArgumentParser(description="segma_tpu batch inference")
-    parser.add_argument("--config", required=True)
+    parser.add_argument("--config", default=None)
     parser.add_argument("--uris", help="list of uris to use for prediction")
     parser.add_argument("--wavs", required=True)
     parser.add_argument("--checkpoint", default="models/last/best.ckpt")
+    parser.add_argument(
+        "--artifact", default=None,
+        help="predict from a frozen export directory (scripts/export.py) "
+        "instead of config+checkpoint",
+    )
     parser.add_argument("--output", required=True)
     parser.add_argument("--thresholds", default=None)
     parser.add_argument("--batch_size", "--batch-size", default=128, type=int)
@@ -1074,6 +1079,28 @@ def main(argv: list[str] | None = None) -> None:
     # unknown args flow to the config loader as key.path=value overrides
     # (same convention as the training CLIs)
     args, extra_args = parser.parse_known_args(argv)
+    if (args.config is None) == (args.artifact is None):
+        parser.error("exactly one of --config or --artifact is required")
+
+    if args.artifact is not None:
+        from segma_tpu.export import run_inference_on_artifact
+
+        thresholds = None
+        if args.thresholds:
+            with Path(args.thresholds).open("r") as f:
+                thresholds = yaml.safe_load(f)
+        run_inference_on_artifact(
+            artifact=args.artifact,
+            wavs=args.wavs,
+            output=Path(args.output),
+            uris=args.uris,
+            thresholds=thresholds,
+            recursive=args.recursive,
+            rttm_dirname=args.rttm_dirname,
+            min_duration_s=args.min_duration,
+            merge_gap_s=args.merge_gap,
+        )
+        return
 
     run_inference_on_audios(
         config=load_config(args.config, extra_args),

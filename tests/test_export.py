@@ -160,3 +160,37 @@ def test_prepare_stereo_int16_scale(vad_model, artifact):
     ref = exp.segment(mono16)
     stereo = np.stack([mono16, mono16])
     assert exp.segment(stereo) == ref
+
+
+def test_predict_cli_from_artifact(vad_model, synthetic_dataset, tmp_path):
+    """scripts/predict.py --artifact writes the same RTTMs as the live
+    config+checkpoint path (full CLI surface, no model zoo)."""
+    from segma_tpu.inference import main as predict_main, run_inference_on_audios
+
+    artifact_dir = tmp_path / "cli_artifact"
+    export_inference(
+        vad_model, artifact_dir, buckets=(8, 32), batch_size=8,
+        transport="int16",
+    )
+
+    live_out = tmp_path / "live"
+    run_inference_on_audios(
+        config=vad_model.config,
+        wavs=synthetic_dataset / "wav",
+        checkpoint=None,
+        output=live_out,
+        uris=synthetic_dataset / "test.txt",
+        model=vad_model,
+    )
+
+    art_out = tmp_path / "art"
+    predict_main([
+        "--artifact", str(artifact_dir),
+        "--wavs", str(synthetic_dataset / "wav"),
+        "--uris", str(synthetic_dataset / "test.txt"),
+        "--output", str(art_out),
+    ])
+    live_rttms = sorted((live_out / "raw_rttm").glob("*.rttm"))
+    assert len(live_rttms) == 5
+    for rttm in live_rttms:
+        assert (art_out / "raw_rttm" / rttm.name).read_text() == rttm.read_text()
