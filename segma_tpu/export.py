@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
+from functools import lru_cache
 from pathlib import Path
 
 import jax
@@ -54,6 +55,46 @@ _TRANSPORT_DTYPES = {
 
 # packed-run capacity policy is shared with the live pipeline
 # (inference.decode_capacity) so artifacts always match its decode programs
+
+
+def _bucket_plan(needed: int, buckets: list[int]) -> list[int]:
+    """Dispatch plan covering ``needed`` chunks with the exported buckets.
+
+    Exact DP minimizing ``shipped_chunks + OVERHEAD * n_dispatches``:
+    shipped chunks model the host->device transfer (the measured
+    bottleneck) and OVERHEAD charges each dispatch its ~80 ms blocking
+    relay latency in chunk-equivalents, so the plan neither pads a
+    60-chunk file into the 128 bucket (2x transfer) nor shreds an
+    88-chunk tail into [8]*11: with (8,32,128,512), 60 -> [32, 32],
+    88 -> [32, 32, 32], 127 -> [128]. Above the largest bucket, full
+    largest-bucket dispatches are always optimal (zero padding).
+    """
+    OVERHEAD = 8  # chunks of transfer one extra dispatch is "worth"
+    buckets = sorted(set(buckets))
+    largest = buckets[-1]
+    plan: list[int] = []
+    while needed >= largest:
+        plan.append(largest)
+        needed -= largest
+
+    @lru_cache(maxsize=None)
+    def cost(r: int) -> tuple[int, tuple[int, ...]]:
+        if r <= 0:
+            return (0, ())
+        best = None
+        for b in buckets:
+            if b >= r:
+                cand = (b + OVERHEAD, (b,))
+            else:
+                c, tail = cost(r - b)
+                cand = (b + OVERHEAD + c, (b, *tail))
+            if best is None or cand[0] < best[0]:
+                best = cand
+        return best
+
+    plan.extend(cost(needed)[1])
+    cost.cache_clear()
+    return plan
 
 
 def export_inference(
@@ -249,11 +290,9 @@ class ExportedPipeline:
         buckets = m["buckets"]
         grids = []
         start_chunk = 0
-        while start_chunk < needed:
+        plan = _bucket_plan(needed, buckets)
+        for n_chunks in plan:
             remaining = needed - start_chunk
-            n_chunks = next(
-                (b for b in buckets if b >= remaining), buckets[-1]
-            )
             seg_chunks = min(n_chunks, remaining)
             padded_len = n_chunks * ck.chunk_stride + ck.chunk_duration_f
             off = start_chunk * ck.chunk_stride
@@ -353,7 +392,8 @@ def run_inference_on_artifact(
             # same decode as the live CLI (zero-decode int16 fast path) so
             # artifact predictions are byte-identical to config+checkpoint
             audio = _load_mono(audio_path, "int16")
-        except ValueError as e:
+        except Exception as e:  # noqa: BLE001 — one bad/missing file must
+            # not abandon the rest of the batch (parity with the live CLI)
             print(
                 f"[log] - SKIPPED '{audio_path}': {type(e).__name__}: {e}",
                 flush=True,

@@ -1085,9 +1085,38 @@ def main(argv: list[str] | None = None) -> None:
     if args.artifact is not None:
         from segma_tpu.export import run_inference_on_artifact
 
+        # frozen artifacts pin their own transport/batch geometry and ship
+        # no raw logits — reject flags that would be silently ignored, and
+        # any leftover args (the config path treats them as overrides; here
+        # there is no config to override)
+        unsupported = [
+            flag
+            for flag, on in (
+                ("--save-logits", args.save_logits),
+                ("--transport", args.transport != "int16"),
+                ("--batch_size", args.batch_size != 128),
+                ("--mesh", args.mesh != "auto"),
+                ("--pack-files", args.pack_files != 1),
+            )
+            if on
+        ]
+        if unsupported:
+            parser.error(
+                f"{', '.join(unsupported)} not supported with --artifact "
+                "(the frozen programs pin transport and batch geometry)"
+            )
+        if extra_args:
+            parser.error(
+                f"unrecognized arguments with --artifact: {extra_args}"
+            )
         thresholds = None
         if args.thresholds:
-            with Path(args.thresholds).open("r") as f:
+            thr_path = Path(args.thresholds)
+            if not thr_path.exists():
+                raise ValueError(
+                    "Path to a valid threshold dict does not exist."
+                )
+            with thr_path.open("r") as f:
                 thresholds = yaml.safe_load(f)
         run_inference_on_artifact(
             artifact=args.artifact,

@@ -324,13 +324,19 @@ class SegmentationService:
             self._streams[sid] = (seg, time.monotonic())
         return sid
 
-    def _stream(self, sid: str):
+    def _stream(self, sid: str, claim: bool = False):
         with self._streams_lock:
+            self._evict_stale_streams()
             entry = self._streams.get(sid)
             if entry is None:
                 raise KeyError(sid)
             seg, _ = entry
-            self._streams[sid] = (seg, time.monotonic())
+            if claim:
+                # atomically remove: a racing push/second flush gets a
+                # clean 404 instead of touching a flushed segmenter
+                self._streams.pop(sid)
+            else:
+                self._streams[sid] = (seg, time.monotonic())
         return seg
 
     def stream_push(self, sid: str, body: bytes, content_type: str) -> list:
@@ -342,12 +348,9 @@ class SegmentationService:
 
     def stream_flush(self, sid: str) -> list:
         """Process the tail, close all open runs, end the session."""
-        seg = self._stream(sid)
+        seg = self._stream(sid, claim=True)
         with self._device_lock:
-            out = seg.flush()
-        with self._streams_lock:
-            self._streams.pop(sid, None)
-        return out
+            return seg.flush()
 
     def segment_audio(self, audio: np.ndarray) -> list[tuple]:
         """decoded audio -> sorted [(start_f, end_f, label), ...]."""
@@ -423,6 +426,7 @@ def _make_handler(service: SegmentationService):
         def _stream_route(self, url) -> None:
             """POST /v1/stream/start | /v1/stream/<sid>/push | .../flush."""
             parts = url.path.split("/")  # ['', 'v1', 'stream', ...]
+            t0 = time.monotonic()
             try:
                 if parts[3:] == ["start"]:
                     sid = service.stream_start()
@@ -442,18 +446,27 @@ def _make_handler(service: SegmentationService):
                     intervals = service.stream_push(
                         sid, body, self.headers.get("Content-Type", "")
                     )
+                    audio_s = (length / 2) / service.sample_rate
                 else:
                     intervals = service.stream_flush(sid)
+                    audio_s = 0.0
                 self._reply(
                     200,
                     service.to_json(sorted(intervals), sid),
                     "application/json",
                 )
+                service.stats.record(time.monotonic() - t0, audio_s)
             except KeyError:
+                service.stats.record_error()
                 self._error(404, "unknown or expired stream session")
+            except RuntimeError as e:  # racing flush on the same session
+                service.stats.record_error()
+                self._error(409, str(e))
             except ValueError as e:
+                service.stats.record_error()
                 self._error(400, str(e))
             except Exception as e:  # noqa: BLE001 — keep the server alive
+                service.stats.record_error()
                 self._error(500, f"{type(e).__name__}: {e}")
 
         def do_GET(self):  # noqa: N802 (http.server API)

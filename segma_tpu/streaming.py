@@ -32,6 +32,10 @@ from segma_tpu.models.base import ConvolutionSettings, SegmentationModel
 def make_streaming_forward(model: SegmentationModel):
     """One jitted per-chunk forward ``(params, chunk) -> (T, L) logits``,
     shareable across StreamingSegmenter instances."""
+    # single-device program: strip a baked-in seq-parallel mesh here (not
+    # only in StreamingSegmenter.__init__, which a shared forward bypasses)
+    if getattr(model.module, "mesh", None) is not None:
+        model = model.with_module(model.module.clone(mesh=None))
     apply = model.apply
     transform = model.inference_transform
 
@@ -141,7 +145,8 @@ class StreamingSegmenter:
     def push(self, samples: np.ndarray) -> list[tuple[int, int, str]]:
         """Feed more mono samples (float32 in [-1, 1] or int16 PCM);
         returns newly finalized intervals."""
-        assert not self._done, "flush() already called"
+        if self._done:
+            raise RuntimeError("flush() already called on this segmenter")
         if samples.dtype == np.int16:
             samples = samples.astype(np.float32) / 32768.0
         self._buffer = np.concatenate([self._buffer, samples.astype(np.float32)])
@@ -167,7 +172,8 @@ class StreamingSegmenter:
 
     def flush(self) -> list[tuple[int, int, str]]:
         """Process the tail (>= 400 samples) and close all open runs."""
-        assert not self._done, "flush() already called"
+        if self._done:
+            raise RuntimeError("flush() already called on this segmenter")
         self._done = True
         ck = self.ck
         out: list[tuple[int, int, str]] = []

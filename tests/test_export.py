@@ -194,3 +194,42 @@ def test_predict_cli_from_artifact(vad_model, synthetic_dataset, tmp_path):
     assert len(live_rttms) == 5
     for rttm in live_rttms:
         assert (art_out / "raw_rttm" / rttm.name).read_text() == rttm.read_text()
+
+
+def test_bucket_plan_minimizes_transfer():
+    """The dispatch plan minimizes shipped chunks, then dispatch count."""
+    from segma_tpu.export import _bucket_plan
+
+    assert _bucket_plan(60, [8, 32, 128, 512]) == [32, 32]  # not padded 128
+    assert _bucket_plan(127, [8, 32, 128, 512]) == [128]  # not 32*4
+    assert _bucket_plan(88, [8, 32, 128, 512]) == [32, 32, 32]  # not [8]*11
+    assert _bucket_plan(3, [2, 4]) == [4]  # equal transfer, 1 dispatch
+    assert _bucket_plan(600, [8, 32, 128, 512]) == [512, 32, 32, 32]
+    assert _bucket_plan(8, [8, 32]) == [8]
+    assert _bucket_plan(1, [8, 32]) == [8]
+
+
+def test_bucket_plan_dispatch_logits_match_live(vad_model, artifact):
+    """A planned multi-dispatch file's logits must match the live pipeline
+    exactly (plan [4] for a 3-chunk file with exported buckets (2,4))."""
+    rng = np.random.default_rng(6)
+    # 45_000 samples -> 140 frames -> 3 chunks needed (buckets: 2 and 4)
+    wav = (rng.standard_normal(45_000) * 3000).astype(np.int16)
+    live = InferencePipeline(vad_model, vad_model.params, batch_size=4)
+    ref = live.logits_for_audio(wav)
+    exp = ExportedPipeline.load(artifact)
+    calls = []
+    orig = {n: f.call for n, f in exp.infer_fns.items()}
+
+    class _Rec:
+        def __init__(self, n):
+            self.n = n
+
+        def call(self, seg):
+            calls.append(self.n)
+            return orig[self.n](seg)
+
+    exp.infer_fns = {n: _Rec(n) for n in exp.infer_fns}
+    got = exp.logits_for_audio(wav)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    assert calls == [4]  # one padded dispatch (equal transfer, 1 call)

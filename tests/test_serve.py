@@ -332,3 +332,39 @@ def test_streaming_rejected_for_exported_artifact(service, tmp_path):
     exp_service = SegmentationService(ExportedPipeline.load(out))
     with pytest.raises(ValueError, match="batch-only"):
         exp_service.stream_start()
+
+
+def test_stream_double_flush_is_clean(service):
+    """Flush atomically claims the session: a second flush (or a late
+    push) gets 404-style KeyError, never a half-flushed segmenter."""
+    sid = service.stream_start()
+    service.stream_push(sid, np.zeros(4_000, "<i2").tobytes(), "audio/l16")
+    service.stream_flush(sid)
+    with pytest.raises(KeyError):
+        service.stream_flush(sid)
+    with pytest.raises(KeyError):
+        service.stream_push(sid, b"\x00\x00", "audio/l16")
+
+
+def test_stream_metrics_counted(service, server):
+    """Streaming traffic shows up in /metrics (requests + audio seconds)."""
+    def scrape():
+        with urllib.request.urlopen(f"{server}/metrics", timeout=30) as r:
+            return {
+                ln.split()[0]: float(ln.split()[1])
+                for ln in r.read().decode().splitlines()
+                if ln and not ln.startswith("#")
+            }
+
+    before = scrape()
+    _, raw = _post(f"{server}/v1/stream/start", b"")
+    sid = json.loads(raw)["session"]
+    pcm = np.zeros(16_000, "<i2").tobytes()
+    _post(f"{server}/v1/stream/{sid}/push", pcm, "audio/l16; endianness=little")
+    _post(f"{server}/v1/stream/{sid}/flush", b"")
+    after = scrape()
+    assert after["segma_requests_total"] - before["segma_requests_total"] == 2
+    assert (
+        after["segma_audio_seconds_total"] - before["segma_audio_seconds_total"]
+        == pytest.approx(1.0, abs=0.01)
+    )

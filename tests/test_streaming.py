@@ -83,7 +83,7 @@ def test_flush_twice_raises(vad_model):
     seg = StreamingSegmenter(vad_model, vad_model.params)
     seg.push(np.zeros(20_000, np.float32))
     seg.flush()
-    with pytest.raises(AssertionError):
+    with pytest.raises(RuntimeError, match="already called"):
         seg.flush()
 
 
