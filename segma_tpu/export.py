@@ -25,6 +25,7 @@ Layout::
 from __future__ import annotations
 
 import json
+import time
 from dataclasses import dataclass
 from functools import lru_cache
 from pathlib import Path
@@ -34,6 +35,7 @@ import numpy as np
 from jax import export as jax_export
 
 from segma_tpu.inference import (
+    Chunkyfier,
     InferencePipeline,
     create_intervals,
     decode_capacity,
@@ -233,8 +235,6 @@ class ExportedPipeline:
         return ConvolutionSettings((step,), (step,), (0,))
 
     def _chunkyfier(self):
-        from segma_tpu.inference import Chunkyfier
-
         return Chunkyfier(
             1, self.manifest["chunk_duration_f"], self.frame_settings
         )
@@ -373,8 +373,6 @@ def run_inference_on_artifact(
     """Batch prediction from a frozen export directory — same RTTM layout
     as ``run_inference_on_audios`` but no model zoo, registry, or
     checkpoint handling (``scripts/predict.py --artifact``)."""
-    import time
-
     from segma_tpu.inference import (
         _load_mono,
         get_list_of_files_to_process,

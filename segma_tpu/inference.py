@@ -1025,8 +1025,8 @@ def run_inference_on_audios(
             "decode and have no output (listed above)",
             flush=True,
         )
-    done = {p for p, _ in failed}
-    return [p for p in files_to_infer_on if p not in done]
+    failed_paths = {p for p, _ in failed}
+    return [p for p in files_to_infer_on if p not in failed_paths]
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -209,14 +209,23 @@ class SegmentationService:
         )
 
     # -- decode -----------------------------------------------------------------
+    @staticmethod
+    def _decode_l16(body: bytes, content_type: str) -> np.ndarray:
+        """RFC 2586 audio/L16 is big-endian network byte order; the
+        non-standard ``;endianness=little`` parameter selects s16le
+        (ffmpeg/sox default). Raw octet-streams default to little-endian.
+        Returns native-order int16 for the device path."""
+        le = (
+            "little" in content_type
+            or not content_type.startswith("audio/l16")
+        )
+        return np.frombuffer(body, dtype="<i2" if le else ">i2").astype(
+            np.int16
+        )
+
     def _audio_from_body(self, body: bytes, content_type: str) -> np.ndarray:
         if content_type.startswith("audio/l16"):
-            # RFC 2586 audio/L16 is big-endian network byte order; accept
-            # the explicit non-standard parameter for s16le pipelines
-            # (ffmpeg/sox default output): audio/l16;endianness=little
-            le = "little" in content_type
-            arr = np.frombuffer(body, dtype="<i2" if le else ">i2")
-            return arr.astype(np.int16)  # native order for the device path
+            return self._decode_l16(body, content_type)
         if body[:4] != b"RIFF":
             raise ValueError(
                 "body must be a RIFF/WAVE file or raw int16 PCM "
@@ -275,13 +284,7 @@ class SegmentationService:
             raise ValueError(
                 "stream pushes take raw PCM16 (audio/l16), not WAV files"
             )
-        le = (
-            "little" in content_type
-            or not content_type.startswith("audio/l16")
-        )
-        return np.frombuffer(body, dtype="<i2" if le else ">i2").astype(
-            np.int16
-        )
+        return self._decode_l16(body, content_type)
 
     def _evict_stale_streams(self) -> None:
         now = time.monotonic()
