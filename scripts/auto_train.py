@@ -33,12 +33,9 @@ if __name__ == "__main__":
     resume_from = args.resume_from
     if args.auto_resume and resume_from is None and args.run_id:
         root = Path(args.output) if args.output else Path(cfg.model.chkp_path or "models")
-        last = root / args.run_id / "checkpoints" / "last"
-        old = last.parent / ".last.old"
-        if not last.exists() and old.exists():
-            # crash landed between _write_last's two renames: the previous
-            # epoch in .last.old is still a valid resume point
-            old.rename(last)
+        from segma_tpu.checkpoint import recover_last_dir
+
+        last = recover_last_dir(root / args.run_id / "checkpoints")
         if last.exists():
             resume_from = last
             log(f"auto-resume from {last}")

@@ -211,14 +211,7 @@ class CheckpointManager:
 
     @property
     def last_path(self) -> Path:
-        last = self.dirpath / "last"
-        old = self.dirpath / ".last.old"
-        # crash window of _write_last's two-rename swap: last/ was moved
-        # aside but the replacement never landed — the previous epoch in
-        # .last.old is still a fully valid resume point
-        if not last.exists() and old.exists():
-            old.rename(last)
-        return last
+        return recover_last_dir(self.dirpath)
 
 
 def resolve_checkpoint(path: Path | str) -> Path:
@@ -251,3 +244,18 @@ def load_model_for_inference(
         trainable = load_params(ckpt_path, trainable)
         model.params = {**trainable, **frozen}
     return model
+
+
+def recover_last_dir(checkpoints_dir: Path | str) -> Path:
+    """``last/`` under ``checkpoints_dir``, adopting a stranded
+    ``.last.old`` from ``_write_last``'s two-rename crash window (last/ was
+    moved aside but the replacement never landed — the previous epoch is
+    still a fully valid resume point). THE one home for the swap-recovery
+    protocol; auto_train and CheckpointManager.last_path both use it.
+    """
+    checkpoints_dir = Path(checkpoints_dir)
+    last = checkpoints_dir / "last"
+    old = checkpoints_dir / ".last.old"
+    if not last.exists() and old.exists():
+        old.rename(last)
+    return last

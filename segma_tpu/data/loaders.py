@@ -54,6 +54,34 @@ def windows_to_targets(windows: np.ndarray, index) -> np.ndarray:
     return index.query_windows(windows)
 
 
+class AudioCache:
+    """Thread-safe decoded-audio RAM cache shared by a subset's samplers.
+
+    Tracks held bytes under a lock (entries can be float32, 2x the int16
+    construction-time estimate); once the budget is reached, new files read
+    directly instead of being cached."""
+
+    def __init__(self, budget_bytes: int) -> None:
+        self.budget = budget_bytes
+        self._d: dict[int, np.ndarray] = {}
+        self._held = 0
+        self._lock = threading.Lock()
+
+    def get(self, key: int) -> np.ndarray | None:
+        return self._d.get(key)
+
+    def put(self, key: int, arr: np.ndarray) -> None:
+        with self._lock:
+            if key in self._d:
+                return
+            if self._held + arr.nbytes <= self.budget:
+                self._d[key] = arr
+                self._held += arr.nbytes
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
 class AudioSegmentationSampler:
     """Infinite random-crop sampler over one dataset subset.
 
@@ -70,7 +98,7 @@ class AudioSegmentationSampler:
         seed: int | None = None,
         host_hook: Callable[[np.ndarray], np.ndarray] | None = None,
         cache_audio_gb: float = 8.0,
-        shared_audio_cache: dict | None = None,
+        shared_audio_cache: "AudioCache | None" = None,
     ) -> None:
         self.uris = subset.uris
         self.durations = subset.durations
@@ -81,17 +109,20 @@ class AudioSegmentationSampler:
         self.rng = np.random.default_rng(seed)
         # decoded-audio RAM cache (int16): random crops re-read the same
         # files constantly; decoding each file once removes the dominant
-        # host cost of the sampling loop. Disabled when the subset exceeds
-        # the budget.
-        self._audio_cache: dict[int, np.ndarray] | None = None
-        self._cache_budget = int(cache_audio_gb * 1e9)
+        # host cost of the sampling loop. Disabled when the subset's
+        # estimated size exceeds the budget (whole-file decodes that the
+        # cache then rejects would be pure waste — ranged reads are cheap).
+        self._audio_cache: AudioCache | None = None
+        budget = int(cache_audio_gb * 1e9)
         total_bytes = int(subset.durations["audio_duration_f"].sum()) * 2
-        if shared_audio_cache is not None:
-            # N workers over one subset must share ONE cache: per-worker
-            # copies would multiply host RAM by num_workers
-            self._audio_cache = shared_audio_cache
-        elif cache_audio_gb > 0 and total_bytes <= self._cache_budget:
-            self._audio_cache = {}
+        if cache_audio_gb > 0 and total_bytes <= budget:
+            # N workers over one subset share ONE cache (per-worker copies
+            # would multiply host RAM by num_workers)
+            self._audio_cache = (
+                shared_audio_cache
+                if shared_audio_cache is not None
+                else AudioCache(budget)
+            )
 
         if len(self.uris) != self.durations.shape[0]:
             raise DataLoaderError("Mismatch between URIs and durations.")
@@ -143,12 +174,7 @@ class AudioSegmentationSampler:
                     ).astype(np.float32)
                 else:
                     cached = raw
-                # enforce the budget on ACTUAL stored bytes (float32 entries
-                # are 2x the int16 estimate used at construction): once
-                # full, existing entries stay but new files read directly
-                held = sum(a.nbytes for a in self._audio_cache.values())
-                if held + cached.nbytes <= self._cache_budget:
-                    self._audio_cache[uri_i] = cached
+                self._audio_cache.put(uri_i, cached)
             crop = cached[start_f : start_f + self.chunk_f]
             if crop.dtype == np.int16:
                 return crop.astype(np.float32) / 32768.0
@@ -263,7 +289,7 @@ class SegmentationDataLoader:
             dataset.load()
 
     def _loader(self, subset: DatasetSubset, seed_offset: int) -> PrefetchingLoader:
-        shared_cache: dict = {}
+        shared_cache = AudioCache(budget_bytes=int(8.0 * 1e9))
 
         def make_sampler(worker: int) -> AudioSegmentationSampler:
             return AudioSegmentationSampler(

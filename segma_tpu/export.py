@@ -27,7 +27,6 @@ from __future__ import annotations
 import json
 import time
 from dataclasses import dataclass
-from functools import lru_cache
 from pathlib import Path
 
 import jax
@@ -62,14 +61,17 @@ _TRANSPORT_DTYPES = {
 def _bucket_plan(needed: int, buckets: list[int]) -> list[int]:
     """Dispatch plan covering ``needed`` chunks with the exported buckets.
 
-    Exact DP minimizing ``shipped_chunks + OVERHEAD * n_dispatches``:
-    shipped chunks model the host->device transfer (the measured
-    bottleneck) and OVERHEAD charges each dispatch its ~80 ms blocking
-    relay latency in chunk-equivalents, so the plan neither pads a
-    60-chunk file into the 128 bucket (2x transfer) nor shreds an
-    88-chunk tail into [8]*11: with (8,32,128,512), 60 -> [32, 32],
-    88 -> [32, 32, 32], 127 -> [128]. Above the largest bucket, full
-    largest-bucket dispatches are always optimal (zero padding).
+    DP minimizing ``shipped_chunks + OVERHEAD * n_dispatches``: shipped
+    chunks model the host->device transfer (the measured bottleneck) and
+    OVERHEAD charges each dispatch its ~80 ms blocking relay latency in
+    chunk-equivalents, so the plan neither pads a 60-chunk file into the
+    128 bucket (2x transfer) nor shreds an 88-chunk tail into [8]*11:
+    with (8,32,128,512), 60 -> [32, 32], 88 -> [32, 32, 32], 127 -> [128].
+    Everything above the largest bucket runs as full largest-bucket
+    dispatches (zero padding); the sub-largest remainder is solved exactly
+    by an iterative DP, which for near-multiple bucket families (the
+    power-of-two-ish defaults) makes the whole plan optimal — for exotic
+    bucket sets the greedy prefix can be off by one bucket's padding.
     """
     OVERHEAD = 8  # chunks of transfer one extra dispatch is "worth"
     buckets = sorted(set(buckets))
@@ -79,23 +81,22 @@ def _bucket_plan(needed: int, buckets: list[int]) -> list[int]:
         plan.append(largest)
         needed -= largest
 
-    @lru_cache(maxsize=None)
-    def cost(r: int) -> tuple[int, tuple[int, ...]]:
-        if r <= 0:
-            return (0, ())
+    # bottom-up over the remainder (bounded by `largest`, so no recursion
+    # depth concerns for any bucket set): cost[r] -> (total, plan tuple)
+    cost: list[tuple[int, tuple[int, ...]]] = [(0, ())]
+    for r in range(1, needed + 1):
         best = None
         for b in buckets:
             if b >= r:
                 cand = (b + OVERHEAD, (b,))
             else:
-                c, tail = cost(r - b)
+                c, tail = cost[r - b]
                 cand = (b + OVERHEAD + c, (b, *tail))
             if best is None or cand[0] < best[0]:
                 best = cand
-        return best
+        cost.append(best)
 
-    plan.extend(cost(needed)[1])
-    cost.cache_clear()
+    plan.extend(cost[needed][1])
     return plan
 
 
@@ -364,7 +365,7 @@ def run_inference_on_artifact(
     wavs: Path | str,
     output: Path | str,
     uris: Path | str | None = None,
-    thresholds: dict | None = None,
+    thresholds: dict | str | Path | None = None,
     recursive: bool = False,
     rttm_dirname: str = "raw_rttm",
     min_duration_s: float = 0.0,
@@ -376,9 +377,12 @@ def run_inference_on_artifact(
     from segma_tpu.inference import (
         _load_mono,
         get_list_of_files_to_process,
+        load_thresholds,
         postprocess_intervals,
         write_intervals,
     )
+
+    thresholds = load_thresholds(thresholds)
 
     pipe = ExportedPipeline.load(artifact)
     files, n_files = get_list_of_files_to_process(Path(wavs), recursive, uris)

@@ -592,6 +592,19 @@ def unpack_run_intervals(
     return intervals
 
 
+def load_thresholds(thresholds) -> dict | None:
+    """Resolve a thresholds argument: dict passes through; a str/Path loads
+    the tuner's YAML (with an existence check); None stays None. One home
+    for this validation across the live and artifact CLIs."""
+    if thresholds is None or isinstance(thresholds, dict):
+        return thresholds
+    thr_path = Path(thresholds)
+    if not thr_path.exists():
+        raise ValueError("Path to a valid threshold dict does not exist.")
+    with thr_path.open("r") as f:
+        return yaml.safe_load(f)
+
+
 def default_thresholds(labels: tuple[str, ...]) -> dict[str, dict[str, float]]:
     return {label: {"lower_bound": 0.5, "upper_bound": 1.0} for label in labels}
 
@@ -882,12 +895,7 @@ def run_inference_on_audios(
     from segma_tpu.checkpoint import load_model_for_inference
 
     output = Path(output)
-    if isinstance(thresholds, (str, Path)):
-        thr_path = Path(thresholds)
-        if not thr_path.exists():
-            raise ValueError("Path to a valid threshold dict does not exist.")
-        with thr_path.open("r") as f:
-            thresholds = yaml.safe_load(f)
+    thresholds = load_thresholds(thresholds)
 
     files_to_infer_on, n_files = get_list_of_files_to_process(
         Path(wavs), recursive, uris
@@ -1092,6 +1100,7 @@ def main(argv: list[str] | None = None) -> None:
         unsupported = [
             flag
             for flag, on in (
+                ("--checkpoint", args.checkpoint != "models/last/best.ckpt"),
                 ("--save-logits", args.save_logits),
                 ("--transport", args.transport != "int16"),
                 ("--batch_size", args.batch_size != 128),
@@ -1109,21 +1118,12 @@ def main(argv: list[str] | None = None) -> None:
             parser.error(
                 f"unrecognized arguments with --artifact: {extra_args}"
             )
-        thresholds = None
-        if args.thresholds:
-            thr_path = Path(args.thresholds)
-            if not thr_path.exists():
-                raise ValueError(
-                    "Path to a valid threshold dict does not exist."
-                )
-            with thr_path.open("r") as f:
-                thresholds = yaml.safe_load(f)
         run_inference_on_artifact(
             artifact=args.artifact,
             wavs=args.wavs,
             output=Path(args.output),
             uris=args.uris,
-            thresholds=thresholds,
+            thresholds=args.thresholds,
             recursive=args.recursive,
             rttm_dirname=args.rttm_dirname,
             min_duration_s=args.min_duration,

@@ -215,16 +215,14 @@ class SegmentationService:
         non-standard ``;endianness=little`` parameter selects s16le
         (ffmpeg/sox default). Raw octet-streams default to little-endian.
         Returns native-order int16 for the device path."""
-        le = (
-            "little" in content_type
-            or not content_type.startswith("audio/l16")
-        )
+        ct = content_type.lower()  # media types are case-insensitive
+        le = "little" in ct or not ct.startswith("audio/l16")
         return np.frombuffer(body, dtype="<i2" if le else ">i2").astype(
             np.int16
         )
 
     def _audio_from_body(self, body: bytes, content_type: str) -> np.ndarray:
-        if content_type.startswith("audio/l16"):
+        if content_type.lower().startswith("audio/l16"):
             return self._decode_l16(body, content_type)
         if body[:4] != b"RIFF":
             raise ValueError(
@@ -462,9 +460,13 @@ def _make_handler(service: SegmentationService):
             except KeyError:
                 service.stats.record_error()
                 self._error(404, "unknown or expired stream session")
-            except RuntimeError as e:  # racing flush on the same session
+            except RuntimeError as e:
                 service.stats.record_error()
-                self._error(409, str(e))
+                if "flush() already called" in str(e):
+                    # racing flush on the same session -> client conflict
+                    self._error(409, str(e))
+                else:  # e.g. XlaRuntimeError (device failure) -> server error
+                    self._error(500, f"{type(e).__name__}: {e}")
             except ValueError as e:
                 service.stats.record_error()
                 self._error(400, str(e))

@@ -233,3 +233,18 @@ def test_bucket_plan_dispatch_logits_match_live(vad_model, artifact):
     got = exp.logits_for_audio(wav)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
     assert calls == [4]  # one padded dispatch (equal transfer, 1 call)
+
+
+def test_artifact_cli_rejects_incompatible_flags(tmp_path):
+    from segma_tpu.inference import main as predict_main
+
+    with pytest.raises(SystemExit):
+        predict_main([
+            "--artifact", str(tmp_path), "--wavs", str(tmp_path),
+            "--output", str(tmp_path), "--save-logits",
+        ])
+    with pytest.raises(SystemExit):
+        predict_main([
+            "--artifact", str(tmp_path), "--wavs", str(tmp_path),
+            "--output", str(tmp_path), "--checkpoint", "some.ckpt",
+        ])

@@ -163,3 +163,37 @@ def test_workers_share_one_audio_cache(cfg, loaded_ds):
     assert len(set(caches)) == 1
     next(iter(loader))  # populates the shared cache through any worker
     assert len(loader.sampler._audio_cache) > 0
+
+
+def test_audio_cache_budget_and_threads():
+    """AudioCache enforces its byte budget and survives concurrent
+    put/len (regression: round-2 review — the bare shared dict raced)."""
+    import threading
+
+    from segma_tpu.data.loaders import AudioCache
+
+    cache = AudioCache(budget_bytes=100)
+    a = np.zeros(30, np.uint8)  # 30 bytes
+    cache.put(0, a)
+    cache.put(1, a)
+    cache.put(2, a)
+    cache.put(3, a)  # 120 > 100: rejected
+    assert len(cache) == 3 and cache.get(3) is None
+
+    big = AudioCache(budget_bytes=10**9)
+    errs = []
+
+    def hammer(base):
+        try:
+            for i in range(500):
+                big.put(base + i, np.zeros(64, np.uint8))
+                big.get(base + i)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(k * 500,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs and len(big) == 2000

@@ -368,3 +368,14 @@ def test_stream_metrics_counted(service, server):
         after["segma_audio_seconds_total"] - before["segma_audio_seconds_total"]
         == pytest.approx(1.0, abs=0.01)
     )
+
+
+def test_l16_content_type_case_insensitive(service):
+    """'audio/L16' (RFC-canonical capitalization) must decode big-endian."""
+    samples = np.array([1000, -2000, 300], np.int16)
+    got = service._decode_l16(samples.astype(">i2").tobytes(), "audio/L16")
+    np.testing.assert_array_equal(got, samples)
+    got_le = service._decode_l16(
+        samples.astype("<i2").tobytes(), "audio/L16; ENDIANNESS=LITTLE"
+    )
+    np.testing.assert_array_equal(got_le, samples)
