@@ -42,17 +42,12 @@ if __name__ == "__main__":
     )
     args, extra = parser.parse_known_args()
 
-    import yaml
-
     from segma_tpu.checkpoint import load_model_for_inference
     from segma_tpu.config import load_config
     from segma_tpu.export import export_inference
+    from segma_tpu.inference import load_thresholds
 
-    thresholds = None
-    if args.thresholds:
-        with open(args.thresholds) as f:
-            thresholds = yaml.safe_load(f)
-
+    thresholds = load_thresholds(args.thresholds)
     cfg = load_config(args.config, extra)
     model = load_model_for_inference(cfg, args.checkpoint)
     out = export_inference(

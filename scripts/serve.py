@@ -57,15 +57,11 @@ if __name__ == "__main__":
     if (args.config is None) == (args.artifact is None):
         parser.error("exactly one of --config or --artifact is required")
 
-    import yaml
-
     from segma_tpu.config import load_config
+    from segma_tpu.inference import load_thresholds
     from segma_tpu.serve import serve_forever
 
-    thresholds = None
-    if args.thresholds:
-        with open(args.thresholds) as f:
-            thresholds = yaml.safe_load(f)
+    thresholds = load_thresholds(args.thresholds)
 
     serve_forever(
         config=load_config(args.config, extra) if args.config else None,
