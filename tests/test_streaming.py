@@ -159,3 +159,36 @@ def test_streaming_accepts_int16(vad_model, audio):
     b.push(pcm.astype(np.float32) / 32768.0)
     b.flush()
     assert a.intervals == b.intervals
+
+
+def test_streaming_invariant_to_push_partitioning(vad_model, audio):
+    """Finalized intervals are identical no matter HOW the audio is split
+    into pushes (hypothesis over random cut points) — the streaming
+    parity claim, strengthened beyond the fixed split sizes above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    reference = None
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        cuts=st.lists(
+            st.integers(1, audio.shape[0] - 1), max_size=6, unique=True
+        )
+    )
+    def check(cuts):
+        nonlocal reference
+        seg = StreamingSegmenter(vad_model, vad_model.params)
+        out = []
+        prev = 0
+        for c in sorted(cuts):
+            out += seg.push(audio[prev:c])
+            prev = c
+        out += seg.push(audio[prev:])
+        out += seg.flush()
+        got = sorted(out)
+        if reference is None:
+            reference = got
+        assert got == reference
+
+    check()
