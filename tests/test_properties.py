@@ -96,9 +96,9 @@ def test_rf_bounds_match_gradient_support(stack, f):
     if lo_c < hi_c:
         assert changes(lo_c), "frame must depend on its first rf sample"
         assert changes(hi_c - 1), "frame must depend on its last rf sample"
-    if lo > 0:
+    if 0 < lo <= n:
         assert not changes(lo - 1), "dependence before declared rf start"
-    if hi < n:
+    if 0 <= hi < n:  # hi can be negative when the rf lies fully in padding
         assert not changes(hi), "dependence after declared rf end"
 
 
