@@ -37,18 +37,41 @@ SR = 16_000
 TARGET_XRT = 500.0  # driver north star: >500x real-time per chip
 
 
-def probe_device() -> str:
+def probe_device(timeout_s: float = 300.0) -> str:
     """Fail fast (with a readable error) if the TPU runtime is unusable.
 
     Round 1's multichip dryrun died on a libtpu client/terminal version
     mismatch; this surfaces that class of drift as a tiny eager op BEFORE
     the expensive pipeline build, so the except-branch in __main__ can
-    report it in the JSON instead of a silent non-zero exit.
+    report it in the JSON instead of a silent non-zero exit. The probe
+    runs under a watchdog: a WEDGED relay tunnel (observed in round 2 —
+    RPCs that neither complete nor error for 10+ minutes) becomes a
+    reported TimeoutError instead of a bench that hangs forever.
     """
-    dev = jax.devices()[0]
-    # end-to-end runtime check: transfer + compile + execute + fetch
-    np.asarray(jax.jit(lambda x: x + 1)(np.ones((8,), np.float32)))
-    return str(dev)
+    import threading
+
+    box: dict = {}
+
+    def _probe():
+        try:
+            dev = jax.devices()[0]
+            # end-to-end runtime check: transfer + compile + execute + fetch
+            np.asarray(jax.jit(lambda x: x + 1)(np.ones((8,), np.float32)))
+            box["dev"] = str(dev)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            box["err"] = e
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise TimeoutError(
+            f"device probe did not respond within {timeout_s:.0f}s "
+            "(relay tunnel stalled)"
+        )
+    if "err" in box:
+        raise box["err"]
+    return box["dev"]
 
 
 def main() -> None:
@@ -134,4 +157,12 @@ if __name__ == "__main__":
                 }
             )
         )
+        if isinstance(e, TimeoutError):
+            # the runtime thread is stuck in an RPC; interpreter shutdown
+            # (atexit XLA client teardown) could hang on it — exit hard
+            # after the JSON line has been flushed
+            sys.stdout.flush()
+            import os
+
+            os._exit(0)
         sys.exit(0)
