@@ -248,3 +248,46 @@ def test_artifact_cli_rejects_incompatible_flags(tmp_path):
             "--artifact", str(tmp_path), "--wavs", str(tmp_path),
             "--output", str(tmp_path), "--checkpoint", "some.ckpt",
         ])
+
+
+def test_whisper_flagship_exports_and_matches_live(tmp_path):
+    """The flagship surgical_hydra (whisper encoder + BiLSTM + hydra
+    heads) round-trips through a StableHLO artifact: exercises the
+    portable (non-Pallas) mel frontend, the transformer encoder and the
+    scan-LSTM under jax.export — not just the conv_vad used elsewhere."""
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            "model.name=surgical_hydra",
+            "model.config.encoder=missing_tiny",
+            "model.config.lstm={hidden_size: 16, num_layers: 1, "
+            "bidirectional: true, dropout: 0.0}",
+            "audio.chunk_duration_s=1.0",
+            "train.precision=f32",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    with pytest.warns(UserWarning):
+        model = Models["surgical_hydra"](enc, cfg)
+    from segma_tpu.models.whisper.encoder import WhisperEncoderConfig
+
+    model.module = model.module.clone(
+        enc_cfg=WhisperEncoderConfig(d_model=64, n_heads=2, n_layers=2, ffn_dim=128)
+    )
+    model.init_params(jax.random.key(0))
+
+    out = tmp_path / "whisper_artifact"
+    export_inference(model, out, buckets=(2,), batch_size=2, transport="int16")
+
+    rng = np.random.default_rng(7)
+    wav = (rng.standard_normal(30_000) * 3000).astype(np.int16)
+    live = InferencePipeline(model, model.params, batch_size=2)
+    thr = default_thresholds(model.label_encoder.base_labels)
+    lg, tf = live.logits_for_audio_async(wav)
+    ref = sorted(live.decode_intervals(lg, thr, valid_frames=tf))
+
+    exp = ExportedPipeline.load(out)
+    np.testing.assert_allclose(
+        exp.logits_for_audio(wav), np.asarray(lg[:tf]), rtol=2e-4, atol=2e-4
+    )
+    assert exp.segment(wav) == ref
