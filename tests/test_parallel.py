@@ -369,3 +369,61 @@ def test_resume_under_mesh_restores_sharded_opt_state(tp_model, tmp_path):
     assert jax.tree.all(
         jax.tree.map(lambda a, b: a == b, init_shardings, got_shardings)
     )
+
+
+@pytest.mark.parametrize("family", ["hubert", "wavlm"])
+def test_raw_waveform_families_tp_inference_parity(family):
+    """dp x tp mesh inference for the raw-waveform encoder families
+    (hubert/wavlm attention paths carry the TP rules; seq stays 1 — their
+    conv stacks produce odd time axes, SCALING.md): logits must match the
+    single-device pipeline."""
+    _require_8_devices()
+    import warnings as _w
+
+    from segma_tpu.inference import InferencePipeline
+
+    if family == "hubert":
+        from segma_tpu.models.hubert.encoder import HubertEncoderConfig
+
+        tiny = HubertEncoderConfig(
+            hidden_size=64, n_layers=2, n_heads=2, ffn_dim=128,
+            conv_dim=(32,) * 7, pos_conv_kernel=16, pos_conv_groups=4,
+        )
+        name, flag = "surgical_hubert_hydra", "model.config.wav_encoder=missing"
+    else:
+        from segma_tpu.models.wavlm.encoder import WavLMEncoderConfig
+
+        tiny = WavLMEncoderConfig(
+            hidden_size=64, n_layers=2, n_heads=2, ffn_dim=128,
+            conv_dim=(32,) * 7, pos_conv_kernel=16, pos_conv_groups=4,
+            num_buckets=32, max_distance=80,
+        )
+        name, flag = "surgical_wavlm_hydra", "model.config.wav_encoder=missing"
+
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            f"model.name={name}", flag,
+            "audio.chunk_duration_s=1.0",
+            "audio.strict_frames=true",
+            "train.precision=f32",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        model = Models[name](enc, cfg)
+    model.module = model.module.clone(enc_cfg=tiny)
+    model.init_params(jax.random.key(0))
+
+    audio = (
+        np.random.default_rng(3).standard_normal(40_000) * 0.1
+    ).astype(np.float32)
+    single = InferencePipeline(model, model.params, batch_size=4)
+    ref = single.logits_for_audio(audio)
+
+    mesh = make_mesh(data=4, seq=1, model=2)
+    sharded = InferencePipeline(model, model.params, batch_size=4, mesh=mesh)
+    got = sharded.logits_for_audio(audio)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
