@@ -9,7 +9,8 @@ codec) over randomized inputs, not just the golden fixtures.
 
 import jax
 import numpy as np
-from hypothesis import given, settings
+import pytest
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from segma_tpu.models.geometry import ConvolutionSettings
@@ -63,7 +64,12 @@ def test_n_windows_consistent_with_rf_bounds(stack, n):
 def test_rf_bounds_match_gradient_support(stack, f):
     """rf_start/rf_end describe the EXACT dependence window of output
     frame f for a real (all-ones kernel) conv stack — checked by finite
-    differences at the declared boundary samples."""
+    differences at the declared boundary samples.
+
+    Restricted to kernel >= stride layers: smaller kernels leave HOLES in
+    the receptive field (the distill equations give outer bounds only).
+    Every model stack in the framework satisfies k >= s."""
+    assume(all(k >= s for k, s, _ in stack))
     cs = _make(stack)
     n = max(cs.rf_end_i(f) + 10, 40)
     if n > 3000:
@@ -197,3 +203,51 @@ def test_total_frames_monotonic_and_grid_aligned(chunk_f, n):
     if t > 0:
         # the last counted frame starts within the real audio
         assert (t - 1) * cs.rf_step < n
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    a=st.lists(st.tuples(st.integers(0, 40), st.integers(1, 15)), max_size=10),
+    b=st.lists(st.tuples(st.integers(0, 40), st.integers(1, 15)), max_size=10),
+)
+def test_intersection_duration_matches_point_counting(a, b):
+    """_intersection_duration over merged segment lists == integer point
+    counting (the evaluator's macro-F numerator ground truth)."""
+    from segma_tpu.evaluate import _intersection_duration
+    from segma_tpu.structs.interval import Intervals
+
+    def merged(items):
+        return [(s, e) for s, e, _ in Intervals([(s, s + d, "x") for s, d in items])]
+
+    ma, mb = merged(a), merged(b)
+    got = _intersection_duration(ma, mb)
+    pa = {p for s, e in ma for p in range(int(s), int(e))}
+    pb = {p for s, e in mb for p in range(int(s), int(e))}
+    assert got == len(pa & pb)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.floats(0.0, 50.0, allow_nan=False),
+            st.floats(0.1, 10.0, allow_nan=False),
+            st.sampled_from(["male", "female"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_evaluator_identity(items):
+    """Scoring any annotation set against itself gives F=1 and DER=0."""
+    from segma_tpu.annotation import AudioAnnotation
+    from segma_tpu.evaluate import MacroAverageFMeasure
+
+    annots = [
+        AudioAnnotation(uid="u", start_time_s=s, duration_s=d, label=lb)
+        for s, d, lb in items
+    ]
+    m = MacroAverageFMeasure(classes=["male", "female"])
+    m(annots, annots, uri="u")
+    assert abs(m) == pytest.approx(1.0)
+    assert m.der() == pytest.approx(0.0)
