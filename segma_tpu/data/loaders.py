@@ -54,6 +54,9 @@ def windows_to_targets(windows: np.ndarray, index) -> np.ndarray:
     return index.query_windows(windows)
 
 
+DEFAULT_CACHE_GB = 8.0  # one source for the gate AND the budget
+
+
 class AudioCache:
     """Thread-safe decoded-audio RAM cache shared by a subset's samplers.
 
@@ -97,7 +100,7 @@ class AudioSegmentationSampler:
         label_encoder: LabelEncoder,
         seed: int | None = None,
         host_hook: Callable[[np.ndarray], np.ndarray] | None = None,
-        cache_audio_gb: float = 8.0,
+        cache_audio_gb: float = DEFAULT_CACHE_GB,
         shared_audio_cache: "AudioCache | None" = None,
     ) -> None:
         self.uris = subset.uris
@@ -289,7 +292,7 @@ class SegmentationDataLoader:
             dataset.load()
 
     def _loader(self, subset: DatasetSubset, seed_offset: int) -> PrefetchingLoader:
-        shared_cache = AudioCache(budget_bytes=int(8.0 * 1e9))
+        shared_cache = AudioCache(budget_bytes=int(DEFAULT_CACHE_GB * 1e9))
 
         def make_sampler(worker: int) -> AudioSegmentationSampler:
             return AudioSegmentationSampler(

@@ -122,8 +122,9 @@ class Chunkyfier:
             if reference_tail:
                 tail_frames = self.n_windows
             else:
-                tail_frames = max(
-                    0, self.cnn_settings.n_windows(tail_len, strict=strict_tail)
+                # n_windows clamps to >= 0 at the source (geometry.py)
+                tail_frames = self.cnn_settings.n_windows(
+                    tail_len, strict=strict_tail
                 )
         return n_fit * self.n_windows + tail_frames
 
@@ -1100,7 +1101,10 @@ def main(argv: list[str] | None = None) -> None:
         unsupported = [
             flag
             for flag, on in (
-                ("--checkpoint", args.checkpoint != "models/last/best.ckpt"),
+                (
+                    "--checkpoint",
+                    args.checkpoint != parser.get_default("checkpoint"),
+                ),
                 ("--save-logits", args.save_logits),
                 ("--transport", args.transport != "int16"),
                 ("--batch_size", args.batch_size != 128),

@@ -460,19 +460,17 @@ def _make_handler(service: SegmentationService):
             except KeyError:
                 service.stats.record_error()
                 self._error(404, "unknown or expired stream session")
-            except RuntimeError as e:
-                service.stats.record_error()
-                if "flush() already called" in str(e):
-                    # racing flush on the same session -> client conflict
-                    self._error(409, str(e))
-                else:  # e.g. XlaRuntimeError (device failure) -> server error
-                    self._error(500, f"{type(e).__name__}: {e}")
-            except ValueError as e:
-                service.stats.record_error()
-                self._error(400, str(e))
             except Exception as e:  # noqa: BLE001 — keep the server alive
                 service.stats.record_error()
-                self._error(500, f"{type(e).__name__}: {e}")
+                from segma_tpu.streaming import StreamFlushedError
+
+                if isinstance(e, StreamFlushedError):
+                    # racing flush on the same session -> client conflict
+                    self._error(409, str(e))
+                elif isinstance(e, ValueError):
+                    self._error(400, str(e))
+                else:  # e.g. XlaRuntimeError (device failure)
+                    self._error(500, f"{type(e).__name__}: {e}")
 
         def do_GET(self):  # noqa: N802 (http.server API)
             path = urlparse(self.path).path

@@ -29,6 +29,13 @@ from segma_tpu.inference import (
 from segma_tpu.models.base import ConvolutionSettings, SegmentationModel
 
 
+class StreamFlushedError(RuntimeError):
+    """push()/flush() called after flush() completed — the session is over.
+
+    A distinct type so the HTTP layer can map the race to 409 Conflict
+    without matching on message text."""
+
+
 def make_streaming_forward(model: SegmentationModel):
     """One jitted per-chunk forward ``(params, chunk) -> (T, L) logits``,
     shareable across StreamingSegmenter instances."""
@@ -146,7 +153,9 @@ class StreamingSegmenter:
         """Feed more mono samples (float32 in [-1, 1] or int16 PCM);
         returns newly finalized intervals."""
         if self._done:
-            raise RuntimeError("flush() already called on this segmenter")
+            raise StreamFlushedError(
+                "flush() already called on this segmenter"
+            )
         if samples.dtype == np.int16:
             samples = samples.astype(np.float32) / 32768.0
         self._buffer = np.concatenate([self._buffer, samples.astype(np.float32)])
@@ -173,7 +182,9 @@ class StreamingSegmenter:
     def flush(self) -> list[tuple[int, int, str]]:
         """Process the tail (>= 400 samples) and close all open runs."""
         if self._done:
-            raise RuntimeError("flush() already called on this segmenter")
+            raise StreamFlushedError(
+                "flush() already called on this segmenter"
+            )
         self._done = True
         ck = self.ck
         out: list[tuple[int, int, str]] = []

@@ -13,11 +13,8 @@ import pytest
 from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
-# deterministic example generation: a flaky-red suite on the driver's
-# machine would cost more than the marginal coverage of fresh randomness;
-# bump max_examples locally when hunting
-settings.register_profile("segma_ci", derandomize=True)
-settings.load_profile("segma_ci")
+# NB: the deterministic "segma_ci" hypothesis profile is loaded by
+# tests/conftest.py so it covers every test module, not just this one
 
 from segma_tpu.models.geometry import ConvolutionSettings
 
