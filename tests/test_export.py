@@ -291,3 +291,20 @@ def test_whisper_flagship_exports_and_matches_live(tmp_path):
         exp.logits_for_audio(wav), np.asarray(lg[:tf]), rtol=2e-4, atol=2e-4
     )
     assert exp.segment(wav) == ref
+
+
+def test_manifest_schema_is_stable(artifact):
+    """format_version 1 manifest keys are a deployed contract: adding a
+    key is fine only with a version bump reasoning; REMOVING or renaming
+    one breaks every artifact already shipped. Update this set together
+    with FORMAT_VERSION, never casually."""
+    import json
+
+    manifest = json.loads((artifact / "manifest.json").read_text())
+    assert set(manifest) == {
+        "format_version", "model_name", "labels", "sample_rate",
+        "chunk_duration_f", "chunk_stride", "n_windows", "rf_step",
+        "strict_frames", "reference_tail", "transport", "buckets",
+        "decode_caps", "thresholds", "platforms",
+    }
+    assert manifest["format_version"] == 1
