@@ -529,3 +529,27 @@ def test_write_last_ignores_stale_tmp_and_recovers_old(tmp_path):
     (tmp_path / "last").rename(tmp_path / ".last.old")
     assert mgr.last_path.exists()  # adopted .last.old
     assert not (tmp_path / ".last.old").exists()
+
+
+def test_checkpoint_layout_is_stable(tmp_path):
+    """Checkpoint directory layout is a cross-version contract (resume,
+    import tooling, best.ckpt symlinks): file names and meta keys must not
+    drift casually."""
+    params = {"heads": {"kernel": np.ones((2, 2), np.float32)}}
+    mgr = CheckpointManager(tmp_path, monitor="val/loss", mode="min")
+    mgr.step(
+        0, 0.5, params, meta={"config": {}},
+        opt_state={"m": np.zeros(2)}, train_state={"scheduler": {}},
+    )
+    assert sorted(p.name for p in (tmp_path / "last").iterdir()) == [
+        "meta.yaml", "opt_state.msgpack", "params.msgpack", "train_state.yaml",
+    ]
+    kept = next(p for p in tmp_path.glob("epoch=*"))
+    assert sorted(q.name for q in kept.iterdir()) == [
+        "meta.yaml", "params.msgpack",
+    ]
+    assert (tmp_path / "best.ckpt").is_symlink()
+    import yaml as _yaml
+
+    meta = _yaml.safe_load((kept / "meta.yaml").read_text())
+    assert {"config", "epoch", "score"} <= set(meta)
