@@ -379,3 +379,32 @@ def test_l16_content_type_case_insensitive(service):
         samples.astype("<i2").tobytes(), "audio/L16; ENDIANNESS=LITTLE"
     )
     np.testing.assert_array_equal(got_le, samples)
+
+
+def test_http_api_contract_is_stable(server, wav_bytes):
+    """Response schemas and metric names are a deployed contract
+    (clients parse them, dashboards alert on them) — change only with
+    intent."""
+    body, _ = wav_bytes
+    _, raw = _post(f"{server}/v1/segment?uri=c", body)
+    payload = json.loads(raw)
+    assert set(payload) == {"uri", "sample_rate", "intervals"}
+    assert all(
+        set(iv) == {"label", "start_s", "end_s"} for iv in payload["intervals"]
+    )
+
+    with urllib.request.urlopen(f"{server}/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert set(health) == {"status", "model", "labels", "device"}
+
+    with urllib.request.urlopen(f"{server}/metrics", timeout=30) as r:
+        names = {
+            ln.split("{")[0].split()[0]
+            for ln in r.read().decode().splitlines()
+            if ln and not ln.startswith("#")
+        }
+    assert names == {
+        "segma_requests_total", "segma_request_errors_total",
+        "segma_audio_seconds_total", "segma_uptime_seconds",
+        "segma_batch_dispatches_total", "segma_request_latency_seconds",
+    }
