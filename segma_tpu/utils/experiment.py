@@ -139,6 +139,14 @@ set -eu
 """
 
     def write(self, out_dir: Path | str = "experiments") -> dict[str, Path]:
+        # a sweep can generate several experiments within one second; if
+        # the timestamp+word id collides with a sibling (~1/130 chance per
+        # pair), suffix a counter rather than silently overwriting its
+        # scripts
+        base, n = self.run_id, 2
+        while (Path(out_dir) / self.run_id).exists():
+            self.run_id = f"{base}-{n}"
+            n += 1
         out_dir = Path(out_dir) / self.run_id
         out_dir.mkdir(parents=True, exist_ok=True)
         paths = {}

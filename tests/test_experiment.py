@@ -59,3 +59,24 @@ def test_gen_sweep(tmp_path):
     joined = "".join(p.read_text() for p in run_scripts)
     assert "data.dataset_multiplier=0.1" in joined
     assert "train.lr=0.001" in joined
+
+
+def test_same_second_sweep_never_collides(tmp_path, monkeypatch):
+    """Two experiments generated in the same second with the SAME drawn
+    word must not overwrite each other (regression: probabilistic suite
+    failure — write() re-draws the id on collision)."""
+    import numpy as np
+
+    from segma_tpu.utils import experiment as exp_mod
+
+    # force the word draw deterministic so the ids WOULD collide
+    orig_rng = np.random.default_rng
+    monkeypatch.setattr(
+        exp_mod.np.random, "default_rng", lambda *a, **k: orig_rng(0)
+    )
+    e1 = exp_mod.Experiment(config_path="c.yml")
+    e1.write(tmp_path)
+    e2 = exp_mod.Experiment(config_path="c.yml")
+    e2.write(tmp_path)
+    assert e1.run_id != e2.run_id
+    assert len(list(tmp_path.glob("*/run.sh"))) == 2
