@@ -427,3 +427,27 @@ def test_raw_waveform_families_tp_inference_parity(family):
     got = sharded.logits_for_audio(audio)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_packed_multifile_under_mesh_matches_per_file(tp_model):
+    """--pack-files combined with --mesh: packed multi-file dispatch over a
+    (data, model) mesh must match single-device per-file logits (the packed
+    window axis folds into the same sharded dimension)."""
+    _require_8_devices()
+    rng = np.random.default_rng(5)
+    audios = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (20_000, 33_000, 20_500, 47_000)
+    ]
+    single = InferencePipeline(tp_model, tp_model.params, batch_size=4)
+    refs = [single.logits_for_audio(a) for a in audios]
+
+    mesh = make_mesh(data=4, seq=1, model=2)
+    packed_pipe = InferencePipeline(
+        tp_model, tp_model.params, batch_size=4, mesh=mesh
+    )
+    outs = packed_pipe.logits_for_audios_async(audios, pack_files=4)
+    for (lg, tf), ref in zip(outs, refs):
+        np.testing.assert_allclose(
+            np.asarray(lg[:tf]), ref, rtol=2e-4, atol=2e-5
+        )
