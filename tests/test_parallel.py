@@ -451,3 +451,25 @@ def test_packed_multifile_under_mesh_matches_per_file(tp_model):
         np.testing.assert_allclose(
             np.asarray(lg[:tf]), ref, rtol=2e-4, atol=2e-5
         )
+
+
+def test_adpcm_transport_under_mesh_matches_single(tp_model):
+    """ADPCM byte transport + mesh: the on-device block decode runs before
+    the window-axis sharding constraint, so logits must match the
+    single-device ADPCM path bit-for-bit."""
+    _require_8_devices()
+    from segma_tpu.ops.adpcm import adpcm_encode_audio
+
+    rng = np.random.default_rng(6)
+    wav = (rng.standard_normal(40_000) * 3000).astype(np.int16)
+    enc = adpcm_encode_audio(wav)
+
+    single = InferencePipeline(tp_model, tp_model.params, batch_size=4)
+    ref = single.logits_for_audio(enc)
+
+    mesh = make_mesh(data=4, seq=1, model=2)
+    sharded = InferencePipeline(
+        tp_model, tp_model.params, batch_size=4, mesh=mesh
+    )
+    got = sharded.logits_for_audio(enc)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
