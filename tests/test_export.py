@@ -308,3 +308,34 @@ def test_manifest_schema_is_stable(artifact):
         "decode_caps", "thresholds", "platforms",
     }
     assert manifest["format_version"] == 1
+
+
+def test_reference_tail_mode_roundtrips_through_artifact(tmp_path):
+    """audio.reference_tail=true is carried by the manifest: exported
+    logits must match the live pipeline incl. the zero-padded tail chunk."""
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            "model.name=conv_vad",
+            "model.config={hidden: 32, depth: 1, dtype: f32}",
+            "audio.chunk_duration_s=1.0",
+            "audio.reference_tail=true",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    model.init_params(jax.random.key(0))
+
+    out = tmp_path / "tail_artifact"
+    export_inference(model, out, buckets=(2, 4), batch_size=4, transport="int16")
+    exp = ExportedPipeline.load(out)
+    assert exp.manifest["reference_tail"] is True
+
+    rng = np.random.default_rng(8)
+    # 2 full chunks + a 5000-sample tail -> the tail emits a FULL chunk
+    wav = (rng.standard_normal(16_000 + 15_680 + 5_000) * 3000).astype(np.int16)
+    live = InferencePipeline(model, model.params, batch_size=4)
+    ref = live.logits_for_audio(wav)
+    got = exp.logits_for_audio(wav)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
