@@ -140,8 +140,11 @@ def export_inference(
             else:
                 os.environ["SEGMA_TPU_NO_PALLAS"] = prev_no_pallas
 
+    from segma_tpu import __version__
+
     manifest = {
         "format_version": FORMAT_VERSION,
+        "framework_version": __version__,
         "model_name": model.name,
         "labels": list(enc.base_labels),
         "sample_rate": model.config.audio.sample_rate,

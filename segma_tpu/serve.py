@@ -395,9 +395,12 @@ class SegmentationService:
     def health(self) -> bytes:
         import jax
 
+        from segma_tpu import __version__
+
         return json.dumps(
             {
                 "status": "ok",
+                "version": __version__,
                 "model": self.model_name,
                 "labels": self.labels,
                 "device": str(jax.devices()[0]),

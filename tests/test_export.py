@@ -302,7 +302,7 @@ def test_manifest_schema_is_stable(artifact):
 
     manifest = json.loads((artifact / "manifest.json").read_text())
     assert set(manifest) == {
-        "format_version", "model_name", "labels", "sample_rate",
+        "format_version", "framework_version", "model_name", "labels", "sample_rate",
         "chunk_duration_f", "chunk_stride", "n_windows", "rf_step",
         "strict_frames", "reference_tail", "transport", "buckets",
         "decode_caps", "thresholds", "platforms",

@@ -395,7 +395,7 @@ def test_http_api_contract_is_stable(server, wav_bytes):
 
     with urllib.request.urlopen(f"{server}/healthz", timeout=30) as r:
         health = json.loads(r.read())
-    assert set(health) == {"status", "model", "labels", "device"}
+    assert set(health) == {"status", "version", "model", "labels", "device"}
 
     with urllib.request.urlopen(f"{server}/metrics", timeout=30) as r:
         names = {
