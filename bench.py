@@ -37,7 +37,7 @@ SR = 16_000
 TARGET_XRT = 500.0  # driver north star: >500x real-time per chip
 
 
-def probe_device(timeout_s: float = 300.0) -> str:
+def probe_device(timeout_s: float = 240.0) -> str:
     """Fail fast (with a readable error) if the TPU runtime is unusable.
 
     Round 1's multichip dryrun died on a libtpu client/terminal version
