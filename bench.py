@@ -89,11 +89,14 @@ def main() -> None:
     pipe = InferencePipeline(model, model.params, batch_size=128)
     ck = pipe.chunkyfier
 
-    # ~34 minutes of audio per call (512 chunks). Transport: 4-bit block
-    # ADPCM (0.547 B/sample), encoded once per file on the host prefetch
-    # side and expanded on device — the serving fast path (the host link is
-    # the measured bottleneck in this environment; measured same-session:
-    # adpcm 8293x vs mulaw 5210x vs int16 ~1/2 of mulaw).
+    # ~34 minutes of audio per call (512 chunks). Two transports are
+    # measured (round-3 VERDICT item 3):
+    #   - adpcm4 (0.547 B/sample, device-expanded): the lossy serving fast
+    #     path and the headline number (the host link is the measured
+    #     bottleneck in this environment);
+    #   - int16 (2 B/sample, device-normalized): EXACT numerics — the
+    #     parity-grade figure, reported alongside so nobody mistakes a
+    #     lossy number for it.
     from segma_tpu.ops.adpcm import adpcm_encode_audio
 
     n_chunks = 512
@@ -101,41 +104,51 @@ def main() -> None:
     audio_s = n_samples / SR
     rng = np.random.default_rng(0)
     pcm = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
-    audio = adpcm_encode_audio(pcm)
 
-    # warmup (compile)
-    _ = pipe.logits_for_audio(audio)
+    def measure(audio, iters: int = 5, rounds: int = 3):
+        """Best sustained xRT over several rounds of pipelined dispatch
+        (the tunnel's bandwidth varies by the minute; min wall wins)."""
+        _ = pipe.logits_for_audio(audio)  # warmup/compile
+        walls = []
+        frames = 0
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            # queue every transfer+forward, then drain — the host->device
+            # copies of call i+1 overlap the device compute of call i
+            pending = [pipe.logits_for_audio_async(audio) for _ in range(iters)]
+            outs = [np.asarray(lg[:tf]) for lg, tf in pending]
+            walls.append(time.perf_counter() - t0)
+            frames = int(outs[-1].shape[0])
+        wall = min(walls)
+        xrt = iters * audio_s / wall
+        return xrt, {
+            "xrt": round(xrt, 2),
+            "wall_s": round(wall, 3),
+            "wall_s_all_rounds": [round(w, 3) for w in walls],
+            "frames": frames,
+        }
 
-    # the host link in this environment is a tunnel with time-varying
-    # bandwidth; measure several rounds and report the best sustained rate
-    iters, rounds = 5, 3
-    walls = []
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        # pipelined dispatch: queue every transfer+forward, then drain — the
-        # host->device copies of call i+1 overlap the device compute of call i
-        pending = [pipe.logits_for_audio_async(audio) for _ in range(iters)]
-        outs = [np.asarray(lg[:tf]) for lg, tf in pending]
-        walls.append(time.perf_counter() - t0)
-    wall = min(walls)
-    logits = outs[-1]
+    adpcm_xrt, adpcm_detail = measure(adpcm_encode_audio(pcm))
+    int16_xrt, int16_detail = measure(pcm)
 
-    total_audio_s = iters * audio_s
-    xrt = total_audio_s / wall
     result = {
         "metric": "conv-frontend VAD sliding-window inference (audio-sec/sec/chip)",
-        "value": round(xrt, 2),
+        "value": round(adpcm_xrt, 2),
         "unit": "x_realtime",
-        "vs_baseline": round(xrt / TARGET_XRT, 4),
+        "vs_baseline": round(adpcm_xrt / TARGET_XRT, 4),
+        # exact-numerics figure at top level: int16 transport, bit-identical
+        # logits to the f32 path (normalization happens on device)
+        "exact_int16_value": round(int16_xrt, 2),
+        "exact_int16_vs_baseline": round(int16_xrt / TARGET_XRT, 4),
         "detail": {
             "device": str(jax.devices()[0]),
             "audio_s_per_call": round(audio_s, 1),
-            "iters": iters,
-            "wall_s": round(wall, 3),
-            "wall_s_all_rounds": [round(w, 3) for w in walls],
-            "frames": int(logits.shape[0]),
-            "audio_hours_per_sec": round(xrt / 3600, 4),
-            "transport": "adpcm4 (0.547 B/sample, device-expanded)",
+            "iters": 5,
+            "audio_hours_per_sec": round(adpcm_xrt / 3600, 4),
+            "transports": {
+                "adpcm4 (0.547 B/sample, device-expanded, lossy)": adpcm_detail,
+                "int16 (2 B/sample, device-normalized, exact)": int16_detail,
+            },
         },
     }
     print(json.dumps(result))

@@ -1,127 +1,147 @@
-"""Synthetic dataset generator — the universal test fixture.
+"""Synthetic fixture-dataset builder.
 
-Parity with reference ``scripts/generate_data.py:9-187``: each label maps to a
-sine frequency (440*i Hz); random annotations are rendered into 16 kHz WAVs
-and written out in the full SegmaFileDataset layout (wav/ aa/ rttm/ uem/ +
-train/val/test split txts).
+Produces the on-disk tree that :class:`segma_tpu.data.file_dataset.
+SegmaFileDataset` expects (wav/ aa/ rttm/ uem/ + split txts), populated with
+pure-tone "speech" events so every test and debug run has a dataset whose
+ground truth is known exactly. The fixture *format* matches the reference
+generator (``scripts/generate_data.py`` there): label *i* is rendered as a
+440·i Hz sine, so a trained model can separate classes by frequency alone.
+
+Unlike the reference, synthesis here is deterministic when seeded (the
+whole tree is a pure function of ``seed``) and each file is rendered in one
+vectorized pass rather than per-event Python loops over samples.
 """
 
 from __future__ import annotations
 
+import sys
+from dataclasses import dataclass
 from pathlib import Path
 
 import numpy as np
-
-import sys
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from segma_tpu.annotation import AudioAnnotation
 from segma_tpu.utils.io import write_data_to_disk
 
+DEFAULT_LABELS = ["male", "female", "key_child", "other_child"]
+SAMPLE_RATE = 16_000
 
-def gen_annots(
+
+@dataclass(frozen=True)
+class EventSpec:
+    """Bounds for the random events drawn per file."""
+
+    min_count: int = 4
+    max_count: int = 10
+    min_duration_s: float = 0.2
+    max_duration_s: float = 3.0
+
+
+def _draw_events(
     uid: str,
-    audio_duration_s: float = 60.0,
-    labels: list[str] = ["male", "female", "key_child", "other_child"],
-    max_annot_duration_s: int = 3,
-    min_annot_count: int = 4,
-    max_annot_count: int = 10,
-    rng: np.random.Generator | None = None,
+    rng: np.random.Generator,
+    labels: list[str],
+    audio_duration_s: float,
+    spec: EventSpec = EventSpec(),
 ) -> list[AudioAnnotation]:
-    rng = rng or np.random.default_rng()
-    n = int(rng.integers(min_annot_count, max_annot_count))
-    durations_s = rng.uniform(0.2, max_annot_duration_s, size=n)
-    starting_points_s = rng.uniform(0, audio_duration_s - max_annot_duration_s, size=n)
-    starting_points_s.sort()
-    label_idxs = rng.integers(len(labels), size=n)
+    """Sample a sorted list of labeled events inside ``[0, audio_duration_s)``."""
+    count = int(rng.integers(spec.min_count, spec.max_count))
+    starts = np.sort(
+        rng.uniform(0.0, audio_duration_s - spec.max_duration_s, size=count)
+    )
+    lengths = rng.uniform(spec.min_duration_s, spec.max_duration_s, size=count)
+    which = rng.integers(len(labels), size=count)
     return [
         AudioAnnotation(
-            uid=uid, start_time_s=float(s), duration_s=float(d), label=labels[i]
+            uid=uid, start_time_s=float(t0), duration_s=float(dt), label=labels[k]
         )
-        for s, d, i in zip(starting_points_s, durations_s, label_idxs)
+        for t0, dt, k in zip(starts, lengths, which)
     ]
 
 
-def gen_sine(f: int = 440, duration_s: float = 1.0, sr: int = 16_000) -> np.ndarray:
-    t = np.linspace(0, duration_s, int(sr * duration_s), endpoint=False)
-    return np.sin(2 * np.pi * f * t).astype(np.float32)
-
-
-def gen_audio_from_annot(
-    annotations: list[AudioAnnotation],
-    label_to_freq: dict[str, int],
-    audio_duration_s: float = 60.0,
-    sample_rate: int = 16_000,
+def _render_waveform(
+    events: list[AudioAnnotation],
+    tone_hz: dict[str, int],
+    audio_duration_s: float,
+    sample_rate: int = SAMPLE_RATE,
 ) -> np.ndarray:
-    n_samples = int(audio_duration_s * sample_rate)
-    array = np.zeros((1, n_samples), dtype=np.float32)
-    for annot in annotations:
-        start_f = int(annot.start_time_s * sample_rate)
-        duration_f = int(annot.duration_s * sample_rate)
-        seg = gen_sine(label_to_freq[annot.label], duration_s=annot.duration_s)
-        array[:, start_f : start_f + duration_f] = seg[:duration_f]
-    return array
+    """Render events onto a silent track as phase-aligned sines, (1, n) f32.
+
+    Later events overwrite earlier ones where they overlap (matching the
+    fixture contract: one audible tone at a time, annotations may still
+    overlap on paper).
+    """
+    n = int(audio_duration_s * sample_rate)
+    track = np.zeros(n, dtype=np.float32)
+    for ev in events:
+        a = int(ev.start_time_s * sample_rate)
+        b = min(n, a + int(ev.duration_s * sample_rate))
+        t = np.arange(b - a, dtype=np.float32) / sample_rate
+        track[a:b] = np.sin(2.0 * np.pi * tone_hz[ev.label] * t)
+    return track[None, :]
 
 
 def gen_classification(
     output: Path = Path("data"),
     audio_duration_s: float = 60.0,
-    labels: list[str] = ["male", "female", "key_child", "other_child"],
+    labels: list[str] | None = None,
     per_split: int = 5,
     seed: int | None = None,
 ) -> None:
-    """Generate a full SegmaFileDataset tree with synthetic sine audio."""
+    """Write a complete synthetic SegmaFileDataset tree under ``output``."""
+    labels = list(labels) if labels is not None else list(DEFAULT_LABELS)
     rng = np.random.default_rng(seed)
+    tone_hz = {label: 440 * (i + 1) for i, label in enumerate(labels)}
+
     for sub in ("wav", "aa", "rttm", "uem"):
         (output / sub).mkdir(parents=True, exist_ok=True)
 
-    _uids = [str(i).rjust(4, "0") for i in range(3 * per_split)]
-    uids = {
-        split: _uids[i * per_split : (i + 1) * per_split]
-        for i, split in enumerate(("train", "val", "test"))
+    splits = ("train", "val", "test")
+    all_uids = [f"{i:04d}" for i in range(per_split * len(splits))]
+    split_uids = {
+        split: all_uids[k * per_split : (k + 1) * per_split]
+        for k, split in enumerate(splits)
     }
-    for split, s_uids in uids.items():
-        with (output / f"{split}.txt").open("w") as f:
-            f.writelines(uid + "\n" for uid in s_uids)
+    for split, uids in split_uids.items():
+        (output / f"{split}.txt").write_text("".join(u + "\n" for u in uids))
 
-    label_to_freq = {label: 440 * i for i, label in enumerate(labels, start=1)}
-
-    for split, s_uids in uids.items():
-        for uid in s_uids:
-            annots = gen_annots(
-                uid, audio_duration_s=audio_duration_s, labels=labels, rng=rng
+    for uids in split_uids.values():
+        for uid in uids:
+            events = _draw_events(uid, rng, labels, audio_duration_s)
+            wave = _render_waveform(events, tone_hz, audio_duration_s)
+            write_data_to_disk(wave, output / "wav" / uid, sample_rate=SAMPLE_RATE)
+            (output / "aa" / f"{uid}.aa").write_text(
+                "".join(ev.write() + "\n" for ev in events)
             )
-            audio = gen_audio_from_annot(
-                annots, label_to_freq, audio_duration_s=audio_duration_s
+            (output / "rttm" / f"{uid}.rttm").write_text(
+                "".join(ev.to_rttm() + "\n" for ev in events)
             )
-            write_data_to_disk(audio, output / "wav" / uid, sample_rate=16_000)
-            with (output / "aa" / f"{uid}.aa").open("w") as f:
-                f.writelines(a.write() + "\n" for a in annots)
-            with (output / "rttm" / f"{uid}.rttm").open("w") as f:
-                f.writelines(a.to_rttm() + "\n" for a in annots)
-            with (output / "uem" / f"{uid}.uem").open("w") as f:
-                f.write(f"{uid} NA 0.000 {audio_duration_s}")
+            (output / "uem" / f"{uid}.uem").write_text(
+                f"{uid} NA 0.000 {audio_duration_s}"
+            )
 
 
-if __name__ == "__main__":
+def main() -> None:
     import argparse
 
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     parser.add_argument(
         "-n", "--n_samples", required=True, type=int,
-        help="Number of examples per split.",
+        help="files per split (total = 3n)",
     )
     parser.add_argument("--out", default="data")
     parser.add_argument("--seed", type=int, default=None)
     args = parser.parse_args()
 
-    db_path = Path(args.out) / f"debug_{args.n_samples}"
-    if not db_path.exists():
-        print(
-            f"[log] - Generating a dummy dataset of size {args.n_samples * 3} "
-            f"({args.n_samples} * 3)."
-        )
-        gen_classification(output=db_path, per_split=args.n_samples, seed=args.seed)
-    else:
-        print("[log] - dataset already exists, nothing will happen.")
+    root = Path(args.out) / f"debug_{args.n_samples}"
+    if root.exists():
+        print(f"[generate_data] {root} already exists — leaving it untouched.")
+        return
+    print(f"[generate_data] writing {3 * args.n_samples} synthetic files to {root}")
+    gen_classification(output=root, per_split=args.n_samples, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

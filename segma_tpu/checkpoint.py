@@ -88,9 +88,27 @@ class CheckpointManager:
         mode: str = "min",
         save_top_k: int = 5,
         save_last: bool = True,
+        write: bool = True,
     ) -> None:
+        """``write=False`` makes this manager a non-writing replica: it
+        keeps identical best/top-k bookkeeping (so every controller takes
+        the same early-stop/scheduler decisions) but never touches disk.
+        Multi-host training elects process 0 as the single writer — without
+        the election, every process would race on the same ``last/`` swap
+        and epoch dirs (all controllers compute identical replicated
+        params, so one writer loses nothing)."""
+        if save_top_k == 0:
+            # In the Lightning convention 0 means "save none", which this
+            # manager cannot honor (best.ckpt must point somewhere). Reject
+            # rather than silently keeping one.
+            raise ValueError(
+                "save_top_k=0 (save no epoch checkpoints) is not supported: "
+                "use save_top_k=1 to keep only the best, or -1 to keep all"
+            )
         self.dirpath = Path(dirpath)
-        self.dirpath.mkdir(parents=True, exist_ok=True)
+        self.write = write
+        if write:
+            self.dirpath.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
         self.mode = mode
         self.save_top_k = save_top_k
@@ -134,30 +152,31 @@ class CheckpointManager:
         resume exact (Lightning-checkpoint parity) without bloating the
         top-k dirs."""
         meta = {**meta, "epoch": epoch, "score": float(score)}
-        if self.save_last:
+        if self.save_last and self.write:
             self._write_last(trainable_params, meta, opt_state, train_state)
 
         # keep the epoch directory only while it ranks within top-k
         name = f"epoch={epoch:02d}-{self.monitor.replace('/', '_')}={score:.3f}"
         path = self.dirpath / name
-        save_params(path, trainable_params, meta)
+        if self.write:
+            save_params(path, trainable_params, meta)
         self.kept.append((score, path))
         self.kept.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
-        if self.save_top_k >= 0:  # Lightning convention: -1 keeps all
-            while len(self.kept) > max(self.save_top_k, 1):
-                # best always ranks first, so it is never evicted; floor of
-                # 1 keeps the checkpoint best.ckpt points at even for
-                # save_top_k=0 (a 0 that deleted it would leave best.ckpt a
-                # dangling symlink)
+        if self.save_top_k > 0:  # Lightning convention: -1 keeps all
+            while len(self.kept) > self.save_top_k:
+                # best always ranks first, so it is never evicted and
+                # best.ckpt can never dangle
                 _, evicted = self.kept.pop()
-                shutil.rmtree(evicted, ignore_errors=True)
+                if self.write:
+                    shutil.rmtree(evicted, ignore_errors=True)
 
         if self.best_score is None or self._is_better(score, self.best_score):
             self.best_score = float(score)
             self.best_path = path
-            best_link = self.dirpath / "best.ckpt"
-            best_link.unlink(missing_ok=True)
-            best_link.symlink_to(path.resolve())
+            if self.write:
+                best_link = self.dirpath / "best.ckpt"
+                best_link.unlink(missing_ok=True)
+                best_link.symlink_to(path.resolve())
 
     def _write_last(
         self,
@@ -167,6 +186,10 @@ class CheckpointManager:
         train_state: dict | None = None,
     ) -> None:
         """Atomically replace ``last/`` (write to a tmp dir, then rename)."""
+        assert self.write, (
+            "non-writer CheckpointManager replica must never reach disk "
+            "(multi-host single-writer election)"
+        )
         last = self.dirpath / "last"
         tmp = self.dirpath / ".last.tmp"
         # a stale tmp from a crashed earlier write could carry an old
@@ -206,7 +229,8 @@ class CheckpointManager:
         interrupted one); pass -1 if none completed.
         """
         meta = {**meta, "epoch": epoch, "interrupted": True}
-        self._write_last(trainable_params, meta, opt_state, train_state)
+        if self.write:
+            self._write_last(trainable_params, meta, opt_state, train_state)
         return self.last_path
 
     @property

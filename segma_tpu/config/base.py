@@ -503,4 +503,47 @@ def load_config(config_path: Path | str, cli_extra_args: list[str] = []) -> Conf
         # CLI-supplied model.config.* values win over per-model defaults
         partial = config_d["model"].get("config") or {}
         config_d["model"]["config"] = {**merged, **partial}
-    return _from_dict(Config, config_d)
+    cfg = _from_dict(Config, config_d)
+    _validate_mesh_seq(cfg)
+    return cfg
+
+
+# model families whose encoder time axis can shard (whisper's conv
+# frontend halves an even mel grid; the hubert/wavlm/sincnet stacks emit
+# ODD time lengths at every chunk size, so seq constraints always degrade
+# to replication — SCALING.md has the analysis)
+_SEQ_SHARDABLE_MODELS = frozenset(
+    {"whisperidou", "whisperimax", "surgical_whisper", "hydra_whisper",
+     "surgical_hydra"}
+)
+
+
+def _validate_mesh_seq(cfg: "Config") -> None:
+    """Reject unsatisfiable ``mesh.seq`` at load time (round-3 VERDICT
+    item 9: a seq that cannot divide the encoder time grid silently
+    degraded to replication with only a trace-time warning)."""
+    seq = cfg.mesh.seq
+    if seq <= 1:
+        return
+    name = cfg.model.name
+    if name not in _SEQ_SHARDABLE_MODELS:
+        raise ConfigError(
+            f"mesh.seq={seq}: sequence parallelism is only available for "
+            f"the whisper family {sorted(_SEQ_SHARDABLE_MODELS)}; "
+            f"'{name}' emits odd encoder time lengths at every chunk size, "
+            "so its time axis cannot shard (see SCALING.md) — use "
+            "mesh.data/mesh.model instead"
+        )
+    if getattr(cfg.model.config, "fast_context", False):
+        grid = int(round(cfg.audio.chunk_duration_f / 320))
+        ctx = f"fast_context time grid {grid} (chunk_f/320)"
+    else:
+        grid = 1500
+        ctx = "padded 30 s context time grid 1500"
+    if grid % seq:
+        divisors = [d for d in range(2, min(grid, 33)) if grid % d == 0]
+        raise ConfigError(
+            f"mesh.seq={seq} does not divide the whisper encoder's {ctx}: "
+            "the sharding would silently degrade to seq-fold replication. "
+            f"Valid seq values here: {divisors}"
+        )

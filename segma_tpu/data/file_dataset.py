@@ -76,7 +76,7 @@ class SegmaFileDataset:
         self.base_p = Path(base_p)
         if not self.base_p.exists():
             raise FileNotFoundError(
-                f"Given path to the dataset is non existent. Got `{self.base_p}`."
+                f"Dataset directory does not exist: `{self.base_p}`"
             )
         self.classes = list(classes)
         self.chunk_duration_s = chunk_duration_s
@@ -113,8 +113,8 @@ class SegmaFileDataset:
             overlap = set(subset_to_uris[k1]) & set(subset_to_uris[k2])
             if overlap:
                 raise URISubsetLeakageError(
-                    f"Subset {k1} and {k2} are overlaping, which can be data "
-                    f"leakage.\nOverlapping uris are: '{overlap=}'"
+                    f"uri(s) present in both '{k1}' and '{k2}' splits — "
+                    f"train/eval leakage: {sorted(overlap)}"
                 )
 
     def load_all_uris(self) -> dict[str, list[str]]:
@@ -183,9 +183,10 @@ class SegmaFileDataset:
         for subset, uris in self.subset_to_uris.items():
             if len(uris) == 0:
                 raise ValueError(
-                    f"subset '{subset}' is empty after removing all audio "
-                    f"instances with duration < {self.chunk_duration_s} s and "
-                    "all audios/segments with invalid labels.\n"
+                    f"split '{subset}' has no usable files left: every uri was "
+                    f"dropped (shorter than the {self.chunk_duration_s} s chunk, "
+                    "wrong sample rate, or no annotations in the configured "
+                    "classes)."
                 )
         self.subds_to_durations = subds_to_durations
         self.subds_to_indexes = subds_to_indexes

@@ -292,6 +292,55 @@ class SegmentationDataLoader:
             dataset.load()
 
     def _loader(self, subset: DatasetSubset, seed_offset: int) -> PrefetchingLoader:
+        import jax
+
+        batch_size = self.config.train.batch_size
+        n_procs, pid = jax.process_count(), jax.process_index()
+        seed_base = self.seed
+        if n_procs > 1:
+            # multi-host: every controller samples from its own shard of the
+            # file list and produces 1/n_procs of the global batch; the step
+            # count comes from the GLOBAL subset (computed below, before
+            # sharding) so all controllers run the same number of
+            # collectives per epoch
+            if batch_size % n_procs:
+                raise DataLoaderError(
+                    f"train.batch_size={batch_size} must divide evenly over "
+                    f"{n_procs} processes"
+                )
+            if len(subset.uris) < n_procs:
+                raise DataLoaderError(
+                    f"subset has {len(subset.uris)} files but "
+                    f"{n_procs} processes — every process needs at least one"
+                )
+            if seed_base is not None:
+                # decorrelate the random-crop streams across controllers
+                seed_base = seed_base + 7919 * pid
+
+        # virtual-epoch step count from the FULL subset (identical on every
+        # process regardless of how files shard)
+        global_spe = int(
+            self.config.data.dataset_multiplier
+            * max(
+                ceil(
+                    frames_to_seconds(
+                        int(subset.durations["audio_duration_f"].sum())
+                    )
+                    / self.config.audio.chunk_duration_s
+                ),
+                batch_size,
+            )
+        )
+        n_batches = max(1, global_spe // batch_size)  # drop_last
+
+        if n_procs > 1:
+            subset = DatasetSubset(
+                uris=subset.uris[pid::n_procs],
+                durations=subset.durations[pid::n_procs],
+                indexes=subset.indexes[pid::n_procs],
+            )
+            batch_size = batch_size // n_procs
+
         shared_cache = AudioCache(budget_bytes=int(DEFAULT_CACHE_GB * 1e9))
 
         def make_sampler(worker: int) -> AudioSegmentationSampler:
@@ -301,8 +350,8 @@ class SegmentationDataLoader:
                 conv_settings=self.conv_settings,
                 label_encoder=self.label_encoder,
                 seed=None
-                if self.seed is None
-                else self.seed + seed_offset + 1000 * worker,
+                if seed_base is None
+                else seed_base + seed_offset + 1000 * worker,
                 host_hook=self.host_hook,
                 # one decoded-audio cache per SUBSET, not per worker
                 shared_audio_cache=shared_cache,
@@ -310,8 +359,6 @@ class SegmentationDataLoader:
 
         n_workers = max(1, self.config.train.dataloader.num_workers)
         sampler = make_sampler(0)
-        batch_size = self.config.train.batch_size
-        n_batches = max(1, sampler.samples_per_epoch() // batch_size)  # drop_last
         extras = [make_sampler(w) for w in range(1, min(n_workers, n_batches))]
         return PrefetchingLoader(
             sampler, batch_size, n_batches, extra_samplers=extras

@@ -110,7 +110,7 @@ def export_inference(
     platforms: tuple[str, ...] = ("cpu", "tpu"),
 ) -> Path:
     """Freeze ``model`` (with its current params) into an artifact dir."""
-    import os
+    import contextlib
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -123,22 +123,18 @@ def export_inference(
 
     # Pallas kernels (the fused log-mel frontend) only lower for TPU; a
     # multi-platform artifact must trace the portable XLA formulation
-    # instead. Single-platform TPU exports keep the fused kernel.
+    # instead. Single-platform TPU exports keep the fused kernel. The
+    # switch is thread-local (ops.melspec.portable_lowering), so a live
+    # pipeline tracing in another thread is unaffected.
+    from segma_tpu.ops.melspec import portable_lowering
+
     force_portable = tuple(platforms) != ("tpu",)
-    prev_no_pallas = os.environ.get("SEGMA_TPU_NO_PALLAS")
-    if force_portable:
-        os.environ["SEGMA_TPU_NO_PALLAS"] = "1"
-    try:
+    ctx = portable_lowering() if force_portable else contextlib.nullcontext()
+    with ctx:
         _export_programs(
             pipe, params, model, output_dir, buckets, transport, dtype,
             platforms,
         )
-    finally:
-        if force_portable:
-            if prev_no_pallas is None:
-                os.environ.pop("SEGMA_TPU_NO_PALLAS", None)
-            else:
-                os.environ["SEGMA_TPU_NO_PALLAS"] = prev_no_pallas
 
     from segma_tpu import __version__
 

@@ -325,6 +325,16 @@ class InferencePipeline:
         if self.transport == "adpcm" and padded.dtype != np.uint8:
             from segma_tpu.ops.adpcm import adpcm_encode
 
+            # adpcm_encode interprets int16 as PCM and float as [-1, 1]
+            # waveform; anything else (e.g. an int8 mu-law buffer) would be
+            # silently clipped to +/-1 LSB and destroyed — reject it.
+            if padded.dtype not in (np.int16, np.float32, np.float64):
+                raise TypeError(
+                    "transport='adpcm' accepts float32/float64 waveforms in "
+                    "[-1, 1], int16 PCM, or pre-encoded AdpcmAudio/uint8 "
+                    f"blocks — got dtype {padded.dtype} (mu-law int8 must go "
+                    "through transport='mulaw')"
+                )
             return jnp.asarray(adpcm_encode(padded))
         return jnp.asarray(padded)
 

@@ -15,7 +15,10 @@ reflect center-padding, slaney-scale/slaney-norm mel filterbank, log10 with
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from functools import lru_cache
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +28,27 @@ N_FFT = 400
 HOP_LENGTH = 160
 N_MELS = 80
 SAMPLE_RATE = 16_000
+
+# Thread-local "trace the portable XLA formulation, not the Pallas kernel"
+# switch. A ContextVar (not an env var) so that an export tracing portable
+# programs in one thread cannot leak into an InferencePipeline tracing its
+# first program concurrently in another.
+_FORCE_PORTABLE: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "segma_tpu_force_portable", default=False
+)
+
+
+@contextlib.contextmanager
+def portable_lowering() -> Iterator[None]:
+    """Within this context (current thread only), log-mel traces the
+    portable conv/XLA formulation even where the Pallas kernel is eligible.
+    Used by multi-platform export; ``SEGMA_TPU_NO_PALLAS=1`` remains the
+    process-wide escape hatch."""
+    token = _FORCE_PORTABLE.set(True)
+    try:
+        yield
+    finally:
+        _FORCE_PORTABLE.reset(token)
 
 
 def _hz_to_mel(freq: np.ndarray | float) -> np.ndarray:
@@ -127,7 +151,7 @@ def _pallas_eligible(wav: jax.Array, n_fft, hop, n_mels, drop_last) -> bool:
     """The fused Pallas kernel covers the default Whisper geometry on TPU."""
     import os
 
-    if os.environ.get("SEGMA_TPU_NO_PALLAS"):
+    if _FORCE_PORTABLE.get() or os.environ.get("SEGMA_TPU_NO_PALLAS"):
         return False
     if (n_fft, hop, n_mels, drop_last) != (N_FFT, HOP_LENGTH, N_MELS, True):
         return False

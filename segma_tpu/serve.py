@@ -311,10 +311,23 @@ class SegmentationService:
         with self._streams_lock:
             self._evict_stale_streams()
             if self._stream_forward is None:
-                # one compiled per-chunk program shared by every session
-                self._stream_forward = make_streaming_forward(
-                    self.pipeline.model
-                )
+                if self._batcher is not None:
+                    # micro-batching enabled: concurrent sessions' chunk
+                    # forwards share one padded batched dispatch (each
+                    # single-chunk dispatch pays ~80 ms relay latency;
+                    # batching pays it once per window)
+                    from segma_tpu.streaming import ChunkForwardBatcher
+
+                    self._stream_forward = ChunkForwardBatcher(
+                        self.pipeline.model,
+                        window_ms=self._batcher.window_s * 1000.0,
+                        max_batch=self._batcher.max_batch,
+                    )
+                else:
+                    # one compiled per-chunk program shared by every session
+                    self._stream_forward = make_streaming_forward(
+                        self.pipeline.model
+                    )
             sid = uuid.uuid4().hex[:16]
             seg = StreamingSegmenter(
                 self.pipeline.model,

@@ -53,6 +53,99 @@ def make_streaming_forward(model: SegmentationModel):
     return forward
 
 
+class ChunkForwardBatcher:
+    """Cross-session micro-batcher for streaming chunk forwards.
+
+    N concurrent streaming sessions each dispatch single-chunk forwards;
+    through the tunnel every dispatch pays ~80 ms of relay latency, so N
+    sessions pay it N times per chunk period. This batcher groups chunks
+    from concurrent sessions that arrive within ``window_ms`` into ONE
+    padded batched forward (bucketed to powers of two so at most
+    log2(max_batch)+1 programs compile), then hands each session its row.
+
+    Signature-compatible with the single-chunk jitted forward — pass an
+    instance as ``StreamingSegmenter(forward_fn=...)``. All sessions must
+    share the same params (they do in serving: one model, one checkpoint).
+    """
+
+    def __init__(
+        self,
+        model: SegmentationModel,
+        window_ms: float = 3.0,
+        max_batch: int = 8,
+    ) -> None:
+        import queue
+        import threading
+
+        if getattr(model.module, "mesh", None) is not None:
+            model = model.with_module(model.module.clone(mesh=None))
+        apply = model.apply
+        transform = model.inference_transform
+
+        @jax.jit
+        def batch_forward(params, chunks):  # (B, chunk_f) -> (B, T, L)
+            return transform(apply(params, chunks, train=False))
+
+        self._batch_forward = batch_forward
+        self.window_s = window_ms / 1000.0
+        self.max_batch = max(1, max_batch)
+        self.dispatches = 0  # observability / tests
+        self._q: queue.Queue = queue.Queue()
+        self._threading = threading
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def __call__(self, params, chunk) -> np.ndarray:
+        done = self._threading.Event()
+        box: dict = {}
+        self._q.put((params, np.asarray(chunk), done, box))
+        done.wait()
+        if "err" in box:
+            raise box["err"]
+        return box["logits"]
+
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self.max_batch)
+
+    def _run(self) -> None:
+        import queue
+        import time as _time
+
+        while True:
+            group = [self._q.get()]
+            deadline = _time.monotonic() + self.window_s
+            while len(group) < self.max_batch:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self.dispatches += 1
+            try:
+                params = group[0][0]
+                chunks = np.stack([c for _, c, _, _ in group])
+                bucket = self._bucket(len(group))
+                if bucket > len(group):  # pad to the compiled bucket size
+                    pad = np.zeros(
+                        (bucket - len(group), chunks.shape[1]), chunks.dtype
+                    )
+                    chunks = np.concatenate([chunks, pad])
+                logits = np.asarray(
+                    self._batch_forward(params, jnp.asarray(chunks))
+                )
+                for i, (_, _, done, box) in enumerate(group):
+                    box["logits"] = logits[i]
+                    done.set()
+            except Exception as e:  # noqa: BLE001 — propagate per session
+                for _, _, done, box in group:
+                    box["err"] = e
+                    done.set()
+
+
 class StreamingSegmenter:
     """Push samples in, get finalized ``(start_f, end_f, label)`` out."""
 

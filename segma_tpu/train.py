@@ -83,7 +83,15 @@ def _masked_state(opt_state):
 def set_learning_rate(opt_state, lr: float):
     """Update the injected learning rate in a masked-optimizer state."""
     inner = _masked_state(opt_state).inner_state
-    inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    new = jnp.asarray(lr, jnp.float32)
+    prev = inner.hyperparams.get("learning_rate")
+    sharding = getattr(prev, "sharding", None)
+    if sharding is not None:
+        # keep the previous placement — under a multi-host mesh the scalar
+        # is replicated over ALL devices, and a fresh default-placed array
+        # would make the next train_step's inputs device-incompatible
+        new = jax.device_put(new, sharding)
+    inner.hyperparams["learning_rate"] = new
     return opt_state
 
 
@@ -190,7 +198,17 @@ def make_train_step(
 
 
 def make_eval_step(model: SegmentationModel) -> Callable:
-    """Jitted validation step: loss terms + F1 sufficient statistics."""
+    """Jitted validation step: loss terms + F1 sufficient statistics.
+
+    Powerset models additionally return subset-class statistics for the
+    reference's ``partial_*`` validation metrics (``models/base.py:204-317``:
+    metrics restricted to classes holding < 2 base labels). With the
+    reference's plain ``MultiLabelEncoder`` those metrics average over zero
+    classes (labels are strings, so ``len(label) < 2`` never holds) — they
+    are only meaningful under a powerset encoding, which is where this
+    build implements them.
+    """
+    from segma_tpu.models.base import softmax_ce_loss
 
     def eval_step(params, batch):
         logits = model.apply(params, batch["x"], train=False)
@@ -200,7 +218,39 @@ def make_eval_step(model: SegmentationModel) -> Callable:
         probs = jax.nn.sigmoid(frame_logits).reshape(-1, frame_logits.shape[-1])
         targets = batch["y"].reshape(-1, batch["y"].shape[-1])
         counts = binary_counts(probs, targets)
-        return total, per_label, counts, probs
+
+        subset_stats = None
+        if model.powerset is not None:
+            n_classes = logits.shape[-1]
+            lut = jnp.asarray(model.powerset.multihot_lut())
+            bits = 2 ** jnp.arange(batch["y"].shape[-1], dtype=jnp.int32)
+            class_ids = lut[
+                (batch["y"] > 0.5).astype(jnp.int32) @ bits
+            ].reshape(-1)
+            flat_logits = logits.reshape(-1, n_classes)
+            target_oh = jax.nn.one_hot(class_ids, n_classes)
+            # CE weighted onto the single-label class prefix (torch
+            # cross_entropy(weight=[1]*n_single + [0]*rest) semantics)
+            single = jnp.asarray(
+                [1.0 if len(s) < 2 else 0.0 for s in model.powerset.labels],
+                jnp.float32,
+            )
+            partial_loss = softmax_ce_loss(
+                flat_logits, target_oh, class_weights=single
+            )
+            pred_oh = (
+                jax.nn.one_hot(jnp.argmax(flat_logits, axis=-1), n_classes)
+                > 0.5
+            )
+            t_oh = target_oh > 0.5
+            subset_counts = {
+                "tp": jnp.sum(pred_oh & t_oh, axis=0),
+                "fp": jnp.sum(pred_oh & ~t_oh, axis=0),
+                "fn": jnp.sum(~pred_oh & t_oh, axis=0),
+            }
+            subset_probs = jax.nn.softmax(flat_logits, axis=-1)
+            subset_stats = (partial_loss, subset_counts, subset_probs, class_ids)
+        return total, per_label, counts, probs, subset_stats
 
     return jax.jit(eval_step)
 
@@ -219,10 +269,34 @@ class Trainer:
 
     def __post_init__(self) -> None:
         self.run_dir = Path(self.run_dir)
-        self.run_dir.mkdir(parents=True, exist_ok=True)
+        # multi-host: every controller runs the identical fit loop on its
+        # data shard; process 0 is elected the single writer for the run
+        # dir (checkpoints, metrics.jsonl, figures) — the others keep
+        # identical in-memory bookkeeping so scheduler/early-stop decisions
+        # never diverge across controllers
+        self.n_processes = jax.process_count()
+        self.is_main_process = jax.process_index() == 0
+        if self.is_main_process:
+            self.run_dir.mkdir(parents=True, exist_ok=True)
         if self.logger is None:
-            self.logger = MetricsLogger(self.run_dir / "metrics.jsonl")
+            self.logger = MetricsLogger(
+                self.run_dir / "metrics.jsonl" if self.is_main_process else None,
+                echo=self.is_main_process,
+            )
         tc = self.config.train
+        if self.n_processes > 1:
+            score_metrics = {"auroc", "roc"} & (
+                {tc.validation_metric} | set(tc.extra_val_metrics)
+            )
+            if score_metrics:
+                # these need the full per-frame score matrix on the host;
+                # under multi-host that array is sharded across controllers
+                # and not addressable from any single one
+                raise ValueError(
+                    f"validation metrics {sorted(score_metrics)} are not "
+                    "supported under multi-host training — use loss/f1_score "
+                    "(computed from globally-reduced statistics)"
+                )
         self.mode, self.monitor = get_metric(tc.validation_metric)
         self.optimizer = make_optimizer(
             self.model, tc.lr, grad_accum_steps=tc.grad_accum_steps
@@ -235,6 +309,7 @@ class Trainer:
             mode=self.mode,
             save_top_k=tc.save_top_k,
             save_last=True,
+            write=self.is_main_process,
         )
         self.scheduler = ReduceLROnPlateau(self.mode, tc.scheduler.patience)
         self.early_stopping = EarlyStopping(
@@ -260,6 +335,19 @@ class Trainer:
     # -- data placement ---------------------------------------------------------
     def _put(self, batch: dict[str, np.ndarray]) -> dict[str, jnp.ndarray]:
         if self.mesh is not None:
+            if self.n_processes > 1:
+                # each controller holds only its process-local rows of the
+                # global batch (the loader shards files and batch size by
+                # process); assemble the global sharded array from them
+                from segma_tpu.parallel.mesh import batch_sharding
+
+                sharding = batch_sharding(self.mesh)
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sharding, np.asarray(x)
+                    ),
+                    batch,
+                )
             return shard_batch(batch, self.mesh)
         return jax.tree.map(jnp.asarray, batch)
 
@@ -316,8 +404,11 @@ class Trainer:
         losses, per_labels = [], []
         counts_acc: dict[str, Any] | None = None
         all_probs, all_targets = [], []
+        partial_losses: list = []
+        subset_counts_acc: dict[str, Any] | None = None
+        all_subset_probs, all_subset_ids = [], []
         for batch in loader:
-            total, per_label, counts, probs = self.eval_step(
+            total, per_label, counts, probs, subset_stats = self.eval_step(
                 params, self._put(batch)
             )
             losses.append(total)
@@ -329,6 +420,18 @@ class Trainer:
             if need_scores:
                 all_probs.append(np.asarray(probs))
                 all_targets.append(batch["y"].reshape(-1, len(labels)))
+            if subset_stats is not None:
+                p_loss, s_counts, s_probs, s_ids = subset_stats
+                partial_losses.append(p_loss)
+                if subset_counts_acc is None:
+                    subset_counts_acc = s_counts
+                else:
+                    subset_counts_acc = jax.tree.map(
+                        lambda a, b: a + b, subset_counts_acc, s_counts
+                    )
+                if wants("auroc"):
+                    all_subset_probs.append(np.asarray(s_probs))
+                    all_subset_ids.append(np.asarray(s_ids))
         metrics: dict[str, float] = {}
         if losses:
             metrics["val/loss"] = float(jnp.mean(jnp.stack(losses)))
@@ -352,6 +455,29 @@ class Trainer:
                     metrics[f"val/auroc_{label}"] = float(auroc[i])
             if "roc" in tc.extra_val_metrics:
                 self._plot_roc(probs, targets, labels)
+        # partial_* metrics (powerset models): restrict to the subset-class
+        # prefix holding < 2 base labels (reference models/base.py:204-317)
+        if partial_losses:
+            n_single = self.model.powerset.n_single_classes
+            if "partial_loss" in tc.extra_val_metrics:
+                metrics["val/partial_loss"] = float(
+                    jnp.mean(jnp.stack(partial_losses))
+                )
+            if subset_counts_acc is not None and wants("f1_score"):
+                subset_f1 = f1_from_counts(
+                    jax.tree.map(np.asarray, subset_counts_acc)
+                )
+                metrics["val/partial_f1_score"] = float(
+                    subset_f1[:n_single].mean()
+                )
+            if wants("auroc") and all_subset_probs:
+                from segma_tpu.ops.metrics import binary_auroc_np
+
+                s_probs = np.concatenate(all_subset_probs)
+                s_ids = np.concatenate(all_subset_ids)
+                s_onehot = np.eye(s_probs.shape[-1])[s_ids]
+                s_auroc = binary_auroc_np(s_probs, s_onehot)
+                metrics["val/partial_auroc"] = float(s_auroc[:n_single].mean())
         return metrics
 
     def _plot_roc(self, probs, targets, labels) -> None:
@@ -408,10 +534,25 @@ class Trainer:
         if self.mesh is not None:
             # tensor-parallel rules where they apply, replication elsewhere;
             # optimizer state inherits the param shardings through jit
+            from jax.sharding import NamedSharding, PartitionSpec
             from segma_tpu.parallel.sharding import shard_params
 
             params = shard_params(params, self.mesh)
-            opt_state = jax.jit(self.optimizer.init)(params)
+            # moments inherit the param shardings through data flow; scalar
+            # state (step counters, injected lr) has no input to inherit
+            # from and would land on one device — replicate it over the
+            # mesh so multi-host controllers all address it
+            replicated = NamedSharding(self.mesh, PartitionSpec())
+
+            def _init(p):
+                return jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, replicated)
+                    if getattr(x, "ndim", None) == 0
+                    else x,
+                    self.optimizer.init(p),
+                )
+
+            opt_state = jax.jit(_init)(params)
         else:
             opt_state = self.optimizer.init(params)
 

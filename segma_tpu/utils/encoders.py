@@ -115,6 +115,15 @@ class PowersetEncoder(LabelEncoder):
         vec[i] = 1
         return vec
 
+    @property
+    def n_single_classes(self) -> int:
+        """Number of subset classes holding fewer than two base labels (the
+        empty set + singletons). Subsets are ordered by set size, so these
+        are exactly the first ``n_single_classes`` class indices — the
+        prefix the reference's ``partial_*`` validation metrics average
+        over (``src/segma/models/base.py:204-207``)."""
+        return sum(1 for s in self._subsets if len(s) < 2)
+
     def membership_matrix(self) -> np.ndarray:
         """(n_classes, n_base) 0/1 matrix: subset i contains base label j."""
         member = np.zeros((len(self._subsets), len(self._base)), np.float32)

@@ -181,6 +181,18 @@ def test_preencoded_matches_ship_side_encode(vad_model):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_adpcm_transport_rejects_mulaw_int8(vad_model):
+    """transport='adpcm' must refuse dtypes adpcm_encode cannot interpret
+    (an int8 mu-law buffer would be clipped to +/-1 LSB and silently
+    destroyed; round-3 advisor finding)."""
+    pipe = InferencePipeline(
+        vad_model, vad_model.params, batch_size=4, transport="adpcm"
+    )
+    mulaw = np.zeros(40_321, dtype=np.int8)
+    with pytest.raises(TypeError, match="mu-law"):
+        pipe.logits_for_audio(mulaw)
+
+
 def test_preencoded_segmented_long_file(vad_model):
     """Segmented dispatch slices pre-encoded blocks at chunk strides
     (always BLOCK-aligned for rf_step-320 models); logits must match the

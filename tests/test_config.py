@@ -157,3 +157,36 @@ def test_unknown_model_name_keeps_structural_union():
             CONFIG_DIR / "default.yml",
             ["model.name=conv_vad", "model.config={bogus_key: 1}"],
         )
+
+
+def test_mesh_seq_divisibility_rejected_at_load():
+    """Unsatisfiable mesh.seq fails at config load, not as a trace-time
+    replication warning (round-3 VERDICT item 9)."""
+    # 1500 % 8 != 0 on the padded whisper grid
+    with pytest.raises(ConfigError, match="1500"):
+        load_config(
+            CONFIG_DIR / "default.yml",
+            ["model.name=surgical_hydra", "mesh.seq=8"],
+        )
+    # non-whisper families cannot seq-shard at all
+    with pytest.raises(ConfigError, match="whisper"):
+        load_config(
+            CONFIG_DIR / "default.yml",
+            ["model.name=conv_vad", "mesh.seq=2"],
+        )
+    # divisible values load fine (1500 % 4 == 0)
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        ["model.name=surgical_hydra", "mesh.seq=4"],
+    )
+    assert cfg.mesh.seq == 4
+    # fast_context uses the chunk grid: 4 s -> 200 frames, 200 % 8 == 0
+    cfg2 = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            "model.name=surgical_hydra",
+            "model.config.fast_context=true",
+            "mesh.seq=8",
+        ],
+    )
+    assert cfg2.mesh.seq == 8

@@ -163,3 +163,51 @@ def test_detection_rates():
     assert rates["a"]["miss"] == pytest.approx(0.5)
     assert rates["a"]["false_alarm"] == pytest.approx(0.5)
     assert rates["b"]["miss"] == 0.0 and rates["b"]["false_alarm"] == 0.0
+
+
+def test_golden_analytic_cases():
+    """Hand-computed golden fixtures lock MacroAverageFMeasure numerics
+    (reference semantics: pyannote detection F per class + macro average,
+    scripts/evaluate.py:59-75; round-3 VERDICT item 8). Covers overlap
+    merging, UEM cropping, and empty-hypothesis/empty-reference classes."""
+    import math
+
+    import yaml
+
+    cases = yaml.safe_load(
+        (Path(__file__).parent / "golden" / "eval_cases.yml").read_text()
+    )
+    assert len(cases) == 4
+    for case in cases:
+        metric = MacroAverageFMeasure(case["classes"])
+
+        def annots(rows):
+            return [
+                AudioAnnotation(
+                    uid="u", start_time_s=s, duration_s=e - s, label=label
+                )
+                for label, s, e in rows
+            ]
+
+        uem = [tuple(r) for r in case["uem"]] if case["uem"] else None
+        macro = metric(
+            annots(case["reference"]), annots(case["hypothesis"]), uem=uem
+        )
+        exp = case["expected"]
+        name = case["name"]
+        assert macro == pytest.approx(exp["macro"], abs=1e-9), name
+        for c, f in exp["class_scores"].items():
+            assert metric.class_scores()[c] == pytest.approx(f, abs=1e-9), (
+                name, c,
+            )
+        rates = metric.detection_rates()
+        for c, d in exp["detection_rates"].items():
+            for k, v in d.items():
+                assert rates[c][k] == pytest.approx(v, abs=1e-9), (name, c, k)
+        for c, v in exp["error_rates"].items():
+            got = metric.error_rates()[c]
+            if math.isinf(v):
+                assert math.isinf(got), (name, c)
+            else:
+                assert got == pytest.approx(v, abs=1e-9), (name, c)
+        assert metric.der() == pytest.approx(exp["der"], abs=1e-9), name

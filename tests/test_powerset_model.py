@@ -131,6 +131,48 @@ def test_powerset_training_and_decode(pmodel, synthetic_dataset, tmp_path):
         assert label in pmodel.label_encoder.base_labels
 
 
+def test_powerset_partial_val_metrics(synthetic_dataset, tmp_path):
+    """partial_* validation metrics (reference models/base.py:204-317):
+    for powerset models, loss/F1/AUROC restricted to the subset classes
+    with < 2 base labels. One epoch on the sine dataset must emit all
+    three with sane values."""
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.train import Trainer
+
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            f"data.dataset_path={synthetic_dataset}",
+            "data.classes=[male,female,key_child,other_child]",
+            "data.dataset_multiplier=0.3",
+            "model.name=powerset_vad",
+            "model.config={hidden: 32, depth: 1, dtype: f32, max_set_size: 2}",
+            "audio.chunk_duration_s=1.0",
+            "train.batch_size=4",
+            "train.max_epochs=1",
+            "train.seed=0",
+            "train.validation_metric=f1_score",
+            "train.extra_val_metrics=[loss,partial_loss,auroc]",
+            "wandb.offline=true",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["powerset_vad"](enc, cfg)
+    assert model.powerset.n_single_classes == 5  # empty set + 4 singletons
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+    trainer = Trainer(model=model, config=cfg, run_dir=tmp_path / "run")
+    result = trainer.fit(dm)
+    m = result["history"][0]
+    assert np.isfinite(m["val/partial_loss"])
+    assert 0.0 <= m["val/partial_f1_score"] <= 1.0
+    assert 0.0 <= m["val/partial_auroc"] <= 1.0
+    # the partial CE is the single-class share of the full subset CE, so it
+    # can never exceed the full validation loss
+    assert m["val/partial_loss"] <= m["val/loss"] + 1e-6
+
+
 def test_softmax_ce_matches_torch_probabilistic_targets():
     """Normalization parity with torch F.cross_entropy(probabilistic
     targets, reduction='mean'): mean over rows — including multi-hot and

@@ -192,3 +192,55 @@ def test_streaming_invariant_to_push_partitioning(vad_model, audio):
         assert got == reference
 
     check()
+
+
+def test_chunk_forward_batcher_parity_and_batching(vad_model):
+    """N concurrent sessions sharing a ChunkForwardBatcher produce
+    intervals identical to independent single-session segmenters, with
+    fewer device dispatches than total chunks (round-3: cross-session
+    streaming batching)."""
+    import threading
+
+    from segma_tpu.streaming import ChunkForwardBatcher
+
+    n_sessions = 4
+    rng = np.random.default_rng(11)
+    audios = [
+        (rng.standard_normal(3 * 16_000 + 777) * 0.3).astype(np.float32)
+        for _ in range(n_sessions)
+    ]
+    # reference: serial single-session runs
+    expected = []
+    for a in audios:
+        s = StreamingSegmenter(vad_model, vad_model.params)
+        s.push(a)
+        s.flush()
+        expected.append(s.intervals)
+
+    batcher = ChunkForwardBatcher(vad_model, window_ms=30.0, max_batch=4)
+    segs = [
+        StreamingSegmenter(vad_model, vad_model.params, forward_fn=batcher)
+        for _ in range(n_sessions)
+    ]
+    results = [None] * n_sessions
+
+    def run(i):
+        # interleaved pushes so chunks from different sessions coincide
+        a = audios[i]
+        for off in range(0, len(a), 16_000):
+            segs[i].push(a[off : off + 16_000])
+        segs[i].flush()
+        results[i] = segs[i].intervals
+
+    threads = [
+        threading.Thread(target=run, args=(i,)) for i in range(n_sessions)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results == expected
+    # 4 sessions x 4 chunks (3 full + tail) = 16 single dispatches serial;
+    # batching must have grouped at least some of them
+    total_chunks = sum(4 for _ in audios)
+    assert batcher.dispatches < total_chunks, batcher.dispatches

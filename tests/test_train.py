@@ -492,8 +492,9 @@ def test_preempt_signal_handler_is_async_safe(tmp_path):
 
 def test_checkpoint_manager_keep_all_and_zero(tmp_path):
     """save_top_k=-1 keeps every checkpoint (Lightning convention);
-    save_top_k=0 still keeps the one best.ckpt points at (regression:
-    round-2 review — -1 destroyed everything then crashed)."""
+    save_top_k=0 is rejected up front (Lightning's 0 means "save none",
+    which this manager cannot honor — best.ckpt must point somewhere;
+    round-3 advisor finding)."""
     params = {"heads": {"kernel": np.ones((2, 2), np.float32)}}
     mgr = CheckpointManager(
         tmp_path / "all", monitor="val/loss", mode="min", save_top_k=-1
@@ -503,13 +504,10 @@ def test_checkpoint_manager_keep_all_and_zero(tmp_path):
     assert len(mgr.kept) == 3
     assert all(p.exists() for _, p in mgr.kept)
 
-    mgr0 = CheckpointManager(
-        tmp_path / "zero", monitor="val/loss", mode="min", save_top_k=0
-    )
-    for epoch, score in enumerate([0.5, 0.3, 0.4]):
-        mgr0.step(epoch, score, params, meta={})
-    best = resolve_checkpoint(tmp_path / "zero" / "best.ckpt")
-    assert best.exists()  # never a dangling symlink
+    with pytest.raises(ValueError, match="save_top_k=0"):
+        CheckpointManager(
+            tmp_path / "zero", monitor="val/loss", mode="min", save_top_k=0
+        )
 
 
 def test_write_last_ignores_stale_tmp_and_recovers_old(tmp_path):
