@@ -1,0 +1,53 @@
+"""Resumable training CLI (parity: reference ``scripts/auto_train.py:69-251``).
+
+``--auto-resume`` continues from the run's ``last`` checkpoint, ``--run-id``
+pins the run directory (and logging id), ``--output`` overrides the
+experiment root. Designed to be driven by the self-requeueing cluster
+scripts from ``segma_tpu.utils.experiment``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from segma_tpu.cli.train import build_argparser, run_training
+from segma_tpu.config import load_config
+from segma_tpu.utils.logging import log
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = build_argparser()
+    parser.add_argument(
+        "--auto-resume",
+        action="store_true",
+        help="resume from the run's last checkpoint if present",
+    )
+    parser.add_argument("--run-id", type=str, default=None)
+    parser.add_argument("--output", type=str, default=None)
+    args, extra_args = parser.parse_known_args(argv)
+
+    cfg = load_config(config_path=args.config, cli_extra_args=extra_args)
+
+    resume_from = args.resume_from
+    if args.auto_resume and resume_from is None and args.run_id:
+        root = (
+            Path(args.output)
+            if args.output
+            else Path(cfg.model.chkp_path or "models")
+        )
+        from segma_tpu.checkpoint import recover_last_dir
+
+        last = recover_last_dir(root / args.run_id / "checkpoints")
+        if last.exists():
+            resume_from = last
+            log(f"auto-resume from {last}")
+        else:
+            log("auto-resume requested but no last checkpoint found; fresh run")
+
+    run_training(
+        cfg,
+        args.tags,
+        resume_from=resume_from,
+        run_id=args.run_id,
+        output=args.output,
+    )

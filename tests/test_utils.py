@@ -9,3 +9,20 @@ def test_set_seed_smoke():
     set_seed(123)
     b = np.random.rand(3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_cli_dispatcher():
+    """segma-tpu console dispatcher: help, unknown command, delegation."""
+    import pytest as _pytest
+
+    from segma_tpu.cli import _COMMANDS, main
+
+    main([])  # help, no raise
+    with _pytest.raises(SystemExit):
+        main(["bogus-command"])
+    # every mapped module must exist and expose main()
+    import importlib
+
+    for mod_name, _ in _COMMANDS.values():
+        mod = importlib.import_module(mod_name)
+        assert callable(getattr(mod, "main"))
