@@ -1,0 +1,129 @@
+"""Streaming-session latency/concurrency benchmark (library level).
+
+Measures per-push latency (p50/p99) for real-time-sized pushes and
+N-session concurrency throughput, with and without the cross-session
+``ChunkForwardBatcher`` — the numbers behind BENCH_REPORT.md's streaming
+row. Library-level (no HTTP) so the result isolates device dispatch from
+socket overhead.
+
+Usage:
+    python scripts/bench_streaming.py [--sessions 1 4 8] [--push-ms 500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from segma_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+SR = 16_000
+
+
+def build_model():
+    import jax
+
+    from segma_tpu.config import load_config
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    cfg = load_config(
+        Path(__file__).resolve().parent.parent
+        / "segma_tpu"
+        / "config"
+        / "default.yml",
+        ["model.name=conv_vad"],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    model.init_params(jax.random.key(0))
+    return model
+
+
+def run_sessions(
+    model, n_sessions: int, push_s: float, total_s: float, batcher=None
+) -> dict:
+    """N concurrent sessions each stream ``total_s`` seconds of audio in
+    ``push_s``-sized pushes; returns per-push latency stats."""
+    from segma_tpu.streaming import StreamingSegmenter
+
+    rng = np.random.default_rng(0)
+    push_n = int(push_s * SR)
+    n_pushes = int(total_s / push_s)
+    lat: list[list[float]] = [[] for _ in range(n_sessions)]
+
+    def run(i: int) -> None:
+        seg = StreamingSegmenter(model, model.params, forward_fn=batcher)
+        audio = (rng.standard_normal(push_n * n_pushes) * 0.3).astype(
+            np.float32
+        )
+        for k in range(n_pushes):
+            t0 = time.perf_counter()
+            seg.push(audio[k * push_n : (k + 1) * push_n])
+            lat[i].append(time.perf_counter() - t0)
+        seg.flush()
+
+    threads = [
+        threading.Thread(target=run, args=(i,)) for i in range(n_sessions)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    all_lat = np.array([x for sess in lat for x in sess])
+    audio_total = n_sessions * total_s
+    return {
+        "sessions": n_sessions,
+        "push_ms": push_s * 1000,
+        "p50_ms": round(float(np.percentile(all_lat, 50)) * 1000, 2),
+        "p99_ms": round(float(np.percentile(all_lat, 99)) * 1000, 2),
+        "max_ms": round(float(all_lat.max()) * 1000, 2),
+        "wall_s": round(wall, 3),
+        "aggregate_xrt": round(audio_total / wall, 1),
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sessions", type=int, nargs="*", default=[1, 4, 8])
+    parser.add_argument("--push-ms", type=float, default=500.0)
+    parser.add_argument("--total-s", type=float, default=16.0)
+    args = parser.parse_args()
+
+    from segma_tpu.streaming import ChunkForwardBatcher
+
+    model = build_model()
+    push_s = args.push_ms / 1000.0
+
+    # warmup: compile the single-chunk program (and batched buckets)
+    warm = run_sessions(model, 1, push_s, 4.0)
+    print(f"[warmup] {warm}", file=sys.stderr)
+
+    rows = []
+    for n in args.sessions:
+        rows.append({"mode": "serial-forward", **run_sessions(model, n, push_s, args.total_s)})
+        if n > 1:
+            batcher = ChunkForwardBatcher(model, window_ms=5.0, max_batch=8)
+            # warm the batched buckets
+            run_sessions(model, n, push_s, 4.0, batcher=batcher)
+            r = run_sessions(model, n, push_s, args.total_s, batcher=batcher)
+            r["dispatches"] = batcher.dispatches
+            rows.append({"mode": "batched-forward", **r})
+    print(json.dumps(rows, indent=2))
+
+
+if __name__ == "__main__":
+    main()
