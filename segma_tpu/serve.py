@@ -353,17 +353,30 @@ class SegmentationService:
                 self._streams[sid] = (seg, time.monotonic())
         return seg
 
+    def _stream_lock(self):
+        """Per-dispatch lock for streaming forwards. With the cross-session
+        ChunkForwardBatcher active, holding the device lock across push()
+        would serialize sessions and starve the batcher of concurrent
+        chunks — the batcher is itself the dispatch serialization point."""
+        from segma_tpu.streaming import ChunkForwardBatcher
+
+        if isinstance(self._stream_forward, ChunkForwardBatcher):
+            import contextlib
+
+            return contextlib.nullcontext()
+        return self._device_lock
+
     def stream_push(self, sid: str, body: bytes, content_type: str) -> list:
         """Feed PCM16 samples; returns newly finalized intervals."""
         seg = self._stream(sid)
         samples = self._pcm_from_body(body, content_type)
-        with self._device_lock:
+        with self._stream_lock():
             return seg.push(samples)
 
     def stream_flush(self, sid: str) -> list:
         """Process the tail, close all open runs, end the session."""
         seg = self._stream(sid, claim=True)
-        with self._device_lock:
+        with self._stream_lock():
             return seg.flush()
 
     def segment_audio(self, audio: np.ndarray) -> list[tuple]:
@@ -488,6 +501,82 @@ def _make_handler(service: SegmentationService):
                 else:  # e.g. XlaRuntimeError (device failure)
                     self._error(500, f"{type(e).__name__}: {e}")
 
+        def _ws_route(self) -> None:
+            """GET /v1/stream/ws — WebSocket streaming session.
+
+            Binary frames carry raw s16le PCM pushes; each push is answered
+            with a text frame of newly finalized intervals. A text "flush"
+            frame (or a close frame) processes the tail, answers with the
+            final intervals, and ends the session. Per-push overhead drops
+            from a full HTTP request to a 2-14 byte frame header."""
+            from segma_tpu import ws
+
+            key = self.headers.get("Sec-WebSocket-Key")
+            if (
+                key is None
+                or self.headers.get("Upgrade", "").lower() != "websocket"
+            ):
+                self._error(400, "websocket upgrade required")
+                return
+            try:
+                sid = service.stream_start()
+            except ValueError as e:  # exported artifact: batch-only
+                self._error(400, str(e))
+                return
+            self.send_response(101)
+            self.send_header("Upgrade", "websocket")
+            self.send_header("Connection", "Upgrade")
+            self.send_header("Sec-WebSocket-Accept", ws.accept_key(key))
+            self.end_headers()
+            self.close_connection = True
+
+            def send(opcode: int, payload: bytes) -> None:
+                self.wfile.write(ws.encode_frame(opcode, payload))
+                self.wfile.flush()
+
+            def finish(close_payload: bytes = b"") -> None:
+                try:
+                    intervals = service.stream_flush(sid)
+                    send(ws.OP_TEXT, service.to_json(sorted(intervals), sid))
+                except KeyError:
+                    pass  # session already flushed/evicted
+                send(ws.OP_CLOSE, close_payload[:2])
+
+            try:
+                while True:
+                    op, payload = ws.read_frame(self.rfile)
+                    t0 = time.monotonic()
+                    if op == ws.OP_PING:
+                        send(ws.OP_PONG, payload)
+                    elif op == ws.OP_CLOSE:
+                        finish(payload)
+                        return
+                    elif op == ws.OP_BINARY:
+                        intervals = service.stream_push(
+                            sid, payload, "audio/l16;endianness=little"
+                        )
+                        send(ws.OP_TEXT, service.to_json(sorted(intervals), sid))
+                        service.stats.record(
+                            time.monotonic() - t0,
+                            (len(payload) / 2) / service.sample_rate,
+                        )
+                    elif op == ws.OP_TEXT and payload.strip() == b"flush":
+                        finish()
+                        return
+                    else:
+                        raise ws.WebSocketError(
+                            f"unexpected frame opcode {op:#x}"
+                        )
+            except (ConnectionError, ws.WebSocketError, OSError):
+                # peer vanished or spoke garbage: drop the session quietly
+                service.stats.record_error()
+                try:
+                    service.stream_flush(sid)
+                except KeyError:
+                    pass
+            except KeyError:
+                service.stats.record_error()  # session evicted mid-stream
+
         def do_GET(self):  # noqa: N802 (http.server API)
             path = urlparse(self.path).path
             if path == "/healthz":
@@ -498,6 +587,8 @@ def _make_handler(service: SegmentationService):
                     service.stats.render(service),
                     "text/plain; version=0.0.4",
                 )
+            elif path == "/v1/stream/ws":
+                self._ws_route()
             else:
                 self._error(404, f"unknown path {self.path!r}")
 

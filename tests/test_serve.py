@@ -408,3 +408,88 @@ def test_http_api_contract_is_stable(server, wav_bytes):
         "segma_audio_seconds_total", "segma_uptime_seconds",
         "segma_batch_dispatches_total", "segma_request_latency_seconds",
     }
+
+
+def test_ws_codec_roundtrip():
+    """RFC 6455 framing: accept key (spec example), encode/decode
+    round-trip through masked client frames."""
+    import io
+
+    from segma_tpu import ws
+
+    # the handshake example from RFC 6455 §1.3
+    assert (
+        ws.accept_key("dGhlIHNhbXBsZSBub25jZQ==")
+        == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+    )
+    for payload in (b"", b"hi", b"x" * 200, b"y" * 70_000):
+        framed = ws.mask_frame(ws.OP_BINARY, payload)
+        op, got = ws.read_frame(io.BytesIO(framed))
+        assert op == ws.OP_BINARY and got == payload
+    # unmasked client frame is a protocol violation
+    with pytest.raises(ws.WebSocketError):
+        ws.read_frame(io.BytesIO(ws.encode_frame(ws.OP_TEXT, b"nope")))
+
+
+def _ws_client(server_url: str):
+    """Tiny raw-socket websocket client for tests."""
+    import socket
+    from urllib.parse import urlparse
+
+    from segma_tpu import ws
+
+    u = urlparse(server_url)
+    sock = socket.create_connection((u.hostname, u.port), timeout=30)
+    f = sock.makefile("rwb")
+    f.write(
+        b"GET /v1/stream/ws HTTP/1.1\r\n"
+        + f"Host: {u.hostname}:{u.port}\r\n".encode()
+        + b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+        b"Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+        b"Sec-WebSocket-Version: 13\r\n\r\n"
+    )
+    f.flush()
+    status = f.readline()
+    assert b"101" in status, status
+    while f.readline() not in (b"\r\n", b""):
+        pass  # drain handshake headers
+    return sock, f, ws
+
+
+def test_ws_streaming_matches_http_stream(server, service, wav_bytes):
+    """WebSocket pushes produce the same intervals as the HTTP session
+    path (same segmenter underneath), and close ends the session."""
+    body, audio = wav_bytes
+    pcm = (np.clip(audio, -1, 1) * 32767.0).astype(np.int16)
+
+    sock, f, ws = _ws_client(server)
+    try:
+        collected = []
+        for chunk in np.array_split(pcm, 5):
+            f.write(ws.mask_frame(ws.OP_BINARY, chunk.astype("<i2").tobytes()))
+            f.flush()
+            op, payload = ws.read_frame(f, require_mask=False)
+            assert op == ws.OP_TEXT
+            collected += json.loads(payload)["intervals"]
+        f.write(ws.mask_frame(ws.OP_TEXT, b"flush"))
+        f.flush()
+        op, payload = ws.read_frame(f, require_mask=False)
+        assert op == ws.OP_TEXT
+        collected += json.loads(payload)["intervals"]
+        op, _ = ws.read_frame(f, require_mask=False)
+        assert op == ws.OP_CLOSE
+    finally:
+        sock.close()
+
+    _, offline_raw = _post(f"{server}/v1/segment?uri=x", body)
+    offline = json.loads(offline_raw)["intervals"]
+    key = lambda iv: (iv["start_s"], iv["end_s"], iv["label"])  # noqa: E731
+    assert sorted(collected, key=key) == sorted(offline, key=key)
+    assert len(offline) > 0
+
+
+def test_ws_requires_upgrade_header(server):
+    """Plain GET on the ws path gets a 400, not a hung socket."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{server}/v1/stream/ws", timeout=10)
+    assert e.value.code == 400
