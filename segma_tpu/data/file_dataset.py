@@ -92,6 +92,7 @@ class SegmaFileDataset:
             f"{name}:{','.join(uris)}"
             for name, uris in sorted(self.subset_to_uris.items())
         )
+        self._content_fingerprint = self._fingerprint_files()
 
         # populated by .load()
         self.subds_to_durations: dict[str, np.ndarray] | None = None
@@ -212,10 +213,38 @@ class SegmaFileDataset:
         return loaded
 
     # -- cache ------------------------------------------------------------------
+    def _fingerprint_files(self) -> str:
+        """stat-based digest of every split file's audio + annotation.
+
+        (mtime_ns, size) of ``wav/<uri>.wav`` and ``aa/<uri>.aa`` for all uris
+        in the raw splits. Regenerating a dataset IN PLACE (same paths, new
+        content — e.g. rerunning ``generate_data``) must invalidate the cache:
+        durations and interval indexes are cached per uri, so stale entries
+        silently pair new audio with old labels — training "runs" but the
+        targets are noise w.r.t. the waveform (val/F1 pins at 0 while train
+        loss still falls; cost a debugging session against the TPU before the
+        cache was found to be the culprit). stat-only, so ~µs per file.
+        """
+        import hashlib
+
+        h = hashlib.sha1()
+        for uris in (self.subset_to_uris[s] for s in self.SUBSET_NAMES):
+            for uri in uris:
+                for p in (
+                    (self.wav_p / uri).with_suffix(".wav"),
+                    (self.aa_p / uri).with_suffix(".aa"),
+                ):
+                    try:
+                        st = p.stat()
+                        h.update(f"{uri}|{st.st_mtime_ns}|{st.st_size};".encode())
+                    except OSError:
+                        h.update(f"{uri}|missing;".encode())
+        return h.hexdigest()[:16]
+
     @property
     def _cache_path(self) -> Path:
         """Cache key: dataset stem + hash of (resolved path, classes, chunk,
-        sample rate).
+        sample rate, split uri lists, per-file content fingerprint).
 
         The reference keys only on the stem (``file_dataset.py:266``), so two
         datasets that happen to share a directory name silently reuse each
@@ -232,7 +261,7 @@ class SegmaFileDataset:
         key = hashlib.sha1(
             f"{self.base_p.resolve()}|{sorted(self.classes)}|"
             f"{self.chunk_duration_s}|{self.sample_rate}|"
-            f"{self._splits_fingerprint}".encode()
+            f"{self._splits_fingerprint}|{self._content_fingerprint}".encode()
         ).hexdigest()[:10]
         return self.CACHE_ROOT / f"{self.base_p.stem}-{key}"
 

@@ -184,6 +184,29 @@ def test_editing_split_invalidates_cache(ds_root, tmp_path, monkeypatch):
     assert ds2.train.uris == list(reversed(ds.train.uris))
 
 
+def test_inplace_regeneration_invalidates_cache(ds_root, tmp_path, monkeypatch):
+    """Regenerating a dataset IN PLACE (same paths, new content) must bust
+    the cache (regression: a regenerated fixture trained against the previous
+    fixture's cached labels — val/F1 pinned at 0 while train loss fell,
+    masquerading as a TPU-numerics bug for a whole debugging session)."""
+    from scripts.generate_data import gen_classification
+
+    monkeypatch.setattr(SegmaFileDataset, "CACHE_ROOT", tmp_path / "cache")
+    ds = _mk(ds_root)
+    ds.load(use_cache=True)
+    stale = ds.subds_to_durations["train"]["annotated_duration_f"].copy()
+
+    # regenerate the SAME directory with different content
+    gen_classification(output=ds_root, per_split=5, seed=31337, audio_duration_s=20.0)
+
+    ds2 = _mk(ds_root)
+    ds2.load(use_cache=True)
+    assert ds2._cache_path != ds._cache_path
+    assert not np.array_equal(
+        ds2.subds_to_durations["train"]["annotated_duration_f"], stale
+    )
+
+
 def test_clean_cache_removes_entries(ds_root, tmp_path, monkeypatch):
     monkeypatch.setattr(SegmaFileDataset, "CACHE_ROOT", tmp_path / "cache")
     ds = _mk(ds_root)
