@@ -32,6 +32,41 @@ from segma_tpu.config import Config
 from segma_tpu.models.base import SegmentationModel
 
 
+def init_key_for_seed(seed: int) -> jax.Array:
+    """THE PRNG key that initializes model params for a run seeded with
+    ``seed`` — one definition shared by ``Trainer.fit`` and
+    ``load_model_for_inference``.
+
+    Checkpoints exclude frozen encoder params (see module docstring), so
+    inference must *re-derive* them. With a pretrained snapshot they are
+    grafted and any init key works; without one (random-encoder test/dev
+    runs) the re-derived tree is only correct if inference draws the SAME
+    key training did. Derivation: ``split(key(seed))[1]`` —
+    ``split(key(seed))[0]`` seeds the training-time shuffle/dropout stream.
+    """
+    return jax.random.split(jax.random.key(seed))[1]
+
+
+def frozen_fingerprint(frozen: Any) -> str:
+    """Content hash of a frozen-params tree (leaf paths + raw bytes).
+
+    Stored in checkpoint metadata at save and re-checked at
+    ``load_model_for_inference`` so a frozen tree that drifted between
+    training and inference (different seed, different snapshot, RNG
+    derivation change) fails loudly instead of silently producing garbage
+    logits under a perfectly-trained head."""
+    import hashlib
+
+    h = hashlib.sha256()
+    leaves = jax.tree_util.tree_leaves_with_path(frozen)
+    for path, leaf in sorted(leaves, key=lambda kv: jax.tree_util.keystr(kv[0])):
+        arr = np.asarray(leaf)
+        h.update(jax.tree_util.keystr(path).encode())
+        h.update(str(arr.dtype).encode() + str(arr.shape).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
+
+
 def save_params(path: Path, params: Any, meta: dict | None = None) -> Path:
     """Write one checkpoint directory: msgpack params + YAML metadata."""
     path = Path(path)
@@ -251,20 +286,42 @@ def resolve_checkpoint(path: Path | str) -> Path:
 
 
 def load_model_for_inference(
-    cfg: Config, checkpoint: Path | str | None, seed: int = 0
+    cfg: Config, checkpoint: Path | str | None, seed: int | None = None
 ) -> SegmentationModel:
     """Build the configured model, init params (grafting pretrained encoder
     weights when configured), and overlay trained head params from a
-    checkpoint (when given)."""
+    checkpoint (when given).
+
+    The init key defaults to the run's ``train.seed`` through the same
+    derivation ``Trainer.fit`` uses (``init_key_for_seed``), so frozen
+    params excluded from the checkpoint come back bit-identical. When the
+    checkpoint metadata carries a ``frozen_fingerprint``, the rebuilt
+    frozen tree is verified against it."""
     from segma_tpu.models import Models
     from segma_tpu.utils.encoders import MultiLabelEncoder
 
+    if seed is None:
+        seed = getattr(cfg.train, "seed", None)
+        seed = 0 if seed is None else int(seed)
     l_encoder = MultiLabelEncoder(labels=cfg.data.classes)
     model = Models[cfg.model.name](l_encoder, cfg)
-    params = model.init_params(jax.random.key(seed))
+    params = model.init_params(init_key_for_seed(seed))
     if checkpoint is not None:
         ckpt_path = resolve_checkpoint(checkpoint)
         trainable, frozen = model.split_params(params)
+        expected = load_meta(ckpt_path).get("frozen_fingerprint")
+        if expected is not None and frozen:
+            actual = frozen_fingerprint(frozen)
+            if actual != expected:
+                raise ValueError(
+                    f"frozen params rebuilt for inference do not match the "
+                    f"tree this checkpoint was trained against "
+                    f"(fingerprint {actual[:12]} != recorded {expected[:12]}, "
+                    f"checkpoint {ckpt_path}). The trained head is only "
+                    f"valid over the exact training-time encoder — check "
+                    f"that the encoder snapshot, train.seed ({seed}) and "
+                    f"platform match the training run."
+                )
         trainable = load_params(ckpt_path, trainable)
         model.params = {**trainable, **frozen}
     return model

@@ -505,6 +505,15 @@ class Trainer:
         fig.savefig(self.run_dir / "roc_latest.png", dpi=120)
         plt.close(fig)
 
+    def _ckpt_meta(self) -> dict:
+        """Metadata written with every checkpoint: config snapshot, the
+        monitored metric name, and the frozen-params fingerprint that lets
+        inference verify its re-derived encoder tree."""
+        meta = {"config": self.config.as_dict(), "monitor": self.monitor}
+        if getattr(self, "_frozen_fp", None) is not None:
+            meta["frozen_fingerprint"] = self._frozen_fp
+        return meta
+
     # -- fit -------------------------------------------------------------------
     def fit(
         self,
@@ -517,8 +526,21 @@ class Trainer:
 
         params = self.model.params
         if params is None:
-            key, init_key = jax.random.split(key)
-            params = self.model.init_params(init_key)
+            # advance the stream exactly as before; the init key itself
+            # comes from the SAME derivation load_model_for_inference uses,
+            # so checkpoint-excluded frozen params are reconstructible
+            key = jax.random.split(key)[0]
+            from segma_tpu.checkpoint import init_key_for_seed
+
+            params = self.model.init_params(init_key_for_seed(seed))
+        # fingerprint BEFORE mesh sharding: TP-sharded leaves are not
+        # fully addressable on multi-host, and resume never changes the
+        # frozen tree. Recorded in every checkpoint's metadata; verified
+        # when inference re-derives the frozen tree.
+        from segma_tpu.checkpoint import frozen_fingerprint
+
+        _, frozen_pre = self.model.split_params(params)
+        self._frozen_fp = frozen_fingerprint(frozen_pre) if frozen_pre else None
         start_epoch = 0
 
         resume_ckpt = None
@@ -663,7 +685,7 @@ class Trainer:
                     path = self.ckpt.save_interrupt(
                         epoch - 1,
                         trainable,
-                        meta={"config": self.config.as_dict(), "monitor": self.monitor},
+                        meta=self._ckpt_meta(),
                         opt_state=opt_state,
                         train_state=train_state_snapshot(),
                     )
@@ -700,7 +722,7 @@ class Trainer:
                     epoch,
                     monitored,
                     trainable,
-                    meta={"config": self.config.as_dict(), "monitor": self.monitor},
+                    meta=self._ckpt_meta(),
                     opt_state=opt_state,
                     train_state=train_state_snapshot(),
                 )
