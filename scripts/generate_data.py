@@ -66,20 +66,46 @@ def _render_waveform(
     tone_hz: dict[str, int],
     audio_duration_s: float,
     sample_rate: int = SAMPLE_RATE,
+    kind: str = "sine",
+    rng: np.random.Generator | None = None,
 ) -> np.ndarray:
-    """Render events onto a silent track as phase-aligned sines, (1, n) f32.
+    """Render events onto a silent track, (1, n) f32.
 
     Later events overwrite earlier ones where they overlap (matching the
     fixture contract: one audible tone at a time, annotations may still
     overlap on paper).
+
+    ``kind='sine'`` renders each label as a phase-aligned pure tone at its
+    ``tone_hz`` — the classic fixture, but pathological for lossy waveform
+    transports (quantizer harmonics of 440·i land exactly in other labels'
+    detection bands, see BENCH_REPORT.md). ``kind='noise'`` renders
+    band-limited noise one octave wide centred on ``tone_hz`` instead:
+    still separable by spectrum alone, but broadband like real speech, so
+    it measures transport loss without the harmonic-aliasing pathology.
     """
     n = int(audio_duration_s * sample_rate)
     track = np.zeros(n, dtype=np.float32)
     for ev in events:
         a = int(ev.start_time_s * sample_rate)
         b = min(n, a + int(ev.duration_s * sample_rate))
-        t = np.arange(b - a, dtype=np.float32) / sample_rate
-        track[a:b] = np.sin(2.0 * np.pi * tone_hz[ev.label] * t)
+        if kind == "sine":
+            t = np.arange(b - a, dtype=np.float32) / sample_rate
+            track[a:b] = np.sin(2.0 * np.pi * tone_hz[ev.label] * t)
+        elif kind == "noise":
+            assert rng is not None
+            white = rng.standard_normal(b - a)
+            spec = np.fft.rfft(white)
+            f = np.fft.rfftfreq(b - a, d=1.0 / sample_rate)
+            centre = float(tone_hz[ev.label])
+            lo, hi = centre / np.sqrt(2.0), centre * np.sqrt(2.0)
+            spec[(f < lo) | (f > hi)] = 0.0
+            band = np.fft.irfft(spec, n=b - a)
+            peak = np.max(np.abs(band))
+            if peak > 0:
+                band = band / peak * 0.7
+            track[a:b] = band.astype(np.float32)
+        else:
+            raise ValueError(f"unknown fixture kind: {kind!r}")
     return track[None, :]
 
 
@@ -89,6 +115,7 @@ def gen_classification(
     labels: list[str] | None = None,
     per_split: int = 5,
     seed: int | None = None,
+    kind: str = "sine",
 ) -> None:
     """Write a complete synthetic SegmaFileDataset tree under ``output``."""
     labels = list(labels) if labels is not None else list(DEFAULT_LABELS)
@@ -110,7 +137,9 @@ def gen_classification(
     for uids in split_uids.values():
         for uid in uids:
             events = _draw_events(uid, rng, labels, audio_duration_s)
-            wave = _render_waveform(events, tone_hz, audio_duration_s)
+            wave = _render_waveform(
+                events, tone_hz, audio_duration_s, kind=kind, rng=rng
+            )
             write_data_to_disk(wave, output / "wav" / uid, sample_rate=SAMPLE_RATE)
             (output / "aa" / f"{uid}.aa").write_text(
                 "".join(ev.write() + "\n" for ev in events)
@@ -133,14 +162,22 @@ def main() -> None:
     )
     parser.add_argument("--out", default="data")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument(
+        "--kind", choices=("sine", "noise"), default="sine",
+        help="event waveforms: pure tones (classic fixture) or octave-band "
+        "noise (broadband, for lossy-transport validation)",
+    )
     args = parser.parse_args()
 
-    root = Path(args.out) / f"debug_{args.n_samples}"
+    suffix = "" if args.kind == "sine" else f"_{args.kind}"
+    root = Path(args.out) / f"debug_{args.n_samples}{suffix}"
     if root.exists():
         print(f"[generate_data] {root} already exists — leaving it untouched.")
         return
     print(f"[generate_data] writing {3 * args.n_samples} synthetic files to {root}")
-    gen_classification(output=root, per_split=args.n_samples, seed=args.seed)
+    gen_classification(
+        output=root, per_split=args.n_samples, seed=args.seed, kind=args.kind
+    )
 
 
 if __name__ == "__main__":

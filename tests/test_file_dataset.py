@@ -216,3 +216,49 @@ def test_clean_cache_removes_entries(ds_root, tmp_path, monkeypatch):
     assert not list((tmp_path / "cache").glob(f"{ds_root.stem}-*"))
     # and the dataset itself was never touched
     assert (ds_root / "train.txt").exists()
+
+
+def test_noise_fixture_kind(tmp_path):
+    """--kind noise renders octave-band noise per label: broadband (not a
+    pure tone) yet spectrally separable, so lossy-transport DER can be
+    measured without the sine fixture's harmonic-aliasing pathology."""
+    from scripts.generate_data import gen_classification
+    from segma_tpu.utils.io import get_all_samples
+
+    root = tmp_path / "noise_ds"
+    gen_classification(
+        output=root, per_split=1, seed=5, audio_duration_s=60.0, kind="noise"
+    )
+    uid = (root / "train.txt").read_text().split()[0]
+    audio = get_all_samples(root / "wav" / f"{uid}.wav")[0]
+    tones = {label: 440 * (i + 1) for i, label in enumerate(CLASSES)}
+
+    events = []
+    for line in (root / "rttm" / f"{uid}.rttm").read_text().splitlines():
+        parts = line.split()
+        events.append((float(parts[3]), float(parts[4]), parts[7]))
+
+    checked = 0
+    for i, (t0, dur, label) in enumerate(events):
+        # rendering lets later events overwrite earlier ones where they
+        # overlap — only isolated events carry purely their own band
+        if any(
+            o0 < t0 + dur and t0 < o0 + odur
+            for j, (o0, odur, _) in enumerate(events)
+            if j != i
+        ):
+            continue
+        a, b = int(t0 * 16_000), int((t0 + dur) * 16_000)
+        seg = audio[a:b]
+        if seg.size < 3200:
+            continue
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        f = np.fft.rfftfreq(seg.size, d=1 / 16_000)
+        lo, hi = tones[label] / np.sqrt(2), tones[label] * np.sqrt(2)
+        in_band = spec[(f >= lo) & (f <= hi)].sum() / spec.sum()
+        # energy concentrated in the label's octave, but NOT a single bin
+        assert in_band > 0.9
+        peak_share = spec.max() / spec.sum()
+        assert peak_share < 0.5
+        checked += 1
+    assert checked >= 2
