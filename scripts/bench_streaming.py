@@ -57,13 +57,15 @@ def run_sessions(
     ``push_s``-sized pushes; returns per-push latency stats."""
     from segma_tpu.streaming import StreamingSegmenter
 
-    rng = np.random.default_rng(0)
     push_n = int(push_s * SR)
     n_pushes = int(total_s / push_s)
     lat: list[list[float]] = [[] for _ in range(n_sessions)]
 
     def run(i: int) -> None:
         seg = StreamingSegmenter(model, model.params, forward_fn=batcher)
+        # per-thread generator: np.random.Generator is not thread-safe,
+        # and per-session seeds keep inputs independent AND reproducible
+        rng = np.random.default_rng(i)
         audio = (rng.standard_normal(push_n * n_pushes) * 0.3).astype(
             np.float32
         )

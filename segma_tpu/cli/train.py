@@ -71,23 +71,35 @@ def run_training(
     )
     log("SegmentationDataLoader initialized")
 
+    import jax
+
     chkp_root = Path(output) if output else Path(cfg.model.chkp_path or "models")
     stamp = run_id or datetime.fromtimestamp(time.time()).strftime("%Y%m%d_%H%M%S")
     run_dir = chkp_root / stamp
-    run_dir.mkdir(parents=True, exist_ok=True)
-    cfg.save(run_dir / "config.yml")
+    # multi-host: process 0 is the single writer for the run dir (same
+    # election Trainer applies to checkpoints) — every other controller
+    # keeps identical in-memory state but writes no files and starts no
+    # wandb run
+    is_main = jax.process_index() == 0
+    if is_main:
+        run_dir.mkdir(parents=True, exist_ok=True)
+        cfg.save(run_dir / "config.yml")
 
     wandb_cfg = None
-    if not cfg.wandb.offline:
+    if not cfg.wandb.offline and is_main:
         wandb_cfg = {
             "project": cfg.wandb.project,
             "name": cfg.wandb.name,
             "tags": tags,
             "config": cfg.as_dict(),
         }
-    logger = MetricsLogger(run_dir / "metrics.jsonl", wandb_config=wandb_cfg)
+    logger = MetricsLogger(
+        run_dir / "metrics.jsonl" if is_main else None,
+        wandb_config=wandb_cfg,
+        echo=is_main,
+    )
 
-    mesh = make_mesh(cfg) if len(__import__("jax").devices()) > 1 else None
+    mesh = make_mesh(cfg) if len(jax.devices()) > 1 else None
     trainer = Trainer(
         model=model, config=cfg, run_dir=run_dir, mesh=mesh, logger=logger
     )
@@ -100,12 +112,18 @@ def run_training(
         log(f"preempted — resume from {run_dir / 'checkpoints' / 'last'}")
         return result
 
-    # static best-model pointer (reference symlinks models/last/best.ckpt)
-    static_p = Path("models/last")
-    static_p.mkdir(parents=True, exist_ok=True)
-    best_link = static_p / "best.ckpt"
-    best_link.unlink(missing_ok=True)
-    best_link.symlink_to(Path(result["best_path"]).resolve())
+    if is_main:
+        # static best-model pointer (reference symlinks models/last/best.ckpt);
+        # atomic replace so a concurrent reader never sees a missing link
+        import os
+
+        static_p = Path("models/last")
+        static_p.mkdir(parents=True, exist_ok=True)
+        best_link = static_p / "best.ckpt"
+        tmp_link = static_p / f".best.ckpt.{os.getpid()}"
+        tmp_link.unlink(missing_ok=True)
+        tmp_link.symlink_to(Path(result["best_path"]).resolve())
+        os.replace(tmp_link, best_link)
 
     log(f"best model score: {result['best_score']}")
     log(f"best model path: {result['best_path']}")

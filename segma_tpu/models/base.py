@@ -104,6 +104,23 @@ def softmax_ce_loss_per_class(
     return per_class.sum(), per_class
 
 
+def weighted_index_ce(
+    logits: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    class_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Softmax CE with class-INDEX targets and per-class weights,
+    normalized like ``torch.nn.functional.cross_entropy(weight=w,
+    reduction='mean')``: by ``sum(w[y_i])``, not by row count. Zero when
+    no row's target class carries weight. Backs the powerset
+    ``partial_loss`` metric (reference ``models/base.py:204-317``
+    restricts the CE to single-label subset classes)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    row_nll = -jnp.take_along_axis(logp, class_ids[:, None], axis=1)[:, 0]
+    row_w = class_weights[class_ids]
+    return (row_w * row_nll).sum() / jnp.maximum(row_w.sum(), 1.0)
+
+
 @dataclass
 class SegmentationModel:
     """A segmentation model = flax module + geometry + objective.

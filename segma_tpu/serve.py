@@ -34,6 +34,7 @@ from __future__ import annotations
 import collections
 import json
 import queue
+import struct
 import tempfile
 import threading
 import time
@@ -199,7 +200,11 @@ class SegmentationService:
         self.transport = transport
         self._device_lock = threading.Lock()
         self.stats = _Stats()
-        self._streams: dict[str, tuple] = {}  # sid -> (segmenter, last_use)
+        # sid -> (segmenter, per-session lock, last_use). The per-session
+        # lock serializes pushes/flushes hitting ONE segmenter's mutable
+        # buffer state; concurrency ACROSS sessions is governed separately
+        # (device lock, or the ChunkForwardBatcher when active).
+        self._streams: dict[str, tuple] = {}
         self._streams_lock = threading.Lock()
         self._stream_forward = None
         self._batcher = (
@@ -288,7 +293,7 @@ class SegmentationService:
         now = time.monotonic()
         stale = [
             sid
-            for sid, (_seg, ts) in self._streams.items()
+            for sid, (_seg, _lock, ts) in self._streams.items()
             if now - ts > self.STREAM_TTL_S
         ]
         for sid in stale:
@@ -335,7 +340,7 @@ class SegmentationService:
                 self.thresholds,
                 forward_fn=self._stream_forward,
             )
-            self._streams[sid] = (seg, time.monotonic())
+            self._streams[sid] = (seg, threading.Lock(), time.monotonic())
         return sid
 
     def _stream(self, sid: str, claim: bool = False):
@@ -344,17 +349,17 @@ class SegmentationService:
             entry = self._streams.get(sid)
             if entry is None:
                 raise KeyError(sid)
-            seg, _ = entry
+            seg, lock, _ = entry
             if claim:
                 # atomically remove: a racing push/second flush gets a
                 # clean 404 instead of touching a flushed segmenter
                 self._streams.pop(sid)
             else:
-                self._streams[sid] = (seg, time.monotonic())
-        return seg
+                self._streams[sid] = (seg, lock, time.monotonic())
+        return seg, lock
 
-    def _stream_lock(self):
-        """Per-dispatch lock for streaming forwards. With the cross-session
+    def _dispatch_lock(self):
+        """Cross-session lock for streaming device dispatch. With the
         ChunkForwardBatcher active, holding the device lock across push()
         would serialize sessions and starve the batcher of concurrent
         chunks — the batcher is itself the dispatch serialization point."""
@@ -368,16 +373,27 @@ class SegmentationService:
 
     def stream_push(self, sid: str, body: bytes, content_type: str) -> list:
         """Feed PCM16 samples; returns newly finalized intervals."""
-        seg = self._stream(sid)
+        seg, lock = self._stream(sid)
         samples = self._pcm_from_body(body, content_type)
-        with self._stream_lock():
+        with lock, self._dispatch_lock():
             return seg.push(samples)
 
     def stream_flush(self, sid: str) -> list:
         """Process the tail, close all open runs, end the session."""
-        seg = self._stream(sid, claim=True)
-        with self._stream_lock():
+        seg, lock = self._stream(sid, claim=True)
+        with lock, self._dispatch_lock():
             return seg.flush()
+
+    def stream_discard(self, sid: str) -> None:
+        """Drop a session without running the tail forward — for error
+        paths where no client is left to receive the result. Waits out any
+        in-flight push so its buffers are not yanked mid-dispatch."""
+        try:
+            _seg, lock = self._stream(sid, claim=True)
+        except KeyError:
+            return
+        with lock:
+            pass
 
     def segment_audio(self, audio: np.ndarray) -> list[tuple]:
         """decoded audio -> sorted [(start_f, end_f, label), ...]."""
@@ -570,12 +586,25 @@ def _make_handler(service: SegmentationService):
             except (ConnectionError, ws.WebSocketError, OSError):
                 # peer vanished or spoke garbage: drop the session quietly
                 service.stats.record_error()
-                try:
-                    service.stream_flush(sid)
-                except KeyError:
-                    pass
+                service.stream_discard(sid)
             except KeyError:
                 service.stats.record_error()  # session evicted mid-stream
+            except Exception as e:  # noqa: BLE001 — keep the server alive
+                # bad payload (odd byte count -> ValueError) or a device
+                # failure mid-push: tell the peer while the socket may
+                # still be writable, then drop the session. Without this
+                # the handler thread would die with a traceback and the
+                # session would leak until TTL eviction.
+                service.stats.record_error()
+                try:
+                    send(
+                        ws.OP_CLOSE,
+                        struct.pack("!H", 1011)
+                        + f"{type(e).__name__}: {e}".encode()[:120],
+                    )
+                except Exception:  # noqa: BLE001 — socket already gone
+                    pass
+                service.stream_discard(sid)
 
         def do_GET(self):  # noqa: N802 (http.server API)
             path = urlparse(self.path).path

@@ -208,7 +208,6 @@ def make_eval_step(model: SegmentationModel) -> Callable:
     are only meaningful under a powerset encoding, which is where this
     build implements them.
     """
-    from segma_tpu.models.base import softmax_ce_loss
 
     def eval_step(params, batch):
         logits = model.apply(params, batch["x"], train=False)
@@ -235,9 +234,9 @@ def make_eval_step(model: SegmentationModel) -> Callable:
                 [1.0 if len(s) < 2 else 0.0 for s in model.powerset.labels],
                 jnp.float32,
             )
-            partial_loss = softmax_ce_loss(
-                flat_logits, target_oh, class_weights=single
-            )
+            from segma_tpu.models.base import weighted_index_ce
+
+            partial_loss = weighted_index_ce(flat_logits, class_ids, single)
             pred_oh = (
                 jax.nn.one_hot(jnp.argmax(flat_logits, axis=-1), n_classes)
                 > 0.5

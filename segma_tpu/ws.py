@@ -74,10 +74,12 @@ def read_frame(rfile, require_mask: bool = True) -> tuple[int, bytes]:
     if require_mask and not masked:
         raise WebSocketError("client frames must be masked (RFC 6455 §5.1)")
     n = head[1] & 0x7F
-    if n == 126:
-        n = struct.unpack("!H", rfile.read(2))[0]
-    elif n == 127:
-        n = struct.unpack("!Q", rfile.read(8))[0]
+    if n in (126, 127):
+        width = 2 if n == 126 else 8
+        ext = rfile.read(width)
+        if len(ext) < width:
+            raise ConnectionError("websocket peer closed mid-frame")
+        n = struct.unpack("!H" if width == 2 else "!Q", ext)[0]
     mask = rfile.read(4) if masked else b""
     payload = rfile.read(n)
     if len(payload) < n or (masked and len(mask) < 4):

@@ -166,11 +166,51 @@ def test_powerset_partial_val_metrics(synthetic_dataset, tmp_path):
     result = trainer.fit(dm)
     m = result["history"][0]
     assert np.isfinite(m["val/partial_loss"])
+    assert m["val/partial_loss"] >= 0.0
     assert 0.0 <= m["val/partial_f1_score"] <= 1.0
     assert 0.0 <= m["val/partial_auroc"] <= 1.0
-    # the partial CE is the single-class share of the full subset CE, so it
-    # can never exceed the full validation loss
-    assert m["val/partial_loss"] <= m["val/loss"] + 1e-6
+
+
+def test_weighted_index_ce_matches_torch():
+    """partial_loss normalization parity with torch: cross_entropy with
+    class-index targets and a weight vector normalizes by sum(w[y_i]) —
+    the weighted row count — not by total rows (regression: round-3
+    review; dividing by all rows under-reported partial_loss whenever the
+    batch carried multi-label powerset targets)."""
+    import torch
+    import torch.nn.functional as F
+
+    from segma_tpu.models.base import weighted_index_ce
+
+    rng = np.random.default_rng(3)
+    n_rows, n_classes = 40, 7
+    logits = rng.standard_normal((n_rows, n_classes)).astype(np.float32)
+    # single-label classes 0-3 weighted, multi-label classes 4-6 masked;
+    # targets deliberately mix both groups
+    weights = np.array([1, 1, 1, 1, 0, 0, 0], np.float32)
+    class_ids = rng.integers(0, n_classes, size=n_rows)
+
+    expected = F.cross_entropy(
+        torch.from_numpy(logits),
+        torch.from_numpy(class_ids),
+        weight=torch.from_numpy(weights),
+        reduction="mean",
+    ).item()
+    got = float(
+        weighted_index_ce(
+            jnp.asarray(logits), jnp.asarray(class_ids), jnp.asarray(weights)
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+    # all rows masked -> defined as 0, not NaN (torch would give nan)
+    all_masked = np.full(n_rows, 5)
+    got0 = float(
+        weighted_index_ce(
+            jnp.asarray(logits), jnp.asarray(all_masked), jnp.asarray(weights)
+        )
+    )
+    assert got0 == 0.0
 
 
 def test_softmax_ce_matches_torch_probabilistic_targets():

@@ -314,8 +314,8 @@ def test_streaming_sessions_share_one_forward(service):
     sid1 = service.stream_start()
     sid2 = service.stream_start()
     assert sid1 != sid2
-    seg1, _ = service._streams[sid1]
-    seg2, _ = service._streams[sid2]
+    seg1, _, _ = service._streams[sid1]
+    seg2, _, _ = service._streams[sid2]
     assert seg1._forward is seg2._forward
     service.stream_flush(sid1)
     service.stream_flush(sid2)
@@ -493,3 +493,46 @@ def test_ws_requires_upgrade_header(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(f"{server}/v1/stream/ws", timeout=10)
     assert e.value.code == 400
+
+
+def _settle(pred, timeout_s=5.0):
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if pred():
+            return True
+        time.sleep(0.05)
+    return pred()
+
+
+def test_ws_bad_payload_closes_cleanly(server, service):
+    """A push whose byte count is not int16-aligned must answer with a
+    1011 close frame (not a silent handler crash) and free the session
+    (regression: ValueError escaped the route's catch list and the
+    session leaked until TTL eviction)."""
+    import struct
+
+    sock, f, ws = _ws_client(server)
+    try:
+        f.write(ws.mask_frame(ws.OP_BINARY, b"\x01\x02\x03"))
+        f.flush()
+        op, payload = ws.read_frame(f, require_mask=False)
+        assert op == ws.OP_CLOSE
+        assert struct.unpack("!H", payload[:2])[0] == 1011
+        assert b"ValueError" in payload[2:]
+    finally:
+        sock.close()
+    assert _settle(lambda: not service._streams), service._streams
+
+
+def test_ws_eof_mid_extended_length_frees_session(server, service):
+    """A peer vanishing after announcing an extended-length frame must be
+    treated as a normal disconnect: session freed, no handler traceback
+    (regression: struct.error escaped the catch list)."""
+    sock, f, ws = _ws_client(server)
+    f.write(bytes([0x82, 0x80 | 126]))  # masked binary, ext length never sent
+    f.flush()
+    f.close()  # the makefile holds a dup'd fd — close both to send FIN
+    sock.close()
+    assert _settle(lambda: not service._streams), service._streams
