@@ -308,6 +308,70 @@ def test_streaming_session_matches_offline(server, service, wav_bytes):
     assert e.value.code == 404
 
 
+def test_concurrent_streaming_sessions_soak(service):
+    """Soak: N concurrent HTTP streaming sessions, DIFFERENT audio each,
+    with the cross-session ChunkForwardBatcher enabled. Every session's
+    streamed intervals must equal its own offline result (regression:
+    with the batcher active, pushes to one session were unserialized —
+    per-session locks now guard the segmenter state while the batcher
+    still packs chunks across sessions)."""
+    from segma_tpu.serve import SegmentationService, make_server
+
+    batched = SegmentationService(
+        service.pipeline, batch_window_ms=40.0, max_batch=8
+    )
+    srv = make_server(batched, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    n_sessions, n_pushes = 6, 4
+    results: dict[int, list] = {}
+    errors: list = []
+
+    def run(i: int) -> None:
+        try:
+            rng = np.random.default_rng(100 + i)
+            pcm = (rng.standard_normal(48_000) * 3000).astype(np.int16)
+            _, raw = _post(f"{url}/v1/stream/start", b"")
+            sid = json.loads(raw)["session"]
+            got = []
+            for chunk in np.array_split(pcm, n_pushes):
+                _, r = _post(
+                    f"{url}/v1/stream/{sid}/push",
+                    chunk.astype("<i2").tobytes(),
+                    "audio/l16; endianness=little",
+                )
+                got += json.loads(r)["intervals"]
+            _, r = _post(f"{url}/v1/stream/{sid}/flush", b"")
+            got += json.loads(r)["intervals"]
+            results[i] = sorted(
+                (iv["start_s"], iv["end_s"], iv["label"]) for iv in got
+            )
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(n_sessions)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    srv.shutdown()
+    assert not errors, errors
+    assert len(results) == n_sessions
+
+    for i in range(n_sessions):
+        rng = np.random.default_rng(100 + i)
+        pcm = (rng.standard_normal(48_000) * 3000).astype(np.int16)
+        expected = sorted(
+            (round(s / 16_000, 6), round(e / 16_000, 6), label)
+            for s, e, label in service.segment(
+                pcm.astype("<i2").tobytes(), "audio/l16; endianness=little"
+            )
+        )
+        got = [(round(s, 6), round(e, 6), label) for s, e, label in results[i]]
+        assert got == expected, f"session {i} diverged"
+    assert not batched._streams  # all sessions ended
+
+
 def test_streaming_sessions_share_one_forward(service):
     """Two concurrent sessions reuse one jitted forward (no per-session
     re-trace) and keep independent run state."""
