@@ -34,6 +34,10 @@ _COMMANDS = {
         "segma_tpu.cli.import_checkpoint",
         "convert a reference torch checkpoint",
     ),
+    "bundle": (
+        "segma_tpu.cli.bundle",
+        "catalog a directory of artifacts for multi-model serving",
+    ),
 }
 
 

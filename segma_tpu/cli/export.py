@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> None:
         "--platforms", nargs="*", default=["cpu", "tpu"],
         help="lowering targets baked into the artifact",
     )
+    parser.add_argument(
+        "--model-version", default=None,
+        help="free-form version string stamped into the manifest "
+        "(surfaced by bundle catalogs and GET /v1/models)",
+    )
     args, extra = parser.parse_known_args(argv)
 
     from segma_tpu.checkpoint import load_model_for_inference
@@ -49,6 +54,7 @@ def main(argv: list[str] | None = None) -> None:
         batch_size=args.batch_size,
         transport=args.transport,
         platforms=tuple(args.platforms),
+        model_version=args.model_version,
     )
     n_bytes = sum(p.stat().st_size for p in Path(out).glob("*"))
     print(f"[log] - exported {model.name} -> {out} ({n_bytes / 1e6:.1f} MB)")

@@ -22,6 +22,15 @@ def main(argv: list[str] | None = None) -> None:
         help="serve a frozen export directory (segma-tpu export) instead "
         "of config+checkpoint — no model zoo needed",
     )
+    parser.add_argument(
+        "--bundle", default=None,
+        help="serve every artifact under a bundle directory behind one "
+        "port (segma-tpu bundle); requests select with ?model=<name>",
+    )
+    parser.add_argument(
+        "--default-model", default=None,
+        help="override the bundle's default model election",
+    )
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--thresholds", default=None)
@@ -42,8 +51,13 @@ def main(argv: list[str] | None = None) -> None:
         "fewer bytes than int16)",
     )
     args, extra = parser.parse_known_args(argv)
-    if (args.config is None) == (args.artifact is None):
-        parser.error("exactly one of --config or --artifact is required")
+    n_sources = sum(
+        x is not None for x in (args.config, args.artifact, args.bundle)
+    )
+    if n_sources != 1:
+        parser.error(
+            "exactly one of --config, --artifact or --bundle is required"
+        )
 
     from segma_tpu.config import load_config
     from segma_tpu.inference import load_thresholds
@@ -54,6 +68,8 @@ def main(argv: list[str] | None = None) -> None:
     serve_forever(
         config=load_config(args.config, extra) if args.config else None,
         artifact=args.artifact,
+        bundle=args.bundle,
+        default_model=args.default_model,
         checkpoint=args.checkpoint,
         host=args.host,
         port=args.port,

@@ -108,6 +108,7 @@ def export_inference(
     batch_size: int = 128,
     transport: str = "int16",
     platforms: tuple[str, ...] = ("cpu", "tpu"),
+    model_version: str | None = None,
 ) -> Path:
     """Freeze ``model`` (with its current params) into an artifact dir."""
     import contextlib
@@ -157,6 +158,11 @@ def export_inference(
         },
         "thresholds": thresholds,
         "platforms": list(platforms),
+        # provenance: who built this artifact and when (bundle manifests
+        # and /v1/models surface these so deployments can tell versions
+        # apart without diffing program bytes)
+        "model_version": model_version,
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     (output_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
     return output_dir

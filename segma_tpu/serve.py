@@ -8,6 +8,9 @@ fronted by a threading HTTP server:
 - ``GET  /healthz``            liveness + model/device info
 - ``GET  /metrics``            Prometheus text: request/error counters,
   audio-seconds processed, latency quantiles, batch dispatches
+  (per-model ``{model="..."}`` series under bundle serving)
+- ``GET  /v1/models``          catalog of served models (labels,
+  artifact provenance, default election)
 - ``POST /v1/segment``         one audio body -> intervals
   - body: a RIFF/WAVE file, or raw 16 kHz mono int16 PCM with
     ``Content-Type: audio/l16`` (big-endian per RFC 2586; append
@@ -21,6 +24,11 @@ fronted by a threading HTTP server:
   end the session. Sessions idle >10 min are evicted. Streaming needs a
   live model pipeline (``--config``); ``--artifact`` serving is
   batch-only.
+
+Bundle serving (``--bundle <dir>``, see ``segma_tpu.bundle``) loads every
+exported artifact under one directory and routes per request via the
+``model=<name>`` query parameter on ``/v1/segment`` / ``/v1/stream/start``
+/ ``/v1/stream/ws``; omitted, the bundle's default election applies.
 
 The HTTP layer is multi-threaded so upload + WAV decode of request i+1
 overlap device compute of request i; actual device work is serialized by a
@@ -127,41 +135,78 @@ class _Stats:
         with self._lock:
             self.errors += 1
 
-    def render(self, service: "SegmentationService") -> bytes:
-        """Prometheus text exposition format."""
+    def samples(
+        self, service: "SegmentationService", labels: dict[str, str]
+    ) -> list[tuple[str, str, dict[str, str], float | int]]:
+        """(metric, prom_type, labels, value) rows for one service."""
         with self._lock:
             lat = sorted(self._lat)
             requests, errors = self.requests, self.errors
             audio_s = self.audio_seconds
-        q = (
-            {
-                p: lat[min(len(lat) - 1, int(p * len(lat)))]
-                for p in (0.5, 0.9, 0.99)
-            }
-            if lat
-            else {}
-        )
-        lines = [
-            "# TYPE segma_requests_total counter",
-            f"segma_requests_total {requests}",
-            "# TYPE segma_request_errors_total counter",
-            f"segma_request_errors_total {errors}",
-            "# TYPE segma_audio_seconds_total counter",
-            f"segma_audio_seconds_total {audio_s:.3f}",
-            "# TYPE segma_uptime_seconds gauge",
-            f"segma_uptime_seconds {time.monotonic() - self.started:.3f}",
-            "# TYPE segma_batch_dispatches_total counter",
-            "segma_batch_dispatches_total "
-            f"{service._batcher.dispatches if service._batcher else requests}",
-        ]
-        lines += [
-            "# TYPE segma_request_latency_seconds summary",
-            *(
-                f'segma_request_latency_seconds{{quantile="{p}"}} {v:.4f}'
-                for p, v in q.items()
+        rows = [
+            ("segma_requests_total", "counter", labels, requests),
+            ("segma_request_errors_total", "counter", labels, errors),
+            ("segma_audio_seconds_total", "counter", labels, round(audio_s, 3)),
+            (
+                "segma_uptime_seconds",
+                "gauge",
+                labels,
+                round(time.monotonic() - self.started, 3),
+            ),
+            (
+                "segma_batch_dispatches_total",
+                "counter",
+                labels,
+                service._batcher.dispatches if service._batcher else requests,
             ),
         ]
-        return ("\n".join(lines) + "\n").encode()
+        for p in (0.5, 0.9, 0.99):
+            if lat:
+                v = lat[min(len(lat) - 1, int(p * len(lat)))]
+                rows.append(
+                    (
+                        "segma_request_latency_seconds",
+                        "summary",
+                        {**labels, "quantile": str(p)},
+                        round(v, 4),
+                    )
+                )
+        return rows
+
+    def render(self, service: "SegmentationService") -> bytes:
+        """Prometheus text exposition for a single unlabeled service."""
+        return render_metrics([(None, service)])
+
+
+def render_metrics(
+    entries: list[tuple[str | None, "SegmentationService"]],
+) -> bytes:
+    """Prometheus text format over one or more services.
+
+    A ``None`` label renders bare samples (single-model server); a name
+    adds ``{model="<name>"}`` so one bundle server exposes per-model
+    series. ``# TYPE`` headers appear once per metric as the exposition
+    format requires, whatever the service count.
+    """
+    rows: list[tuple[str, str, dict[str, str], float | int]] = []
+    for name, service in entries:
+        labels = {} if name is None else {"model": name}
+        rows.extend(service.stats.samples(service, labels))
+    order = list(dict.fromkeys(m for m, _, _, _ in rows))
+    lines: list[str] = []
+    for metric in order:
+        group = [r for r in rows if r[0] == metric]
+        lines.append(f"# TYPE {metric} {group[0][1]}")
+        for _, _, labels, value in group:
+            lab = (
+                "{"
+                + ",".join(f'{k}="{v}"' for k, v in labels.items())
+                + "}"
+                if labels
+                else ""
+            )
+            lines.append(f"{metric}{lab} {value}")
+    return ("\n".join(lines) + "\n").encode()
 
 
 class SegmentationService:
@@ -179,6 +224,7 @@ class SegmentationService:
         transport: str = "int16",
         batch_window_ms: float = 0.0,
         max_batch: int = 8,
+        device_lock: threading.Lock | None = None,
     ) -> None:
         self.pipeline = pipeline
         self.exported = not hasattr(pipeline, "model")
@@ -198,7 +244,10 @@ class SegmentationService:
             self.model_name = pipeline.model.name
             self.thresholds = thresholds or default_thresholds(enc.base_labels)
         self.transport = transport
-        self._device_lock = threading.Lock()
+        # bundle serving passes ONE lock shared by every model's service:
+        # there is one accelerator regardless of how many frozen programs
+        # sit in front of it
+        self._device_lock = device_lock or threading.Lock()
         self.stats = _Stats()
         # sid -> (segmenter, per-session lock, last_use). The per-session
         # lock serializes pushes/flushes hitting ONE segmenter's mutable
@@ -450,7 +499,82 @@ class SegmentationService:
         ).encode()
 
 
-def _make_handler(service: SegmentationService):
+class ModelRouter:
+    """Request routing across the models of one server process.
+
+    Single-model serving wraps its one :class:`SegmentationService`;
+    bundle serving (``--bundle``) holds one service per artifact, all
+    sharing one device lock. ``?model=<name>`` on ``/v1/segment`` and
+    ``/v1/stream/start`` (and ``/v1/stream/ws``) selects; omitting it
+    routes to the default election from ``bundle.json``.
+    """
+
+    def __init__(
+        self, services: dict[str, SegmentationService], default: str
+    ) -> None:
+        if default not in services:
+            raise KeyError(f"default model {default!r} not in {sorted(services)}")
+        self.services = services
+        self.default = default
+
+    @classmethod
+    def single(cls, service: SegmentationService) -> "ModelRouter":
+        name = service.model_name.split(" (")[0]
+        return cls({name: service}, name)
+
+    def get(self, name: str | None = None) -> SegmentationService:
+        name = name or self.default
+        try:
+            return self.services[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown model {name!r} (serving: {sorted(self.services)})"
+            ) from None
+
+    def service_for_sid(self, sid: str) -> SegmentationService:
+        """Find the service owning a streaming session (push/flush carry
+        only the sid; the model was chosen at /v1/stream/start)."""
+        for svc in self.services.values():
+            with svc._streams_lock:
+                if sid in svc._streams:
+                    return svc
+        raise KeyError(sid)
+
+    def models_payload(self) -> bytes:
+        """GET /v1/models: the catalog — name, labels, provenance."""
+        models = {}
+        for name, svc in self.services.items():
+            entry: dict[str, Any] = {
+                "model": svc.model_name,
+                "labels": svc.labels,
+                "sample_rate": svc.sample_rate,
+                "streaming": not svc.exported,
+            }
+            if svc.exported:
+                m = svc.pipeline.manifest
+                entry.update(
+                    transport=m.get("transport"),
+                    framework_version=m.get("framework_version"),
+                    model_version=m.get("model_version"),
+                    created_at=m.get("created_at"),
+                )
+            models[name] = entry
+        return json.dumps({"default": self.default, "models": models}).encode()
+
+    def metrics_payload(self) -> bytes:
+        if len(self.services) == 1:
+            return render_metrics([(None, self.get())])
+        return render_metrics(sorted(self.services.items()))
+
+    def health_payload(self) -> bytes:
+        payload = json.loads(self.get().health())
+        if len(self.services) > 1:
+            payload["models"] = sorted(self.services)
+            payload["default"] = self.default
+        return json.dumps(payload).encode()
+
+
+def _make_handler(router: ModelRouter):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -473,19 +597,38 @@ def _make_handler(service: SegmentationService):
             """POST /v1/stream/start | /v1/stream/<sid>/push | .../flush."""
             parts = url.path.split("/")  # ['', 'v1', 'stream', ...]
             t0 = time.monotonic()
-            try:
-                if parts[3:] == ["start"]:
+            if parts[3:] == ["start"]:
+                model = parse_qs(url.query).get("model", [None])[0]
+                try:
+                    service = router.get(model)
+                except KeyError as e:
+                    self._error(404, str(e))
+                    return
+                try:
                     sid = service.stream_start()
                     self._reply(
                         200,
                         json.dumps({"session": sid}).encode(),
                         "application/json",
                     )
-                    return
-                if len(parts) != 5 or parts[4] not in ("push", "flush"):
-                    self._error(404, f"unknown path {url.path!r}")
-                    return
-                sid, op = parts[3], parts[4]
+                except ValueError as e:  # exported artifact: batch-only
+                    service.stats.record_error()
+                    self._error(400, str(e))
+                except Exception as e:  # noqa: BLE001 — keep the server alive
+                    service.stats.record_error()
+                    self._error(500, f"{type(e).__name__}: {e}")
+                return
+            if len(parts) != 5 or parts[4] not in ("push", "flush"):
+                self._error(404, f"unknown path {url.path!r}")
+                return
+            sid, op = parts[3], parts[4]
+            try:
+                service = router.service_for_sid(sid)
+            except KeyError:
+                router.get().stats.record_error()
+                self._error(404, "unknown or expired stream session")
+                return
+            try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 if op == "push":
@@ -503,6 +646,8 @@ def _make_handler(service: SegmentationService):
                 )
                 service.stats.record(time.monotonic() - t0, audio_s)
             except KeyError:
+                # session raced away (second flush / TTL eviction) between
+                # the router lookup and the operation
                 service.stats.record_error()
                 self._error(404, "unknown or expired stream session")
             except Exception as e:  # noqa: BLE001 — keep the server alive
@@ -517,7 +662,7 @@ def _make_handler(service: SegmentationService):
                 else:  # e.g. XlaRuntimeError (device failure)
                     self._error(500, f"{type(e).__name__}: {e}")
 
-        def _ws_route(self) -> None:
+        def _ws_route(self, url) -> None:
             """GET /v1/stream/ws — WebSocket streaming session.
 
             Binary frames carry raw s16le PCM pushes; each push is answered
@@ -533,6 +678,11 @@ def _make_handler(service: SegmentationService):
                 or self.headers.get("Upgrade", "").lower() != "websocket"
             ):
                 self._error(400, "websocket upgrade required")
+                return
+            try:
+                service = router.get(parse_qs(url.query).get("model", [None])[0])
+            except KeyError as e:
+                self._error(404, str(e))
                 return
             try:
                 sid = service.stream_start()
@@ -607,17 +757,20 @@ def _make_handler(service: SegmentationService):
                 service.stream_discard(sid)
 
         def do_GET(self):  # noqa: N802 (http.server API)
-            path = urlparse(self.path).path
+            url = urlparse(self.path)
+            path = url.path
             if path == "/healthz":
-                self._reply(200, service.health(), "application/json")
+                self._reply(200, router.health_payload(), "application/json")
             elif path == "/metrics":
                 self._reply(
                     200,
-                    service.stats.render(service),
+                    router.metrics_payload(),
                     "text/plain; version=0.0.4",
                 )
+            elif path == "/v1/models":
+                self._reply(200, router.models_payload(), "application/json")
             elif path == "/v1/stream/ws":
-                self._ws_route()
+                self._ws_route(url)
             else:
                 self._error(404, f"unknown path {self.path!r}")
 
@@ -632,6 +785,11 @@ def _make_handler(service: SegmentationService):
             q = parse_qs(url.query)
             uri = q.get("uri", ["audio"])[0]
             fmt = q.get("format", ["json"])[0]
+            try:
+                service = router.get(q.get("model", [None])[0])
+            except KeyError as e:
+                self._error(404, str(e))
+                return
             t0 = time.monotonic()
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -661,10 +819,21 @@ def _make_handler(service: SegmentationService):
 
 
 def make_server(
-    service: SegmentationService, host: str = "127.0.0.1", port: int = 8000
+    service: SegmentationService | ModelRouter,
+    host: str = "127.0.0.1",
+    port: int = 8000,
 ) -> ThreadingHTTPServer:
-    """Bind (but do not start) the HTTP server; ``port=0`` picks a free one."""
-    return ThreadingHTTPServer((host, port), _make_handler(service))
+    """Bind (but do not start) the HTTP server; ``port=0`` picks a free one.
+
+    Accepts one :class:`SegmentationService` (wrapped into a single-model
+    router) or a :class:`ModelRouter` over a bundle's services.
+    """
+    router = (
+        service
+        if isinstance(service, ModelRouter)
+        else ModelRouter.single(service)
+    )
+    return ThreadingHTTPServer((host, port), _make_handler(router))
 
 
 def serve_forever(
@@ -678,14 +847,50 @@ def serve_forever(
     max_batch: int = 8,
     transport: str = "int16",
     artifact: Path | str | None = None,
+    bundle: Path | str | None = None,
+    default_model: str | None = None,
 ) -> None:
-    """Load the model and serve until interrupted (CLI entry).
+    """Load the model(s) and serve until interrupted (CLI entry).
 
-    Either ``config`` (+ ``checkpoint``) for a live model-zoo pipeline, or
-    ``artifact`` for a frozen export directory (``scripts/export.py``) —
-    the latter needs no model code or checkpoint format at all.
+    One of: ``config`` (+ ``checkpoint``) for a live model-zoo pipeline,
+    ``artifact`` for a frozen export directory (``scripts/export.py``), or
+    ``bundle`` for a directory of several artifacts served behind one port
+    (``segma_tpu.bundle``; select per request with ``?model=<name>``).
     """
     from segma_tpu.utils.logging import log
+
+    if bundle is not None:
+        from segma_tpu.bundle import load_bundle
+
+        manifest, pipelines = load_bundle(bundle, default=default_model)
+        shared_lock = threading.Lock()
+        services = {
+            name: SegmentationService(
+                pipe,
+                thresholds,
+                transport=transport,
+                batch_window_ms=batch_window_ms,
+                max_batch=max_batch,
+                device_lock=shared_lock,
+            )
+            for name, pipe in pipelines.items()
+        }
+        router = ModelRouter(services, manifest["default"])
+        log(f"warming up {len(pipelines)} artifacts (load+link)...")
+        for name, pipe in pipelines.items():
+            warm = np.zeros(pipe.manifest["chunk_duration_f"], np.int16)
+            pipe.segment(warm, services[name].thresholds)
+        server = make_server(router, host, port)
+        log(
+            f"serving bundle [{', '.join(sorted(services))}] "
+            f"(default {manifest['default']}) on "
+            f"http://{host}:{server.server_address[1]}"
+        )
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+        return
 
     if artifact is not None:
         from segma_tpu.export import ExportedPipeline

@@ -1,0 +1,239 @@
+"""Multi-model artifact bundles (segma_tpu/bundle.py) + bundle serving.
+
+segma_tpu extension — the reference has no deployment packaging at all
+(reference inference.py:398-440 needs the full torch stack). Contract
+pinned here: one server process serves every artifact in a bundle behind
+one port, routed per request with ?model=<name>.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from segma_tpu.bundle import load_bundle, write_bundle_manifest
+from segma_tpu.config import load_config
+from segma_tpu.export import export_inference
+from segma_tpu.models import Models
+from segma_tpu.serve import ModelRouter, SegmentationService, make_server
+from segma_tpu.utils.encoders import MultiLabelEncoder
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+
+
+def _make_model(seed: int):
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            "model.name=conv_vad",
+            "model.config={hidden: 32, depth: 1, dtype: f32}",
+            "audio.chunk_duration_s=1.0",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    model.init_params(jax.random.key(seed))
+    return model
+
+
+@pytest.fixture(scope="module")
+def bundle_dir(tmp_path_factory) -> Path:
+    """Two artifacts with deterministically different outputs: 'alert'
+    thresholds at 0 (everything fires) and 'strict' at 1 (nothing does)."""
+    root = tmp_path_factory.mktemp("bundle")
+    model = _make_model(0)
+    labels = model.label_encoder.base_labels
+    export_inference(
+        model,
+        root / "alert",
+        thresholds={lb: {"lower_bound": 0.0, "upper_bound": 1.0} for lb in labels},
+        buckets=(2,),
+        batch_size=2,
+        transport="int16",
+        model_version="v1.2.0",
+    )
+    export_inference(
+        model,
+        root / "strict",
+        thresholds={lb: {"lower_bound": 1.0, "upper_bound": 1.0} for lb in labels},
+        buckets=(2,),
+        batch_size=2,
+        transport="int16",
+    )
+    write_bundle_manifest(root, default="alert")
+    return root
+
+
+@pytest.fixture(scope="module")
+def bundle_server(bundle_dir):
+    manifest, pipelines = load_bundle(bundle_dir)
+    shared = threading.Lock()
+    services = {
+        name: SegmentationService(pipe, device_lock=shared)
+        for name, pipe in pipelines.items()
+    }
+    router = ModelRouter(services, manifest["default"])
+    srv = make_server(router, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", services
+    srv.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=60) as resp:
+        return resp.status, resp.read()
+
+
+def _post(url: str, body: bytes, ctype: str = "application/octet-stream"):
+    req = urllib.request.Request(url, data=body, method="POST")
+    req.add_header("Content-Type", ctype)
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return resp.status, resp.read()
+
+
+def _pcm_body() -> bytes:
+    rng = np.random.default_rng(3)
+    return (rng.standard_normal(16_000) * 8000).astype("<i2").tobytes()
+
+
+# -- manifest ------------------------------------------------------------------
+
+
+def test_bundle_manifest_catalog(bundle_dir):
+    manifest = json.loads((bundle_dir / "bundle.json").read_text())
+    assert manifest["format_version"] == 1
+    assert manifest["default"] == "alert"
+    assert set(manifest["models"]) == {"alert", "strict"}
+    alert = manifest["models"]["alert"]
+    assert alert["model_name"] == "conv_vad"
+    assert alert["model_version"] == "v1.2.0"
+    assert alert["created_at"]  # stamped by export_inference
+    assert alert["path"] == "alert"
+    assert manifest["models"]["strict"]["model_version"] is None
+
+
+def test_ambiguous_default_rejected(bundle_dir, tmp_path):
+    import shutil
+
+    root = tmp_path / "no_default"
+    shutil.copytree(bundle_dir, root)
+    (root / "bundle.json").unlink()
+    with pytest.raises(ValueError, match="pick the default"):
+        write_bundle_manifest(root)
+    # explicit default resolves it; a re-scan then keeps the election
+    write_bundle_manifest(root, default="strict")
+    out = write_bundle_manifest(root)
+    assert json.loads(out.read_text())["default"] == "strict"
+
+
+def test_unknown_default_rejected(bundle_dir):
+    with pytest.raises(KeyError, match="nope"):
+        write_bundle_manifest(bundle_dir, default="nope")
+
+
+def test_load_bundle_without_manifest(bundle_dir, tmp_path):
+    import shutil
+
+    root = tmp_path / "bare"
+    shutil.copytree(bundle_dir, root)
+    (root / "bundle.json").unlink()
+    manifest, pipelines = load_bundle(root, default="strict")
+    assert manifest["default"] == "strict"
+    assert set(pipelines) == {"alert", "strict"}
+
+
+def test_newer_bundle_format_rejected(bundle_dir, tmp_path):
+    import shutil
+
+    root = tmp_path / "future"
+    shutil.copytree(bundle_dir, root)
+    manifest = json.loads((root / "bundle.json").read_text())
+    manifest["format_version"] = 99
+    (root / "bundle.json").write_text(json.dumps(manifest))
+    with pytest.raises(ValueError, match="newer"):
+        load_bundle(root)
+
+
+def test_empty_bundle_dir_rejected(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        write_bundle_manifest(tmp_path)
+
+
+# -- serving -------------------------------------------------------------------
+
+
+def test_models_endpoint(bundle_server):
+    url, _ = bundle_server
+    _, raw = _get(f"{url}/v1/models")
+    payload = json.loads(raw)
+    assert payload["default"] == "alert"
+    assert set(payload["models"]) == {"alert", "strict"}
+    alert = payload["models"]["alert"]
+    assert alert["model_version"] == "v1.2.0"
+    assert alert["streaming"] is False  # artifacts are batch-only
+    assert isinstance(alert["labels"], list) and len(alert["labels"]) > 0
+    assert alert["created_at"]
+
+
+def test_segment_routes_by_model(bundle_server):
+    url, _ = bundle_server
+    body = _pcm_body()
+    ctype = "audio/l16;endianness=little"
+    # default (alert, thresholds 0): every label fires over the whole clip
+    _, raw_default = _post(f"{url}/v1/segment", body, ctype)
+    _, raw_alert = _post(f"{url}/v1/segment?model=alert", body, ctype)
+    _, raw_strict = _post(f"{url}/v1/segment?model=strict", body, ctype)
+    default, alert, strict = (
+        json.loads(r)["intervals"] for r in (raw_default, raw_alert, raw_strict)
+    )
+    assert default == alert and len(alert) > 0
+    assert strict == []
+
+
+def test_unknown_model_is_404(bundle_server):
+    url, _ = bundle_server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{url}/v1/segment?model=nope", _pcm_body(), "audio/l16")
+    assert e.value.code == 404
+    assert "nope" in json.loads(e.value.read())["error"]
+
+
+def test_healthz_lists_models(bundle_server):
+    url, _ = bundle_server
+    _, raw = _get(f"{url}/healthz")
+    payload = json.loads(raw)
+    assert payload["models"] == ["alert", "strict"]
+    assert payload["default"] == "alert"
+
+
+def test_metrics_per_model_series(bundle_server):
+    url, _ = bundle_server
+    _post(f"{url}/v1/segment?model=strict", _pcm_body(), "audio/l16")
+    _, raw = _get(f"{url}/metrics")
+    text = raw.decode()
+    assert 'segma_requests_total{model="alert"}' in text
+    assert 'segma_requests_total{model="strict"}' in text
+    # exposition format: exactly one TYPE header per metric
+    assert text.count("# TYPE segma_requests_total counter") == 1
+
+
+def test_stream_start_rejected_for_artifact_bundle(bundle_server):
+    url, _ = bundle_server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{url}/v1/stream/start?model=alert", b"")
+    assert e.value.code == 400  # artifacts are batch-only
+
+
+def test_bundle_cli_writes_manifest(bundle_dir, capsys):
+    from segma_tpu.cli.bundle import main
+
+    main([str(bundle_dir)])
+    out = capsys.readouterr().out
+    assert "default: alert" in out and "v1.2.0" in out
+    assert json.loads((bundle_dir / "bundle.json").read_text())["default"] == "alert"
