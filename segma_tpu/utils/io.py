@@ -74,6 +74,13 @@ def _parse_wav_header(audio_p: Path) -> _WavLayout:
                 )
                 if audio_format == _EXTENSIBLE and chunk_size >= 40:
                     # SubFormat GUID's first two bytes carry the real format.
+                    if len(body) < 26:
+                        # chunk_size CLAIMS >=40 but the file ends early: a
+                        # bare unpack would leak struct.error to callers
+                        # expecting ValueError (the server maps it to 400)
+                        raise ValueError(
+                            f"{audio_p}: truncated extensible fmt chunk"
+                        )
                     audio_format = struct.unpack("<H", body[24:26])[0]
                 if n_channels == 0 or bits < 8 or bits % 8:
                     # sub-byte encodings (4-bit ADPCM): bytes_per_frame

@@ -8,9 +8,10 @@ a full HTTP request/response (headers, connection churn) to one 2-14 byte
 frame header each way.
 
 Only what the streaming endpoint needs is implemented: single-frame
-messages up to 2**63, opcodes text/binary/close/ping/pong, no extensions,
-no fragmentation (a fragmented client frame raises — pushes are far below
-frame-size limits).
+messages up to ``MAX_FRAME_BYTES`` (64 MiB — a hostile length claim must
+not make the server buffer it), opcodes text/binary/close/ping/pong, no
+extensions, no fragmentation (a fragmented client frame raises — pushes
+are far below frame-size limits).
 """
 
 from __future__ import annotations
@@ -20,6 +21,12 @@ import struct
 from base64 import b64encode
 
 GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+# A client frame header can claim up to 2**63-1 payload bytes; accepting
+# the claim verbatim would make the server buffer (and allocate) whatever a
+# hostile peer writes. Streaming pushes are ~32 KB (500 ms of PCM16); 64 MiB
+# leaves three orders of magnitude of headroom while bounding memory.
+MAX_FRAME_BYTES = 1 << 26
 
 # opcodes (RFC 6455 §5.2)
 OP_CONT = 0x0
@@ -80,6 +87,10 @@ def read_frame(rfile, require_mask: bool = True) -> tuple[int, bytes]:
         if len(ext) < width:
             raise ConnectionError("websocket peer closed mid-frame")
         n = struct.unpack("!H" if width == 2 else "!Q", ext)[0]
+    if n > MAX_FRAME_BYTES:
+        raise WebSocketError(
+            f"frame payload of {n} bytes exceeds the {MAX_FRAME_BYTES} cap"
+        )
     mask = rfile.read(4) if masked else b""
     payload = rfile.read(n)
     if len(payload) < n or (masked and len(mask) < 4):
