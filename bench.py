@@ -105,13 +105,17 @@ def main() -> None:
     rng = np.random.default_rng(0)
     pcm = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
 
-    def measure(audio, iters: int = 5, rounds: int = 3):
+    def measure(audio, iters: int = 5, rounds: int = 5):
         """Best sustained xRT over several rounds of pipelined dispatch
-        (the tunnel's bandwidth varies by the minute; min wall wins)."""
+        (the tunnel's bandwidth varies ~3x by the minute; min wall wins —
+        the rounds are spaced a few seconds apart so they sample different
+        bandwidth windows instead of one)."""
         _ = pipe.logits_for_audio(audio)  # warmup/compile
         walls = []
         frames = 0
-        for _ in range(rounds):
+        for r in range(rounds):
+            if r:
+                time.sleep(6.0)
             t0 = time.perf_counter()
             # queue every transfer+forward, then drain — the host->device
             # copies of call i+1 overlap the device compute of call i

@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> None:
         help="max requests per micro-batch dispatch",
     )
     parser.add_argument(
+        "--max-body-mb", type=float, default=512.0,
+        help="refuse request bodies above this size with 413",
+    )
+    parser.add_argument(
         "--transport", default="int16",
         choices=["int16", "mulaw", "adpcm", "f32"],
         help="host->device sample encoding (mulaw/adpcm: lossy, 2x/3.7x "
@@ -77,5 +81,6 @@ def main(argv: list[str] | None = None) -> None:
         batch_size=args.batch_size,
         batch_window_ms=args.batch_window_ms,
         max_batch=args.max_batch,
+        max_body_mb=args.max_body_mb,
         transport=args.transport,
     )

@@ -398,7 +398,7 @@ def run_inference_on_artifact(
         try:
             # same decode as the live CLI (zero-decode int16 fast path) so
             # artifact predictions are byte-identical to config+checkpoint
-            audio = _load_mono(audio_path, "int16")
+            audio = _load_mono(audio_path, "int16", expect_sr=sr)
         except Exception as e:  # noqa: BLE001 — one bad/missing file must
             # not abandon the rest of the batch (parity with the live CLI)
             print(

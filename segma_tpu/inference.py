@@ -780,7 +780,9 @@ def save_logits(
     return out
 
 
-def _load_mono(audio_path: Path, transport: str = "int16") -> np.ndarray:
+def _load_mono(
+    audio_path: Path, transport: str = "int16", expect_sr: int | None = None
+) -> np.ndarray:
     """Decode one file for the device hop.
 
     transport: 'int16' (default; half the bytes of f32, exact),
@@ -789,7 +791,22 @@ def _load_mono(audio_path: Path, transport: str = "int16") -> np.ndarray:
     parity-critical runs), 'adpcm' (~7x fewer bytes than f32, encoded HERE
     — on the prefetch thread — so dispatch pads bytes only), 'f32' (full
     precision).
+
+    ``expect_sr`` rejects files whose header rate differs from the model's
+    — every downstream number (frame grid, interval seconds) assumes the
+    configured rate, so a 44.1 kHz file would yield silently wrong-
+    timescale intervals, not an error. (The dataset layer validates this
+    at load time; this covers the predict/serve paths.)
     """
+    if expect_sr is not None:
+        from segma_tpu.utils.io import get_audio_info
+
+        sr = get_audio_info(audio_path).sample_rate
+        if sr != expect_sr:
+            raise ValueError(
+                f"{audio_path}: sample rate {sr} != the model's {expect_sr}"
+                " (resample the audio first)"
+            )
     raw = read_pcm16_mono(audio_path)
     if raw is not None:
         if transport == "mulaw":
@@ -829,7 +846,10 @@ def infer_file(
         thresholds = default_thresholds(enc.base_labels)
 
     if audio is None:
-        audio = _load_mono(audio_path)
+        audio = _load_mono(
+            audio_path,
+            expect_sr=pipeline.model.config.audio.sample_rate,
+        )
     logits_dev, total_frames = pipeline.logits_for_audio_async(audio)
     if logits_dev is None:
         logits_dev = np.zeros((0, pipeline.model.n_labels), np.float32)
@@ -949,7 +969,14 @@ def run_inference_on_audios(
         try:
             for audio_path in files_to_infer_on:
                 try:
-                    item = (audio_path, _load_mono(audio_path, transport))
+                    item = (
+                        audio_path,
+                        _load_mono(
+                            audio_path,
+                            transport,
+                            expect_sr=model.config.audio.sample_rate,
+                        ),
+                    )
                 except Exception as e:  # noqa: BLE001 — one bad file must
                     # not silently abandon the rest of the batch
                     item = (audio_path, decode_error, e)

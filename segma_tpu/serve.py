@@ -62,6 +62,13 @@ from segma_tpu.inference import (
 from segma_tpu.utils.conversions import frames_to_seconds
 
 
+# Upload bound: a Content-Length bigger than this is refused with 413
+# before the body is read (one request must not be able to exhaust host
+# RAM). 512 MiB covers ~4.5 h of int16 WAV per request; batch the CLI for
+# anything longer.
+MAX_BODY_BYTES = 512 << 20
+
+
 class _MicroBatcher:
     """Group concurrent requests into one packed device dispatch.
 
@@ -288,7 +295,9 @@ class SegmentationService:
         with tempfile.NamedTemporaryFile(suffix=".wav") as f:
             f.write(body)
             f.flush()
-            return _load_mono(Path(f.name), self.transport)
+            return _load_mono(
+                Path(f.name), self.transport, expect_sr=self.sample_rate
+            )
 
     # -- inference ---------------------------------------------------------------
     def _segment_audios(self, audios: list[np.ndarray]) -> list[list[tuple]]:
@@ -574,12 +583,27 @@ class ModelRouter:
         return json.dumps(payload).encode()
 
 
-def _make_handler(router: ModelRouter):
+def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
+
+        def _body_length(self) -> int | None:
+            """Content-Length, bounded; None means 413 was already sent."""
+            length = int(self.headers.get("Content-Length", 0))
+            if length > max_body_bytes:
+                # the body was never read: this keep-alive connection is
+                # now mid-upload and unusable — close it after replying
+                self.close_connection = True
+                self._error(
+                    413,
+                    f"body of {length} bytes exceeds the "
+                    f"{max_body_bytes} byte cap",
+                )
+                return None
+            return length
 
         def _reply(self, code: int, payload: bytes, ctype: str) -> None:
             self.send_response(code)
@@ -628,8 +652,10 @@ def _make_handler(router: ModelRouter):
                 router.get().stats.record_error()
                 self._error(404, "unknown or expired stream session")
                 return
+            length = self._body_length()
+            if length is None:
+                return
             try:
-                length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 if op == "push":
                     intervals = service.stream_push(
@@ -790,9 +816,11 @@ def _make_handler(router: ModelRouter):
             except KeyError as e:
                 self._error(404, str(e))
                 return
+            length = self._body_length()
+            if length is None:
+                return
             t0 = time.monotonic()
             try:
-                length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 audio = service._audio_from_body(
                     body, self.headers.get("Content-Type", "")
@@ -822,6 +850,7 @@ def make_server(
     service: SegmentationService | ModelRouter,
     host: str = "127.0.0.1",
     port: int = 8000,
+    max_body_bytes: int = MAX_BODY_BYTES,
 ) -> ThreadingHTTPServer:
     """Bind (but do not start) the HTTP server; ``port=0`` picks a free one.
 
@@ -833,7 +862,9 @@ def make_server(
         if isinstance(service, ModelRouter)
         else ModelRouter.single(service)
     )
-    return ThreadingHTTPServer((host, port), _make_handler(router))
+    return ThreadingHTTPServer(
+        (host, port), _make_handler(router, max_body_bytes)
+    )
 
 
 def serve_forever(
@@ -849,6 +880,7 @@ def serve_forever(
     artifact: Path | str | None = None,
     bundle: Path | str | None = None,
     default_model: str | None = None,
+    max_body_mb: float = 512.0,
 ) -> None:
     """Load the model(s) and serve until interrupted (CLI entry).
 
@@ -859,6 +891,7 @@ def serve_forever(
     """
     from segma_tpu.utils.logging import log
 
+    max_body_bytes = int(max_body_mb * (1 << 20))
     if bundle is not None:
         from segma_tpu.bundle import load_bundle
 
@@ -880,7 +913,7 @@ def serve_forever(
         for name, pipe in pipelines.items():
             warm = np.zeros(pipe.manifest["chunk_duration_f"], np.int16)
             pipe.segment(warm, services[name].thresholds)
-        server = make_server(router, host, port)
+        server = make_server(router, host, port, max_body_bytes)
         log(
             f"serving bundle [{', '.join(sorted(services))}] "
             f"(default {manifest['default']}) on "
@@ -929,7 +962,7 @@ def serve_forever(
         lg, tf = pipeline.logits_for_audio_async(warm)
         if lg is not None:
             pipeline.decode_intervals(lg, service.thresholds, valid_frames=tf)
-    server = make_server(service, host, port)
+    server = make_server(service, host, port, max_body_bytes)
     log(
         f"serving {service.model_name} on "
         f"http://{host}:{server.server_address[1]}"

@@ -623,3 +623,54 @@ def test_run_inference_skips_undecodable_file(vad_model, synthetic_dataset, tmp_
     for f in files:
         assert (tmp_path / "out" / "raw_rttm" / f"{f.stem}.rttm").exists()
     assert not (tmp_path / "out" / "raw_rttm" / "0002.rttm").exists()
+
+
+def test_load_mono_rejects_sample_rate_mismatch(tmp_path):
+    """expect_sr turns a wrong-rate file (silently wrong-timescale
+    intervals otherwise) into a clean ValueError on every decode path."""
+    from segma_tpu.inference import _load_mono
+    from segma_tpu.utils.io import write_data_to_disk
+
+    rng = np.random.default_rng(9)
+    p = tmp_path / "hifi.wav"
+    write_data_to_disk(
+        (rng.standard_normal(44_100) * 0.2).astype(np.float32),
+        p,
+        sample_rate=44_100,
+    )
+    with pytest.raises(ValueError, match="sample rate 44100"):
+        _load_mono(p, expect_sr=16_000)
+    assert _load_mono(p, expect_sr=44_100).shape[0] == 44_100
+    assert _load_mono(p).shape[0] == 44_100  # no expectation: no check
+
+
+def test_run_inference_skips_sample_rate_mismatch(
+    vad_model, synthetic_dataset, tmp_path, capsys
+):
+    """A wrong-rate WAV in a batch is SKIPPED (like a corrupt one), not
+    silently mis-segmented on the wrong frame grid."""
+    import shutil
+
+    from segma_tpu.inference import run_inference_on_audios
+    from segma_tpu.utils.io import write_data_to_disk
+
+    wav_dir = tmp_path / "wav"
+    shutil.copytree(synthetic_dataset / "wav", wav_dir)
+    rng = np.random.default_rng(9)
+    write_data_to_disk(
+        (rng.standard_normal(48_000) * 0.2).astype(np.float32),
+        wav_dir / "0002.wav",
+        sample_rate=48_000,
+    )
+
+    files = run_inference_on_audios(
+        config=vad_model.config,
+        wavs=wav_dir,
+        checkpoint=None,
+        output=tmp_path / "out",
+        batch_size=16,
+        model=vad_model,
+    )
+    out = capsys.readouterr().out
+    assert "SKIPPED" in out and "sample rate 48000" in out
+    assert all(f.stem != "0002" for f in files) and len(files) >= 2

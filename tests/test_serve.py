@@ -137,6 +137,42 @@ def test_unknown_path_is_404(server):
     assert e.value.code == 404
 
 
+def test_wrong_sample_rate_upload_is_400(server, tmp_path):
+    """A 44.1 kHz WAV must be refused: every downstream number assumes the
+    model's configured rate, so accepting it would return silently
+    wrong-timescale intervals."""
+    rng = np.random.default_rng(5)
+    p = tmp_path / "hifi.wav"
+    write_data_to_disk(
+        (rng.standard_normal(44_100) * 0.2).astype(np.float32),
+        p,
+        sample_rate=44_100,
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/v1/segment", p.read_bytes())
+    assert e.value.code == 400
+    assert "sample rate" in json.loads(e.value.read())["error"]
+
+
+def test_oversized_body_is_413(service):
+    """Content-Length above the cap is refused before the body is read —
+    one request must not be able to exhaust host RAM."""
+    srv = make_server(service, port=0, max_body_bytes=1024)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{url}/v1/segment", b"\0" * 4096)
+        assert e.value.code == 413
+        # the cap must not break requests under it
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{url}/v1/segment", b"tiny")
+        assert e.value.code == 400  # not a WAV, but it WAS read
+    finally:
+        srv.shutdown()
+
+
 def test_micro_batching_groups_concurrent_requests(service, wav_bytes):
     """With a batching window, concurrent requests share device dispatches
     and return the same intervals as the direct path."""
