@@ -44,6 +44,7 @@ _CATALOG_FIELDS = (
     "model_version",
     "created_at",
     "format_version",
+    "streaming",
 )
 
 

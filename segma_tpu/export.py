@@ -163,6 +163,9 @@ def export_inference(
         # apart without diffing program bytes)
         "model_version": model_version,
         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # this build ships stream.jaxexp; loaders check the file (older
+        # artifacts lack both the key and the program)
+        "streaming": True,
     }
     (output_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
     return output_dir
@@ -202,6 +205,24 @@ def _export_programs(
             exp_d.serialize()
         )
 
+    # streaming forward: one float32 chunk -> per-frame logits, the same
+    # program shape as streaming.make_streaming_forward (live sessions push
+    # f32 chunks), so a frozen artifact can serve /v1/stream/* too
+    smodel = model
+    if getattr(smodel.module, "mesh", None) is not None:
+        # single-device program: strip a baked-in seq-parallel mesh (same
+        # normalization as make_streaming_forward — pure data movement)
+        smodel = smodel.with_module(smodel.module.clone(mesh=None))
+    apply, transform = smodel.apply, smodel.inference_transform
+
+    def stream(chunk):
+        return transform(apply(params, chunk[None, :], train=False))[0]
+
+    exp_s = jax_export.export(jax.jit(stream), platforms=platforms)(
+        jax.ShapeDtypeStruct((ck.chunk_duration_f,), np.float32)
+    )
+    (output_dir / "stream.jaxexp").write_bytes(exp_s.serialize())
+
 
 @dataclass
 class ExportedPipeline:
@@ -210,6 +231,7 @@ class ExportedPipeline:
     manifest: dict
     infer_fns: dict  # n_chunks -> Exported
     decode_fns: dict  # n_chunks -> Exported
+    stream_fn: object = None  # Exported chunk forward, when shipped
 
     @classmethod
     def load(cls, artifact_dir: Path | str) -> "ExportedPipeline":
@@ -228,7 +250,33 @@ class ExportedPipeline:
             decode_fns[n] = jax_export.deserialize(
                 (artifact_dir / f"decode_{n}.jaxexp").read_bytes()
             )
-        return cls(manifest, infer_fns, decode_fns)
+        stream_p = artifact_dir / "stream.jaxexp"
+        stream_fn = (
+            jax_export.deserialize(stream_p.read_bytes())
+            if stream_p.is_file()
+            else None
+        )
+        return cls(manifest, infer_fns, decode_fns, stream_fn)
+
+    @property
+    def supports_streaming(self) -> bool:
+        return self.stream_fn is not None
+
+    def streaming_segmenter(self, thresholds: dict | None = None):
+        """Online segmentation off the frozen artifact — same contract as
+        ``StreamingSegmenter(model, params, ...)`` but driven by the
+        exported per-chunk program (params baked in)."""
+        from segma_tpu.streaming import StreamingSegmenter
+
+        if self.stream_fn is None:
+            raise ValueError(
+                "this artifact was exported without a streaming program "
+                "(stream.jaxexp) — re-export with a current build to "
+                "enable /v1/stream/*"
+            )
+        return StreamingSegmenter.from_exported(
+            self, thresholds or self.manifest["thresholds"]
+        )
 
     # -- geometry ---------------------------------------------------------------
     @property

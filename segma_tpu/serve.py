@@ -21,9 +21,10 @@ fronted by a threading HTTP server:
   finalized so far (incremental; same ``audio/l16`` semantics,
   octet-stream defaults to little-endian)
 - ``POST /v1/stream/<sid>/flush`` process the tail, close open runs,
-  end the session. Sessions idle >10 min are evicted. Streaming needs a
-  live model pipeline (``--config``); ``--artifact`` serving is
-  batch-only.
+  end the session. Sessions idle >10 min are evicted. Streaming works
+  from a live model pipeline (``--config``) and from artifacts that ship
+  a ``stream.jaxexp`` program (every export from this build; older
+  artifacts get a 400 pointing at re-export).
 
 Bundle serving (``--bundle <dir>``, see ``segma_tpu.bundle``) loads every
 exported artifact under one directory and routes per request via the
@@ -359,11 +360,6 @@ class SegmentationService:
 
     def stream_start(self) -> str:
         """Open an online-segmentation session; returns its id."""
-        if self.exported:
-            raise ValueError(
-                "streaming requires a live model pipeline "
-                "(exported artifacts are batch-only)"
-            )
         import uuid
 
         from segma_tpu.streaming import (
@@ -373,6 +369,14 @@ class SegmentationService:
 
         with self._streams_lock:
             self._evict_stale_streams()
+            if self.exported:
+                # frozen artifacts stream off their exported per-chunk
+                # program (raises ValueError -> 400 for artifacts exported
+                # before stream.jaxexp existed)
+                seg = self.pipeline.streaming_segmenter(self.thresholds)
+                sid = uuid.uuid4().hex[:16]
+                self._streams[sid] = (seg, threading.Lock(), time.monotonic())
+                return sid
             if self._stream_forward is None:
                 if self._batcher is not None:
                     # micro-batching enabled: concurrent sessions' chunk
@@ -557,7 +561,9 @@ class ModelRouter:
                 "model": svc.model_name,
                 "labels": svc.labels,
                 "sample_rate": svc.sample_rate,
-                "streaming": not svc.exported,
+                "streaming": (
+                    not svc.exported or svc.pipeline.supports_streaming
+                ),
             }
             if svc.exported:
                 m = svc.pipeline.manifest
@@ -913,6 +919,10 @@ def serve_forever(
         for name, pipe in pipelines.items():
             warm = np.zeros(pipe.manifest["chunk_duration_f"], np.int16)
             pipe.segment(warm, services[name].thresholds)
+            if pipe.supports_streaming:
+                pipe.stream_fn.call(
+                    np.zeros(pipe.manifest["chunk_duration_f"], np.float32)
+                )
         server = make_server(router, host, port, max_body_bytes)
         log(
             f"serving bundle [{', '.join(sorted(services))}] "

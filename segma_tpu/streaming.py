@@ -146,8 +146,56 @@ class ChunkForwardBatcher:
                     done.set()
 
 
+class _ExportedShim:
+    """Just enough of the SegmentationModel surface for StreamingSegmenter,
+    reconstructed from an artifact manifest (geometry + labels; the forward
+    itself is the exported ``stream.jaxexp`` program)."""
+
+    module = None  # no flax module: nothing to strip a mesh from
+
+    def __init__(self, manifest: dict) -> None:
+        from types import SimpleNamespace
+
+        step = int(manifest["rf_step"])
+        self.conv_settings = ConvolutionSettings((step,), (step,), (0,))
+        self.config = SimpleNamespace(
+            audio=SimpleNamespace(
+                chunk_duration_f=int(manifest["chunk_duration_f"]),
+                strict_frames=bool(manifest["strict_frames"]),
+                reference_tail=bool(manifest["reference_tail"]),
+                sample_rate=int(manifest["sample_rate"]),
+            )
+        )
+        self.label_encoder = SimpleNamespace(
+            base_labels=tuple(manifest["labels"])
+        )
+
+
 class StreamingSegmenter:
     """Push samples in, get finalized ``(start_f, end_f, label)`` out."""
+
+    @classmethod
+    def from_exported(
+        cls,
+        exported,
+        thresholds: dict[str, dict[str, float]] | None = None,
+    ) -> "StreamingSegmenter":
+        """Online segmentation off a frozen artifact
+        (:class:`segma_tpu.export.ExportedPipeline` with a ``stream.jaxexp``
+        program) — byte-identical intervals to the live segmenter on the
+        same pushes (params are baked into the program)."""
+        if exported.stream_fn is None:
+            raise ValueError("artifact has no streaming program")
+
+        def forward(_params, chunk):
+            return exported.stream_fn.call(chunk)
+
+        return cls(
+            _ExportedShim(exported.manifest),
+            params=None,
+            thresholds=thresholds or exported.manifest["thresholds"],
+            forward_fn=forward,
+        )
 
     def __init__(
         self,

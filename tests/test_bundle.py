@@ -176,7 +176,7 @@ def test_models_endpoint(bundle_server):
     assert set(payload["models"]) == {"alert", "strict"}
     alert = payload["models"]["alert"]
     assert alert["model_version"] == "v1.2.0"
-    assert alert["streaming"] is False  # artifacts are batch-only
+    assert alert["streaming"] is True  # artifacts ship stream.jaxexp
     assert isinstance(alert["labels"], list) and len(alert["labels"]) > 0
     assert alert["created_at"]
 
@@ -223,11 +223,17 @@ def test_metrics_per_model_series(bundle_server):
     assert text.count("# TYPE segma_requests_total counter") == 1
 
 
-def test_stream_start_rejected_for_artifact_bundle(bundle_server):
+def test_stream_session_over_artifact_bundle(bundle_server):
+    """Bundle artifacts stream: a full start/push/flush session against
+    the 'alert' model (thresholds 0 -> every label fires) over HTTP."""
     url, _ = bundle_server
-    with pytest.raises(urllib.error.HTTPError) as e:
-        _post(f"{url}/v1/stream/start?model=alert", b"")
-    assert e.value.code == 400  # artifacts are batch-only
+    _, raw = _post(f"{url}/v1/stream/start?model=alert", b"")
+    sid = json.loads(raw)["session"]
+    pcm = (np.zeros(20_000) + 0.1 * 32767).astype("<i2").tobytes()
+    _post(f"{url}/v1/stream/{sid}/push", pcm, "audio/l16;endianness=little")
+    _, raw = _post(f"{url}/v1/stream/{sid}/flush", b"")
+    intervals = json.loads(raw)["intervals"]
+    assert len(intervals) > 0  # thresholds 0: everything fires
 
 
 def test_bundle_cli_writes_manifest(bundle_dir, capsys):

@@ -54,6 +54,7 @@ def test_artifact_layout(artifact):
         "decode_2.jaxexp",
         "infer_4.jaxexp",
         "decode_4.jaxexp",
+        "stream.jaxexp",
     }
 
 
@@ -306,9 +307,10 @@ def test_manifest_schema_is_stable(artifact):
         "chunk_duration_f", "chunk_stride", "n_windows", "rf_step",
         "strict_frames", "reference_tail", "transport", "buckets",
         "decode_caps", "thresholds", "platforms",
-        # provenance (additive, r3): readers must tolerate these being
-        # absent in artifacts exported before they existed
-        "model_version", "created_at",
+        # provenance + streaming capability (additive, r3): readers must
+        # tolerate these being absent in artifacts exported before they
+        # existed
+        "model_version", "created_at", "streaming",
     }
     assert manifest["format_version"] == 1
 

@@ -421,7 +421,10 @@ def test_streaming_sessions_share_one_forward(service):
     service.stream_flush(sid2)
 
 
-def test_streaming_rejected_for_exported_artifact(service, tmp_path):
+def test_exported_artifact_streams_and_matches_live(service, tmp_path):
+    """Artifacts ship a stream.jaxexp program: a streaming session off the
+    frozen directory must emit byte-identical intervals to a live-model
+    session fed the same pushes."""
     from segma_tpu.export import ExportedPipeline, export_inference
 
     out = tmp_path / "artifact_stream"
@@ -430,7 +433,36 @@ def test_streaming_rejected_for_exported_artifact(service, tmp_path):
         transport="int16",
     )
     exp_service = SegmentationService(ExportedPipeline.load(out))
-    with pytest.raises(ValueError, match="batch-only"):
+
+    rng = np.random.default_rng(17)
+    pcm = (rng.standard_normal(40_000) * 8000).astype(np.int16).tobytes()
+    results = []
+    for svc in (service, exp_service):
+        sid = svc.stream_start()
+        got = []
+        for off in range(0, len(pcm), 9_000):
+            got += svc.stream_push(
+                sid, pcm[off : off + 9_000], "audio/l16;endianness=little"
+            )
+        got += svc.stream_flush(sid)
+        results.append(sorted(got))
+    assert results[0] == results[1] and len(results[0]) > 0
+
+
+def test_streaming_rejected_for_legacy_artifact(service, tmp_path):
+    """Artifacts exported before stream.jaxexp existed stay batch-only,
+    with an error that says how to fix it (re-export)."""
+    from segma_tpu.export import ExportedPipeline, export_inference
+
+    out = tmp_path / "artifact_legacy"
+    export_inference(
+        service.pipeline.model, out, buckets=(2,), batch_size=4,
+        transport="int16",
+    )
+    (out / "stream.jaxexp").unlink()
+    exp_service = SegmentationService(ExportedPipeline.load(out))
+    assert exp_service.pipeline.supports_streaming is False
+    with pytest.raises(ValueError, match="re-export"):
         exp_service.stream_start()
 
 
