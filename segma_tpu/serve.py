@@ -660,6 +660,7 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
                 return
             length = self._body_length()
             if length is None:
+                service.stats.record_error()
                 return
             try:
                 body = self.rfile.read(length)
@@ -824,6 +825,7 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
                 return
             length = self._body_length()
             if length is None:
+                service.stats.record_error()
                 return
             t0 = time.monotonic()
             try:
@@ -968,6 +970,8 @@ def serve_forever(
     warm = np.zeros(warm_f, np.int16)
     if service.exported:
         pipeline.segment(warm, service.thresholds)
+        if pipeline.supports_streaming:
+            pipeline.stream_fn.call(np.zeros(warm_f, np.float32))
     else:
         lg, tf = pipeline.logits_for_audio_async(warm)
         if lg is not None:
