@@ -8,6 +8,7 @@ socket overhead.
 
 Usage:
     python scripts/bench_streaming.py [--sessions 1 4 8] [--push-ms 500]
+    python scripts/bench_streaming.py --artifact <export-dir>   # frozen
 """
 
 from __future__ import annotations
@@ -51,7 +52,8 @@ def build_model():
 
 
 def run_sessions(
-    model, n_sessions: int, push_s: float, total_s: float, batcher=None
+    model, n_sessions: int, push_s: float, total_s: float, batcher=None,
+    exported=None,
 ) -> dict:
     """N concurrent sessions each stream ``total_s`` seconds of audio in
     ``push_s``-sized pushes; returns per-push latency stats."""
@@ -62,7 +64,10 @@ def run_sessions(
     lat: list[list[float]] = [[] for _ in range(n_sessions)]
 
     def run(i: int) -> None:
-        seg = StreamingSegmenter(model, model.params, forward_fn=batcher)
+        if exported is not None:
+            seg = StreamingSegmenter.from_exported(exported, forward_fn=batcher)
+        else:
+            seg = StreamingSegmenter(model, model.params, forward_fn=batcher)
         # per-thread generator: np.random.Generator is not thread-safe,
         # and per-session seeds keep inputs independent AND reproducible
         rng = np.random.default_rng(i)
@@ -103,27 +108,61 @@ def main() -> None:
     parser.add_argument("--sessions", type=int, nargs="*", default=[1, 4, 8])
     parser.add_argument("--push-ms", type=float, default=500.0)
     parser.add_argument("--total-s", type=float, default=16.0)
+    parser.add_argument(
+        "--artifact", default=None,
+        help="benchmark streaming off a frozen export dir (stream.jaxexp / "
+        "stream_batch<N>.jaxexp) instead of a live model",
+    )
     args = parser.parse_args()
 
     from segma_tpu.streaming import ChunkForwardBatcher
 
-    model = build_model()
+    exported = None
+    if args.artifact:
+        from segma_tpu.export import ExportedPipeline
+
+        exported = ExportedPipeline.load(args.artifact)
+        model = None
+    else:
+        model = build_model()
     push_s = args.push_ms / 1000.0
 
-    # warmup: compile the single-chunk program (and batched buckets)
-    warm = run_sessions(model, 1, push_s, 4.0)
+    def make_batcher():
+        if exported is not None:
+            return ChunkForwardBatcher.from_exported(exported, window_ms=5.0)
+        return ChunkForwardBatcher(model, window_ms=5.0, max_batch=8)
+
+    # warmup: compile/link the single-chunk program (and batched buckets)
+    if exported is not None:
+        # group formation is timing-dependent, so a warm RUN can miss
+        # buckets — warm every exported stream program directly instead
+        chunk_f = int(exported.manifest["chunk_duration_f"])
+        np.asarray(exported.stream_fn.call(np.zeros(chunk_f, np.float32)))
+        for b, fn in sorted((exported.stream_batch_fns or {}).items()):
+            np.asarray(fn.call(np.zeros((b, chunk_f), np.float32)))
+    warm = run_sessions(model, 1, push_s, 4.0, exported=exported)
     print(f"[warmup] {warm}", file=sys.stderr)
 
     rows = []
     for n in args.sessions:
-        rows.append({"mode": "serial-forward", **run_sessions(model, n, push_s, args.total_s)})
+        rows.append(
+            {
+                "mode": "serial-forward",
+                **run_sessions(model, n, push_s, args.total_s, exported=exported),
+            }
+        )
         if n > 1:
-            batcher = ChunkForwardBatcher(model, window_ms=5.0, max_batch=8)
+            batcher = make_batcher()
             # warm the batched buckets
-            run_sessions(model, n, push_s, 4.0, batcher=batcher)
-            r = run_sessions(model, n, push_s, args.total_s, batcher=batcher)
+            run_sessions(model, n, push_s, 4.0, batcher=batcher, exported=exported)
+            r = run_sessions(
+                model, n, push_s, args.total_s, batcher=batcher, exported=exported
+            )
             r["dispatches"] = batcher.dispatches
             rows.append({"mode": "batched-forward", **r})
+    if exported is not None:
+        for r in rows:
+            r["source"] = "artifact"
     print(json.dumps(rows, indent=2))
 
 

@@ -20,6 +20,13 @@ Layout::
     manifest.json            geometry, labels, thresholds, buckets, version
     infer_<n_chunks>.jaxexp  waveform (1, padded_len) -> logits grid
     decode_<n_chunks>.jaxexp logits grid + thresholds + valid -> packed runs
+    stream.jaxexp            one f32 chunk -> frame logits (online sessions)
+    stream_batch<b>.jaxexp   b chunks -> frame logits (cross-session batch,
+                             power-of-two buckets)
+
+Each program embeds the params as constants (self-containment over size);
+for encoder-heavy models every extra bucket costs roughly one weight copy
+on disk — trim ``buckets`` when that matters.
 """
 
 from __future__ import annotations
@@ -46,6 +53,12 @@ from segma_tpu.models.base import ConvolutionSettings
 from segma_tpu.ops.adpcm import AdpcmAudio, adpcm_encode_audio, encoded_nbytes
 
 FORMAT_VERSION = 1
+# cross-session streaming batch programs shipped with every artifact.
+# Power-of-two buckets like the live ChunkForwardBatcher: padding a group
+# up to the next bucket wastes <2x transfer, where one fixed max-size
+# program measured 3.25x amplification (groups of 2-7 padded to 8) — on a
+# slow host link that waste dominated the batching win.
+STREAM_BATCHES = (2, 4, 8)
 _TRANSPORT_DTYPES = {
     "f32": np.float32,
     "int16": np.int16,
@@ -166,6 +179,7 @@ def export_inference(
         # this build ships stream.jaxexp; loaders check the file (older
         # artifacts lack both the key and the program)
         "streaming": True,
+        "stream_batches": list(STREAM_BATCHES),
     }
     (output_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
     return output_dir
@@ -223,6 +237,20 @@ def _export_programs(
     )
     (output_dir / "stream.jaxexp").write_bytes(exp_s.serialize())
 
+    # batched stream forwards: N concurrent sessions' chunks in one padded
+    # dispatch (the live path's ChunkForwardBatcher measured 4.1x p99 at 8
+    # sessions when each single-chunk dispatch pays ~80 ms relay latency)
+    def stream_batch(chunks):
+        return transform(apply(params, chunks, train=False))
+
+    for b in STREAM_BATCHES:
+        exp_sb = jax_export.export(jax.jit(stream_batch), platforms=platforms)(
+            jax.ShapeDtypeStruct((b, ck.chunk_duration_f), np.float32)
+        )
+        (output_dir / f"stream_batch{b}.jaxexp").write_bytes(
+            exp_sb.serialize()
+        )
+
 
 @dataclass
 class ExportedPipeline:
@@ -232,6 +260,7 @@ class ExportedPipeline:
     infer_fns: dict  # n_chunks -> Exported
     decode_fns: dict  # n_chunks -> Exported
     stream_fn: object = None  # Exported chunk forward, when shipped
+    stream_batch_fns: dict | None = None  # batch size -> Exported
 
     @classmethod
     def load(cls, artifact_dir: Path | str) -> "ExportedPipeline":
@@ -256,16 +285,29 @@ class ExportedPipeline:
             if stream_p.is_file()
             else None
         )
-        return cls(manifest, infer_fns, decode_fns, stream_fn)
+        stream_batch_fns = {}
+        for b in manifest.get("stream_batches", []):
+            sb_p = artifact_dir / f"stream_batch{b}.jaxexp"
+            if sb_p.is_file():
+                stream_batch_fns[int(b)] = jax_export.deserialize(
+                    sb_p.read_bytes()
+                )
+        return cls(
+            manifest, infer_fns, decode_fns, stream_fn, stream_batch_fns
+        )
 
     @property
     def supports_streaming(self) -> bool:
         return self.stream_fn is not None
 
-    def streaming_segmenter(self, thresholds: dict | None = None):
+    def streaming_segmenter(
+        self, thresholds: dict | None = None, forward_fn=None
+    ):
         """Online segmentation off the frozen artifact — same contract as
         ``StreamingSegmenter(model, params, ...)`` but driven by the
-        exported per-chunk program (params baked in)."""
+        exported per-chunk program (params baked in). ``forward_fn``
+        shares a cross-session dispatcher (e.g.
+        ``ChunkForwardBatcher.from_exported``) across segmenters."""
         from segma_tpu.streaming import StreamingSegmenter
 
         if self.stream_fn is None:
@@ -275,7 +317,7 @@ class ExportedPipeline:
                 "enable /v1/stream/*"
             )
         return StreamingSegmenter.from_exported(
-            self, thresholds or self.manifest["thresholds"]
+            self, thresholds or self.manifest["thresholds"], forward_fn
         )
 
     # -- geometry ---------------------------------------------------------------

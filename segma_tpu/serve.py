@@ -372,8 +372,26 @@ class SegmentationService:
             if self.exported:
                 # frozen artifacts stream off their exported per-chunk
                 # program (raises ValueError -> 400 for artifacts exported
-                # before stream.jaxexp existed)
-                seg = self.pipeline.streaming_segmenter(self.thresholds)
+                # before stream.jaxexp existed). With micro-batching on,
+                # concurrent sessions share the artifact's fixed-shape
+                # batched programs (its exported bucket sizes govern, not
+                # --max-batch — StableHLO programs cannot re-trace).
+                fwd = None
+                if (
+                    self._batcher is not None
+                    and self.pipeline.stream_batch_fns
+                ):
+                    if self._stream_forward is None:
+                        from segma_tpu.streaming import ChunkForwardBatcher
+
+                        self._stream_forward = ChunkForwardBatcher.from_exported(
+                            self.pipeline,
+                            window_ms=self._batcher.window_s * 1000.0,
+                        )
+                    fwd = self._stream_forward
+                seg = self.pipeline.streaming_segmenter(
+                    self.thresholds, forward_fn=fwd
+                )
                 sid = uuid.uuid4().hex[:16]
                 self._streams[sid] = (seg, threading.Lock(), time.monotonic())
                 return sid
@@ -875,6 +893,18 @@ def make_server(
     )
 
 
+def _warm_stream_programs(pipeline, batching: bool) -> None:
+    """Compile/link an artifact's streaming programs before traffic (the
+    batched buckets only when micro-batching will use them)."""
+    if not pipeline.supports_streaming:
+        return
+    chunk_f = int(pipeline.manifest["chunk_duration_f"])
+    pipeline.stream_fn.call(np.zeros(chunk_f, np.float32))
+    if batching:
+        for b, fn in sorted((pipeline.stream_batch_fns or {}).items()):
+            fn.call(np.zeros((b, chunk_f), np.float32))
+
+
 def serve_forever(
     config: Any = None,
     checkpoint: Path | str | None = None,
@@ -921,10 +951,7 @@ def serve_forever(
         for name, pipe in pipelines.items():
             warm = np.zeros(pipe.manifest["chunk_duration_f"], np.int16)
             pipe.segment(warm, services[name].thresholds)
-            if pipe.supports_streaming:
-                pipe.stream_fn.call(
-                    np.zeros(pipe.manifest["chunk_duration_f"], np.float32)
-                )
+            _warm_stream_programs(pipe, batch_window_ms > 0)
         server = make_server(router, host, port, max_body_bytes)
         log(
             f"serving bundle [{', '.join(sorted(services))}] "
@@ -970,8 +997,7 @@ def serve_forever(
     warm = np.zeros(warm_f, np.int16)
     if service.exported:
         pipeline.segment(warm, service.thresholds)
-        if pipeline.supports_streaming:
-            pipeline.stream_fn.call(np.zeros(warm_f, np.float32))
+        _warm_stream_programs(pipeline, batch_window_ms > 0)
     else:
         lg, tf = pipeline.logits_for_audio_async(warm)
         if lg is not None:

@@ -74,9 +74,6 @@ class ChunkForwardBatcher:
         window_ms: float = 3.0,
         max_batch: int = 8,
     ) -> None:
-        import queue
-        import threading
-
         if getattr(model.module, "mesh", None) is not None:
             model = model.with_module(model.module.clone(mesh=None))
         apply = model.apply
@@ -86,9 +83,50 @@ class ChunkForwardBatcher:
         def batch_forward(params, chunks):  # (B, chunk_f) -> (B, T, L)
             return transform(apply(params, chunks, train=False))
 
+        # powers of two up to max_batch: at most log2(max_batch)+1 compiled
+        # shapes for the one jitted program
+        buckets, b = [], 1
+        while b < max(1, max_batch):
+            buckets.append(b)
+            b *= 2
+        buckets.append(max(1, max_batch))
+        self._setup(batch_forward, window_ms, buckets)
+
+    @classmethod
+    def from_exported(
+        cls, exported, window_ms: float = 3.0
+    ) -> "ChunkForwardBatcher":
+        """Batcher over an artifact's exported stream programs: singleton
+        groups run ``stream.jaxexp``, larger groups pad to the next shipped
+        ``stream_batch<b>.jaxexp`` bucket (StableHLO programs are frozen
+        shapes, so the buckets are baked at export time — powers of two,
+        same padding-waste bound as the live jit's buckets)."""
+        if not exported.stream_batch_fns:
+            raise ValueError(
+                "artifact has no batched streaming programs "
+                "(stream_batch<b>.jaxexp) — re-export to enable "
+                "cross-session batching"
+            )
+        single = exported.stream_fn
+        fns = dict(exported.stream_batch_fns)
+
+        def batch_forward(_params, chunks):
+            if chunks.shape[0] == 1:
+                return np.asarray(single.call(chunks[0]))[None]
+            return np.asarray(fns[int(chunks.shape[0])].call(chunks))
+
+        self = cls.__new__(cls)
+        self._setup(batch_forward, window_ms, [1, *fns])
+        return self
+
+    def _setup(self, batch_forward, window_ms: float, buckets: list[int]):
+        import queue
+        import threading
+
         self._batch_forward = batch_forward
         self.window_s = window_ms / 1000.0
-        self.max_batch = max(1, max_batch)
+        self._bucket_sizes = sorted(set(buckets))
+        self.max_batch = self._bucket_sizes[-1]
         self.dispatches = 0  # observability / tests
         self._q: queue.Queue = queue.Queue()
         self._threading = threading
@@ -104,10 +142,10 @@ class ChunkForwardBatcher:
         return box["logits"]
 
     def _bucket(self, n: int) -> int:
-        b = 1
-        while b < n:
-            b *= 2
-        return min(b, self.max_batch)
+        for b in self._bucket_sizes:
+            if b >= n:
+                return b
+        return self.max_batch
 
     def _run(self) -> None:
         import queue
@@ -179,22 +217,27 @@ class StreamingSegmenter:
         cls,
         exported,
         thresholds: dict[str, dict[str, float]] | None = None,
+        forward_fn=None,
     ) -> "StreamingSegmenter":
         """Online segmentation off a frozen artifact
         (:class:`segma_tpu.export.ExportedPipeline` with a ``stream.jaxexp``
         program) — byte-identical intervals to the live segmenter on the
-        same pushes (params are baked into the program)."""
+        same pushes (params are baked into the program). ``forward_fn``
+        (e.g. :meth:`ChunkForwardBatcher.from_exported`) shares one
+        cross-session dispatcher across segmenters."""
         if exported.stream_fn is None:
             raise ValueError("artifact has no streaming program")
 
-        def forward(_params, chunk):
-            return exported.stream_fn.call(chunk)
+        if forward_fn is None:
+
+            def forward_fn(_params, chunk):
+                return exported.stream_fn.call(chunk)
 
         return cls(
             _ExportedShim(exported.manifest),
             params=None,
             thresholds=thresholds or exported.manifest["thresholds"],
-            forward_fn=forward,
+            forward_fn=forward_fn,
         )
 
     def __init__(

@@ -55,6 +55,9 @@ def test_artifact_layout(artifact):
         "infer_4.jaxexp",
         "decode_4.jaxexp",
         "stream.jaxexp",
+        "stream_batch2.jaxexp",
+        "stream_batch4.jaxexp",
+        "stream_batch8.jaxexp",
     }
 
 
@@ -310,7 +313,7 @@ def test_manifest_schema_is_stable(artifact):
         # provenance + streaming capability (additive, r3): readers must
         # tolerate these being absent in artifacts exported before they
         # existed
-        "model_version", "created_at", "streaming",
+        "model_version", "created_at", "streaming", "stream_batches",
     }
     assert manifest["format_version"] == 1
 

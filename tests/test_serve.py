@@ -449,6 +449,52 @@ def test_exported_artifact_streams_and_matches_live(service, tmp_path):
     assert results[0] == results[1] and len(results[0]) > 0
 
 
+def test_artifact_sessions_batch_across_sessions(service, tmp_path):
+    """With micro-batching on, concurrent sessions over an ARTIFACT share
+    the exported fixed-shape batched program: fewer dispatches than
+    pushes, identical intervals to unbatched artifact sessions."""
+    import concurrent.futures
+
+    from segma_tpu.export import ExportedPipeline, export_inference
+
+    out = tmp_path / "artifact_batch"
+    export_inference(
+        service.pipeline.model, out, buckets=(2,), batch_size=4,
+        transport="int16",
+    )
+    exp_batched = SegmentationService(
+        ExportedPipeline.load(out), batch_window_ms=30.0, max_batch=8
+    )
+    exp_serial = SegmentationService(ExportedPipeline.load(out))
+
+    rng = np.random.default_rng(23)
+    pcm = [
+        (rng.standard_normal(36_000) * 8000).astype(np.int16).tobytes()
+        for _ in range(4)
+    ]
+
+    def run_session(svc, data):
+        sid = svc.stream_start()
+        got = []
+        for off in range(0, len(data), 12_000):
+            got += svc.stream_push(
+                sid, data[off : off + 12_000], "audio/l16;endianness=little"
+            )
+        got += svc.stream_flush(sid)
+        return sorted(got)
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        batched = list(ex.map(lambda d: run_session(exp_batched, d), pcm))
+    serial = [run_session(exp_serial, d) for d in pcm]
+    assert batched == serial and any(len(r) > 0 for r in serial)
+    from segma_tpu.streaming import ChunkForwardBatcher
+
+    assert isinstance(exp_batched._stream_forward, ChunkForwardBatcher)
+    # 4 sessions x (2 full chunks + tail) = 12 forwards; batching must
+    # have grouped at least some of them
+    assert exp_batched._stream_forward.dispatches < 12
+
+
 def test_streaming_rejected_for_legacy_artifact(service, tmp_path):
     """Artifacts exported before stream.jaxexp existed stay batch-only,
     with an error that says how to fix it (re-export)."""
