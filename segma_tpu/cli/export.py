@@ -36,6 +36,12 @@ def main(argv: list[str] | None = None) -> None:
         help="free-form version string stamped into the manifest "
         "(surfaced by bundle catalogs and GET /v1/models)",
     )
+    parser.add_argument(
+        "--stream-batches", type=int, nargs="*", default=[2, 4, 8],
+        help="cross-session streaming batch buckets (each program embeds "
+        "a weight copy; pass nothing after the flag to ship only the "
+        "single-chunk stream program)",
+    )
     args, extra = parser.parse_known_args(argv)
 
     from segma_tpu.checkpoint import load_model_for_inference
@@ -55,6 +61,7 @@ def main(argv: list[str] | None = None) -> None:
         transport=args.transport,
         platforms=tuple(args.platforms),
         model_version=args.model_version,
+        stream_batches=tuple(args.stream_batches),
     )
     n_bytes = sum(p.stat().st_size for p in Path(out).glob("*"))
     print(f"[log] - exported {model.name} -> {out} ({n_bytes / 1e6:.1f} MB)")

@@ -122,8 +122,13 @@ def export_inference(
     transport: str = "int16",
     platforms: tuple[str, ...] = ("cpu", "tpu"),
     model_version: str | None = None,
+    stream_batches: tuple[int, ...] = STREAM_BATCHES,
 ) -> Path:
-    """Freeze ``model`` (with its current params) into an artifact dir."""
+    """Freeze ``model`` (with its current params) into an artifact dir.
+
+    ``stream_batches`` sets the cross-session streaming batch buckets
+    (each program embeds a weight copy — encoder-heavy models may want
+    ``()`` to ship only the single-chunk stream program)."""
     import contextlib
 
     output_dir = Path(output_dir)
@@ -143,11 +148,12 @@ def export_inference(
     from segma_tpu.ops.melspec import portable_lowering
 
     force_portable = tuple(platforms) != ("tpu",)
+    stream_batches = tuple(sorted({int(b) for b in stream_batches if b > 1}))
     ctx = portable_lowering() if force_portable else contextlib.nullcontext()
     with ctx:
         _export_programs(
             pipe, params, model, output_dir, buckets, transport, dtype,
-            platforms,
+            platforms, stream_batches,
         )
 
     from segma_tpu import __version__
@@ -179,14 +185,15 @@ def export_inference(
         # this build ships stream.jaxexp; loaders check the file (older
         # artifacts lack both the key and the program)
         "streaming": True,
-        "stream_batches": list(STREAM_BATCHES),
+        "stream_batches": list(stream_batches),
     }
     (output_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
     return output_dir
 
 
 def _export_programs(
-    pipe, params, model, output_dir, buckets, transport, dtype, platforms
+    pipe, params, model, output_dir, buckets, transport, dtype, platforms,
+    stream_batches,
 ) -> None:
     ck = pipe.chunkyfier
     buckets = tuple(sorted(set(buckets)))
@@ -243,7 +250,7 @@ def _export_programs(
     def stream_batch(chunks):
         return transform(apply(params, chunks, train=False))
 
-    for b in STREAM_BATCHES:
+    for b in stream_batches:
         exp_sb = jax_export.export(jax.jit(stream_batch), platforms=platforms)(
             jax.ShapeDtypeStruct((b, ck.chunk_duration_f), np.float32)
         )

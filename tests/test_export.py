@@ -347,3 +347,22 @@ def test_reference_tail_mode_roundtrips_through_artifact(tmp_path):
     got = exp.logits_for_audio(wav)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_stream_batches_trimmable(vad_model, tmp_path):
+    """stream_batches=() ships only the single-chunk stream program —
+    encoder-heavy models pay ~one weight copy per program, so the buckets
+    must be trimmable at export time."""
+    out = tmp_path / "lean"
+    export_inference(
+        vad_model, out, buckets=(2,), batch_size=2, transport="int16",
+        stream_batches=(),
+    )
+    exp = ExportedPipeline.load(out)
+    assert exp.supports_streaming and not exp.stream_batch_fns
+    assert exp.manifest["stream_batches"] == []
+    assert not list(out.glob("stream_batch*.jaxexp"))
+    from segma_tpu.streaming import ChunkForwardBatcher
+
+    with pytest.raises(ValueError, match="re-export"):
+        ChunkForwardBatcher.from_exported(exp)

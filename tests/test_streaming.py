@@ -244,3 +244,57 @@ def test_chunk_forward_batcher_parity_and_batching(vad_model):
     # batching must have grouped at least some of them
     total_chunks = sum(4 for _ in audios)
     assert batcher.dispatches < total_chunks, batcher.dispatches
+
+
+def test_whisper_streaming_matches_offline_live_and_exported(tmp_path):
+    """The flagship family streams too: a surgical_hydra (whisper encoder,
+    padded 30 s context per chunk) streaming session must match the
+    offline pipeline — live AND off a frozen artifact's stream.jaxexp."""
+    from pathlib import Path
+
+    import jax
+    import pytest as _pytest
+
+    from segma_tpu.config import load_config
+    from segma_tpu.export import ExportedPipeline, export_inference
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    config_dir = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+    cfg = load_config(
+        config_dir / "default.yml",
+        [
+            "model.name=surgical_hydra",
+            "model.config.encoder=missing_tiny",
+            "model.config.lstm={hidden_size: 16, num_layers: 1, "
+            "bidirectional: true, dropout: 0.0}",
+            "audio.chunk_duration_s=1.0",
+            "train.precision=f32",
+        ],
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    with _pytest.warns(UserWarning):
+        model = Models["surgical_hydra"](enc, cfg)
+    from segma_tpu.models.whisper.encoder import WhisperEncoderConfig
+
+    model.module = model.module.clone(
+        enc_cfg=WhisperEncoderConfig(d_model=64, n_heads=2, n_layers=2, ffn_dim=128)
+    )
+    model.init_params(jax.random.key(0))
+
+    rng = np.random.default_rng(31)
+    audio = (rng.standard_normal(36_000) * 0.2).astype(np.float32)
+    offline = _offline_intervals(model, audio)
+    assert len(offline) > 0
+
+    live = StreamingSegmenter(model, model.params)
+    exp_dir = tmp_path / "whisper_stream"
+    export_inference(model, exp_dir, buckets=(2,), batch_size=2, transport="int16")
+    frozen = ExportedPipeline.load(exp_dir).streaming_segmenter(
+        default_thresholds(model.label_encoder.base_labels)
+    )
+    for seg in (live, frozen):
+        for off in range(0, audio.shape[0], 9_000):
+            seg.push(audio[off : off + 9_000])
+        seg.flush()
+        assert seg.intervals == offline
