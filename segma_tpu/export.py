@@ -472,15 +472,19 @@ def run_inference_on_artifact(
     rttm_dirname: str = "raw_rttm",
     min_duration_s: float = 0.0,
     merge_gap_s: float = 0.0,
+    dump_logits: bool = False,
 ) -> list[Path]:
     """Batch prediction from a frozen export directory — same RTTM layout
     as ``run_inference_on_audios`` but no model zoo, registry, or
-    checkpoint handling (``scripts/predict.py --artifact``)."""
+    checkpoint handling (``scripts/predict.py --artifact``).
+    ``dump_logits`` writes the tuner's per-label ``.npz`` dumps, so the
+    predict->tune->predict loop runs on artifact-only deployments too."""
     from segma_tpu.inference import (
         _load_mono,
         get_list_of_files_to_process,
         load_thresholds,
         postprocess_intervals,
+        save_logits,
         write_intervals,
     )
 
@@ -506,6 +510,8 @@ def run_inference_on_artifact(
         # per-label decode order (not segment()'s time-sorted order) so the
         # RTTM files are byte-identical to the live CLI's
         logits = pipe.logits_for_audio(pipe.prepare(audio))
+        if dump_logits:
+            save_logits(logits, list(pipe.labels), Path(output), audio_path.stem)
         intervals = postprocess_intervals(
             pipe.decode_intervals(logits, thresholds),
             min_duration_f=int(min_duration_s * sr),

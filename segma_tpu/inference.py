@@ -760,23 +760,27 @@ def write_intervals(
 
 def save_logits(
     logits: np.ndarray,
-    label_encoder: MultiLabelEncoder,
+    label_encoder,
     output_p: Path,
     uri: str,
 ) -> Path:
     """Dump per-label logits for threshold tuning. Format: ``.npz`` keyed by
     label (replaces the reference's torch ``.pt`` dict,
-    ``inference.py:331-342``; the tuner reads both)."""
+    ``inference.py:331-342``; the tuner reads both).
+
+    ``label_encoder``: a :class:`MultiLabelEncoder` or a plain label list
+    (the artifact path has no encoder object, only manifest labels)."""
+    if isinstance(label_encoder, (list, tuple)):
+        labels = list(label_encoder)
+    else:
+        labels = [
+            label_encoder.inv_transform(i)
+            for i in range(label_encoder.n_labels)
+        ]
     logits_out = output_p / "logits"
     logits_out.mkdir(parents=True, exist_ok=True)
     out = logits_out / f"{uri}-logits_dict_t.npz"
-    np.savez(
-        out,
-        **{
-            label_encoder.inv_transform(i): logits[:, i]
-            for i in range(label_encoder.n_labels)
-        },
-    )
+    np.savez(out, **{label: logits[:, i] for i, label in enumerate(labels)})
     return out
 
 
@@ -1131,10 +1135,10 @@ def main(argv: list[str] | None = None) -> None:
     if args.artifact is not None:
         from segma_tpu.export import run_inference_on_artifact
 
-        # frozen artifacts pin their own transport/batch geometry and ship
-        # no raw logits — reject flags that would be silently ignored, and
-        # any leftover args (the config path treats them as overrides; here
-        # there is no config to override)
+        # frozen artifacts pin their own transport/batch geometry — reject
+        # flags that would be silently ignored, and any leftover args (the
+        # config path treats them as overrides; here there is no config to
+        # override)
         unsupported = [
             flag
             for flag, on in (
@@ -1142,7 +1146,6 @@ def main(argv: list[str] | None = None) -> None:
                     "--checkpoint",
                     args.checkpoint != parser.get_default("checkpoint"),
                 ),
-                ("--save-logits", args.save_logits),
                 ("--transport", args.transport != "int16"),
                 ("--batch_size", args.batch_size != 128),
                 ("--mesh", args.mesh != "auto"),
@@ -1169,6 +1172,7 @@ def main(argv: list[str] | None = None) -> None:
             rttm_dirname=args.rttm_dirname,
             min_duration_s=args.min_duration,
             merge_gap_s=args.merge_gap,
+            dump_logits=args.save_logits,
         )
         return
 

@@ -185,6 +185,7 @@ def test_predict_cli_from_artifact(vad_model, synthetic_dataset, tmp_path):
         output=live_out,
         uris=synthetic_dataset / "test.txt",
         model=vad_model,
+        dump_logits=True,
     )
 
     art_out = tmp_path / "art"
@@ -193,11 +194,21 @@ def test_predict_cli_from_artifact(vad_model, synthetic_dataset, tmp_path):
         "--wavs", str(synthetic_dataset / "wav"),
         "--uris", str(synthetic_dataset / "test.txt"),
         "--output", str(art_out),
+        "--save-logits",
     ])
     live_rttms = sorted((live_out / "raw_rttm").glob("*.rttm"))
     assert len(live_rttms) == 5
     for rttm in live_rttms:
         assert (art_out / "raw_rttm" / rttm.name).read_text() == rttm.read_text()
+    # --save-logits works for artifacts too (tuner loop without a model
+    # zoo): same labels, same values as the live dumps
+    live_npz = sorted((live_out / "logits").glob("*.npz"))
+    assert len(live_npz) == 5
+    for npz in live_npz:
+        a, b = np.load(npz), np.load(art_out / "logits" / npz.name)
+        assert sorted(a.files) == sorted(b.files)
+        for k in a.files:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-5)
 
 
 def test_bucket_plan_minimizes_transfer():
@@ -245,7 +256,7 @@ def test_artifact_cli_rejects_incompatible_flags(tmp_path):
     with pytest.raises(SystemExit):
         predict_main([
             "--artifact", str(tmp_path), "--wavs", str(tmp_path),
-            "--output", str(tmp_path), "--save-logits",
+            "--output", str(tmp_path), "--transport", "mulaw",
         ])
     with pytest.raises(SystemExit):
         predict_main([
