@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> None:
         help="refuse request bodies above this size with 413",
     )
     parser.add_argument(
+        "--mesh", default="auto", choices=["auto", "off"],
+        help="shard batch inference over the device mesh when several "
+        "chips are visible (same policy as predict); streaming stays "
+        "single-device",
+    )
+    parser.add_argument(
         "--transport", default="int16",
         choices=["int16", "mulaw", "adpcm", "f32"],
         help="host->device sample encoding (mulaw/adpcm: lossy, 2x/3.7x "
@@ -82,5 +88,6 @@ def main(argv: list[str] | None = None) -> None:
         batch_window_ms=args.batch_window_ms,
         max_batch=args.max_batch,
         max_body_mb=args.max_body_mb,
+        mesh=args.mesh,
         transport=args.transport,
     )

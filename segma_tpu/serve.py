@@ -919,6 +919,7 @@ def serve_forever(
     bundle: Path | str | None = None,
     default_model: str | None = None,
     max_body_mb: float = 512.0,
+    mesh: Any = "auto",
 ) -> None:
     """Load the model(s) and serve until interrupted (CLI entry).
 
@@ -977,11 +978,22 @@ def serve_forever(
 
         cfg = config if isinstance(config, Config) else load_config(config)
         model = load_model_for_inference(cfg, checkpoint)
+        if mesh == "auto":
+            # same device-mesh policy as the predict CLI: batch requests
+            # shard their window axis across every chip of the slice
+            import jax
+
+            from segma_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg) if len(jax.devices()) > 1 else None
+        elif mesh == "off":
+            mesh = None
         pipeline = InferencePipeline(
             model,
             model.params,
             batch_size=batch_size,
             transport="adpcm" if transport == "adpcm" else "auto",
+            mesh=mesh,
         )
         warm_f = cfg.audio.chunk_duration_f
     service = SegmentationService(

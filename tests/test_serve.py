@@ -714,3 +714,25 @@ def test_ws_eof_mid_extended_length_frees_session(server, service):
     f.close()  # the makefile holds a dup'd fd — close both to send FIN
     sock.close()
     assert _settle(lambda: not service._streams), service._streams
+
+
+def test_serving_under_device_mesh_matches_meshless(service, wav_bytes):
+    """serve --mesh auto: a service whose pipeline shards the window axis
+    over the 8-device CPU mesh must return exactly the meshless service's
+    intervals (bit-parity of the serving surface under data parallelism)."""
+    from segma_tpu.parallel.mesh import make_mesh
+
+    _, audio = wav_bytes
+    meshed = SegmentationService(
+        InferencePipeline(
+            service.pipeline.model,
+            service.pipeline.model.params,
+            batch_size=8,
+            mesh=make_mesh(data=-1),
+        )
+    )
+    pcm = (np.clip(audio, -1, 1) * 32767.0).astype(np.int16)
+    body = pcm.astype("<i2").tobytes()
+    got = meshed.segment(body, "audio/l16;endianness=little")
+    ref = service.segment(body, "audio/l16;endianness=little")
+    assert got == ref and len(ref) > 0
