@@ -327,6 +327,50 @@ def load_model_for_inference(
     return model
 
 
+def checkpoint_is_loadable(path: Path | str) -> bool:
+    """Structural validity of a checkpoint dir: params.msgpack exists and
+    unpacks (no shape template needed). Catches truncated/corrupted blobs
+    without building a model."""
+    try:
+        blob = (Path(path) / "params.msgpack").read_bytes()
+        serialization.msgpack_restore(blob)
+        return True
+    except Exception:  # noqa: BLE001 — any parse failure means "not valid"
+        return False
+
+
+def find_resumable(checkpoints_dir: Path | str) -> Path | None:
+    """Newest structurally VALID resume point under a run's checkpoints.
+
+    ``last/`` when it parses; otherwise the newest surviving ``epoch=*``
+    directory that does (losing only opt-state exactness — top-k dirs
+    don't carry it); None when nothing is salvageable. Keeps a corrupted
+    ``last/`` (torn disk, partial copy) from turning an auto-requeue loop
+    into a crash loop: resume degrades instead of failing forever.
+    """
+    from segma_tpu.utils.logging import log
+
+    checkpoints_dir = Path(checkpoints_dir)
+    last = recover_last_dir(checkpoints_dir)
+    if last.exists():
+        if checkpoint_is_loadable(last):
+            return last
+        log(
+            f"WARNING: {last} is corrupted (params.msgpack does not parse);"
+            " falling back to the newest epoch checkpoint"
+        )
+    epochs = sorted(
+        (p for p in checkpoints_dir.glob("epoch=*") if p.is_dir()),
+        key=lambda p: int(load_meta(p).get("epoch", -1)),
+        reverse=True,
+    )
+    for p in epochs:
+        if checkpoint_is_loadable(p):
+            return p
+        log(f"WARNING: skipping corrupted checkpoint {p}")
+    return None
+
+
 def recover_last_dir(checkpoints_dir: Path | str) -> Path:
     """``last/`` under ``checkpoints_dir``, adopting a stranded
     ``.last.old`` from ``_write_last``'s two-rename crash window (last/ was

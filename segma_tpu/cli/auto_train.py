@@ -35,14 +35,20 @@ def main(argv: list[str] | None = None) -> None:
             if args.output
             else Path(cfg.model.chkp_path or "models")
         )
-        from segma_tpu.checkpoint import recover_last_dir
+        from segma_tpu.checkpoint import find_resumable
 
-        last = recover_last_dir(root / args.run_id / "checkpoints")
-        if last.exists():
-            resume_from = last
-            log(f"auto-resume from {last}")
+        # newest VALID resume point (last/, else a surviving epoch dir) —
+        # a corrupted last/ must not turn the SLURM requeue contract into
+        # a crash loop
+        resumable = find_resumable(root / args.run_id / "checkpoints")
+        if resumable is not None:
+            resume_from = resumable
+            log(f"auto-resume from {resumable}")
         else:
-            log("auto-resume requested but no last checkpoint found; fresh run")
+            log(
+                "auto-resume requested but no (valid) checkpoint found; "
+                "fresh run"
+            )
 
     run_training(
         cfg,

@@ -529,6 +529,38 @@ def test_write_last_ignores_stale_tmp_and_recovers_old(tmp_path):
     assert not (tmp_path / ".last.old").exists()
 
 
+def test_find_resumable_skips_corrupted_checkpoints(tmp_path, capsys):
+    """A corrupted last/ must degrade resume to the newest valid epoch
+    checkpoint (and corrupted epochs to older ones) instead of crashing —
+    under SLURM auto-requeue a crash on resume loops forever."""
+    from segma_tpu.checkpoint import find_resumable
+
+    params = {"heads": {"kernel": np.ones((2, 2), np.float32)}}
+    mgr = CheckpointManager(tmp_path, monitor="val/loss", mode="min")
+    for epoch, score in enumerate([0.5, 0.3, 0.4]):
+        mgr.step(epoch, score, params, meta={})
+
+    assert find_resumable(tmp_path) == tmp_path / "last"
+
+    # corrupt last/: fall back to the newest epoch dir (epoch 2)
+    (tmp_path / "last" / "params.msgpack").write_bytes(b"\xc1TORN WRITE")
+    got = find_resumable(tmp_path)
+    assert got is not None and got.name.startswith("epoch=02")
+    assert "corrupted" in capsys.readouterr().out
+
+    # corrupt the newest epoch too: fall back one more
+    (got / "params.msgpack").write_bytes(b"\xc1")
+    got = find_resumable(tmp_path)
+    assert got is not None and got.name.startswith("epoch=01")
+
+    # nothing valid anywhere -> None (fresh run), never an exception
+    for p in tmp_path.glob("*"):
+        if (p / "params.msgpack").exists():
+            (p / "params.msgpack").write_bytes(b"\xc1")
+    assert find_resumable(tmp_path) is None
+    assert find_resumable(tmp_path / "never_existed") is None
+
+
 def test_checkpoint_layout_is_stable(tmp_path):
     """Checkpoint directory layout is a cross-version contract (resume,
     import tooling, best.ckpt symlinks): file names and meta keys must not
