@@ -86,7 +86,18 @@ def load_params(path: Path, template: Any) -> Any:
         blob = (path / "params.msgpack").read_bytes()
     else:
         blob = path.read_bytes()
-    return serialization.from_bytes(template, blob)
+    try:
+        return serialization.from_bytes(template, blob)
+    except Exception as e:
+        try:  # distinguish corruption from a tree/template mismatch
+            serialization.msgpack_restore(blob)
+        except Exception:
+            raise ValueError(
+                f"{path}: corrupted checkpoint — params.msgpack does not "
+                f"parse ({type(e).__name__}). Re-run from another "
+                "checkpoint (auto-resume falls back automatically)."
+            ) from e
+        raise  # valid msgpack, wrong tree: flax's mismatch message is good
 
 
 def load_opt_state(path: Path, template: Any) -> Any | None:

@@ -893,6 +893,35 @@ def make_server(
     )
 
 
+def _serve_until_signalled(server: ThreadingHTTPServer) -> None:
+    """serve_forever with graceful termination.
+
+    SIGTERM — what k8s/systemd/SLURM send on stop — drains in-flight
+    requests (shutdown stops accepting, ``block_on_close`` waits for
+    handler threads) instead of resetting client connections mid-reply.
+    ``shutdown()`` runs on a helper thread: it blocks until the serve loop
+    exits, and the signal fires ON the loop's thread."""
+    import signal
+
+    from segma_tpu.utils.logging import log
+
+    def _term(signum, frame):
+        log("SIGTERM: draining in-flight requests and shutting down")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        prev = signal.signal(signal.SIGTERM, _term)
+    except ValueError:  # not the main thread (library/test embedding)
+        prev = None
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    finally:
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
+
+
 def _warm_stream_programs(pipeline, batching: bool) -> None:
     """Compile/link an artifact's streaming programs before traffic (the
     batched buckets only when micro-batching will use them)."""
@@ -959,10 +988,7 @@ def serve_forever(
             f"(default {manifest['default']}) on "
             f"http://{host}:{server.server_address[1]}"
         )
-        try:
-            server.serve_forever()
-        except KeyboardInterrupt:
-            server.shutdown()
+        _serve_until_signalled(server)
         return
 
     if artifact is not None:
@@ -1019,7 +1045,4 @@ def serve_forever(
         f"serving {service.model_name} on "
         f"http://{host}:{server.server_address[1]}"
     )
-    try:
-        server.serve_forever()
-    except KeyboardInterrupt:
-        server.shutdown()
+    _serve_until_signalled(server)

@@ -736,3 +736,26 @@ def test_serving_under_device_mesh_matches_meshless(service, wav_bytes):
     got = meshed.segment(body, "audio/l16;endianness=little")
     ref = service.segment(body, "audio/l16;endianness=little")
     assert got == ref and len(ref) > 0
+
+
+def test_sigterm_drains_and_stops(service):
+    """SIGTERM (k8s/systemd stop) must end the serve loop gracefully and
+    restore the previous handler — not reset clients or hang forever."""
+    import os
+    import signal
+    import time
+
+    from segma_tpu.serve import _serve_until_signalled
+
+    prev = signal.getsignal(signal.SIGTERM)
+    srv = make_server(service, port=0)
+
+    def kill_soon():
+        time.sleep(0.3)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    threading.Thread(target=kill_soon, daemon=True).start()
+    t0 = time.monotonic()
+    _serve_until_signalled(srv)  # returns once the signal lands
+    assert time.monotonic() - t0 < 10
+    assert signal.getsignal(signal.SIGTERM) is prev
