@@ -243,3 +243,48 @@ def test_bundle_cli_writes_manifest(bundle_dir, capsys):
     out = capsys.readouterr().out
     assert "default: alert" in out and "v1.2.0" in out
     assert json.loads((bundle_dir / "bundle.json").read_text())["default"] == "alert"
+
+
+def test_ws_streaming_over_bundle_with_model_param(bundle_server):
+    """GET /v1/stream/ws?model=<name> opens a WebSocket session against
+    that bundle model's frozen stream program."""
+    from tests.test_serve import _ws_client
+
+    url, _ = bundle_server
+    sock, f, ws = _ws_client(url, path="/v1/stream/ws?model=alert")
+    try:
+        pcm = (np.zeros(20_000) + 0.1 * 32767).astype("<i2").tobytes()
+        f.write(ws.mask_frame(ws.OP_BINARY, pcm))
+        f.flush()
+        op, payload = ws.read_frame(f, require_mask=False)
+        assert op == ws.OP_TEXT
+        f.write(ws.mask_frame(ws.OP_TEXT, b"flush"))
+        f.flush()
+        op, payload = ws.read_frame(f, require_mask=False)
+        assert op == ws.OP_TEXT
+        final = json.loads(payload)
+        # alert model: thresholds 0 -> every label fires over the clip
+        assert len(final["intervals"]) > 0
+        op, _ = ws.read_frame(f, require_mask=False)
+        assert op == ws.OP_CLOSE
+    finally:
+        sock.close()
+
+
+def test_ws_unknown_model_is_404(bundle_server):
+    import socket
+    from urllib.parse import urlparse
+
+    url, _ = bundle_server
+    u = urlparse(url)
+    sock = socket.create_connection((u.hostname, u.port), timeout=30)
+    f = sock.makefile("rwb")
+    f.write(
+        b"GET /v1/stream/ws?model=nope HTTP/1.1\r\n"
+        + f"Host: {u.hostname}:{u.port}\r\n".encode()
+        + b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+        b"Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n\r\n"
+    )
+    f.flush()
+    assert b"404" in f.readline()
+    sock.close()

@@ -609,7 +609,7 @@ def test_ws_codec_roundtrip():
         ws.read_frame(io.BytesIO(ws.encode_frame(ws.OP_TEXT, b"nope")))
 
 
-def _ws_client(server_url: str):
+def _ws_client(server_url: str, path: str = "/v1/stream/ws"):
     """Tiny raw-socket websocket client for tests."""
     import socket
     from urllib.parse import urlparse
@@ -620,7 +620,7 @@ def _ws_client(server_url: str):
     sock = socket.create_connection((u.hostname, u.port), timeout=30)
     f = sock.makefile("rwb")
     f.write(
-        b"GET /v1/stream/ws HTTP/1.1\r\n"
+        f"GET {path} HTTP/1.1\r\n".encode()
         + f"Host: {u.hostname}:{u.port}\r\n".encode()
         + b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
         b"Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
