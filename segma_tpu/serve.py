@@ -615,8 +615,18 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
             pass
 
         def _body_length(self) -> int | None:
-            """Content-Length, bounded; None means 413 was already sent."""
-            length = int(self.headers.get("Content-Length", 0))
+            """Content-Length, bounded; None means an error reply (400/413)
+            was already sent."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length < 0:
+                    raise ValueError(length)
+            except ValueError:
+                # a garbage header must get a clean 400, not an unhandled
+                # exception that drops the connection without a response
+                self.close_connection = True
+                self._error(400, "invalid Content-Length header")
+                return None
             if length > max_body_bytes:
                 # the body was never read: this keep-alive connection is
                 # now mid-upload and unusable — close it after replying
@@ -646,6 +656,14 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
             parts = url.path.split("/")  # ['', 'v1', 'stream', ...]
             t0 = time.monotonic()
             if parts[3:] == ["start"]:
+                # drain any request body: leaving unread bytes on a
+                # keep-alive connection desyncs the NEXT request (its
+                # request line would be parsed out of this body)
+                length = self._body_length()
+                if length is None:
+                    return
+                if length:
+                    self.rfile.read(length)
                 model = parse_qs(url.query).get("model", [None])[0]
                 try:
                     service = router.get(model)
@@ -757,7 +775,12 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
                     send(ws.OP_TEXT, service.to_json(sorted(intervals), sid))
                 except KeyError:
                     pass  # session already flushed/evicted
-                send(ws.OP_CLOSE, close_payload[:2])
+                # echo the peer's close code only when it is well-formed
+                # (RFC 6455 §5.5.1: a close payload is empty or >= 2 bytes)
+                send(
+                    ws.OP_CLOSE,
+                    close_payload[:2] if len(close_payload) >= 2 else b"",
+                )
 
             try:
                 while True:

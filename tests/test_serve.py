@@ -759,3 +759,93 @@ def test_sigterm_drains_and_stops(service):
     _serve_until_signalled(srv)  # returns once the signal lands
     assert time.monotonic() - t0 < 10
     assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def _read_http_response(f) -> tuple[bytes, bytes]:
+    """Read one HTTP/1.1 response (status line, headers, Content-Length
+    body) off a socket makefile; returns (status_line, body)."""
+    status = f.readline()
+    headers = {}
+    while True:
+        line = f.readline()
+        if line in (b"\r\n", b"\n", b""):
+            break
+        k, _, v = line.partition(b":")
+        headers[k.strip().lower()] = v.strip()
+    body = f.read(int(headers.get(b"content-length", 0)))
+    return status, body
+
+
+def test_malformed_content_length_gets_400(server):
+    """A garbage Content-Length header must get a clean 400 response, not
+    an unhandled int() ValueError that drops the connection without any
+    reply (regression)."""
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(server)
+    sock = socket.create_connection((u.hostname, u.port), timeout=30)
+    try:
+        sock.sendall(
+            b"POST /v1/segment HTTP/1.1\r\n"
+            + f"Host: {u.hostname}:{u.port}\r\n".encode()
+            + b"Content-Length: banana\r\n\r\n"
+        )
+        reply = sock.recv(65536)
+    finally:
+        sock.close()
+    assert reply.startswith(b"HTTP/1.1 400"), reply[:120]
+    assert b"Content-Length" in reply
+
+
+def test_stream_start_body_does_not_desync_keepalive(server):
+    """POST /v1/stream/start with a (pointless but legal) body: the
+    handler must drain it, or the NEXT request on the same keep-alive
+    connection is parsed out of the body bytes (regression: start never
+    read the body)."""
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(server)
+    sock = socket.create_connection((u.hostname, u.port), timeout=30)
+    f = sock.makefile("rwb")
+    try:
+        body = b'{"client": "sends-a-config-blob"}'
+        f.write(
+            b"POST /v1/stream/start HTTP/1.1\r\n"
+            + f"Host: {u.hostname}:{u.port}\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+        f.flush()
+        status, first = _read_http_response(f)
+        assert status.startswith(b"HTTP/1.1 200"), status
+        sid = json.loads(first)["session"]
+        # the SAME connection must parse the next request cleanly
+        f.write(
+            f"POST /v1/stream/{sid}/flush HTTP/1.1\r\n"
+            f"Host: {u.hostname}:{u.port}\r\n"
+            "Content-Length: 0\r\n\r\n".encode()
+        )
+        f.flush()
+        status, _ = _read_http_response(f)
+        assert status.startswith(b"HTTP/1.1 200"), status
+    finally:
+        sock.close()
+
+
+def test_ws_close_payload_echo_is_well_formed(server):
+    """Echoing a peer's 1-byte close payload (their protocol violation)
+    would violate RFC 6455 §5.5.1 in OUR close frame — the reply payload
+    must be empty or a full 2-byte code."""
+    sock, f, ws = _ws_client(server)
+    try:
+        f.write(ws.mask_frame(ws.OP_CLOSE, b"\x03"))
+        f.flush()
+        op, _ = ws.read_frame(f, require_mask=False)  # final intervals
+        assert op == ws.OP_TEXT
+        op, payload = ws.read_frame(f, require_mask=False)
+        assert op == ws.OP_CLOSE
+        assert payload == b""
+    finally:
+        sock.close()
