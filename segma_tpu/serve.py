@@ -30,6 +30,10 @@ Bundle serving (``--bundle <dir>``, see ``segma_tpu.bundle``) loads every
 exported artifact under one directory and routes per request via the
 ``model=<name>`` query parameter on ``/v1/segment`` / ``/v1/stream/start``
 / ``/v1/stream/ws``; omitted, the bundle's default election applies.
+``POST /admin/reload`` re-scans the bundle directory without a restart:
+new/re-exported artifacts are loaded and warmed before they route,
+unchanged ones keep their service (metrics and sessions intact), removed
+ones stop taking new requests while open streaming sessions drain.
 
 The HTTP layer is multi-threaded so upload + WAV decode of request i+1
 overlap device compute of request i; actual device work is serialized by a
@@ -541,12 +545,21 @@ class ModelRouter:
     """
 
     def __init__(
-        self, services: dict[str, SegmentationService], default: str
+        self,
+        services: dict[str, SegmentationService],
+        default: str,
+        reloader=None,
     ) -> None:
         if default not in services:
             raise KeyError(f"default model {default!r} not in {sorted(services)}")
         self.services = services
         self.default = default
+        # hot-reload hook (bundle serving only): () -> (services, default,
+        # report). Swapped-out services are retired, not dropped — their
+        # live streaming sessions keep draining via service_for_sid.
+        self.reloader = reloader
+        self._retired: list[SegmentationService] = []
+        self._swap_lock = threading.Lock()
 
     @classmethod
     def single(cls, service: SegmentationService) -> "ModelRouter":
@@ -564,12 +577,43 @@ class ModelRouter:
 
     def service_for_sid(self, sid: str) -> SegmentationService:
         """Find the service owning a streaming session (push/flush carry
-        only the sid; the model was chosen at /v1/stream/start)."""
-        for svc in self.services.values():
+        only the sid; the model was chosen at /v1/stream/start). Retired
+        services (hot-reload swapped them out) are searched too, so open
+        sessions drain across a reload."""
+        for svc in [*self.services.values(), *self._retired]:
             with svc._streams_lock:
                 if sid in svc._streams:
                     return svc
         raise KeyError(sid)
+
+    def reload(self) -> bytes:
+        """Re-scan the bundle and swap the routing table (POST
+        /admin/reload). New/changed artifacts are loaded and warmed;
+        unchanged ones keep their service (metrics continuity); removed
+        or replaced ones stop taking new requests but their open
+        streaming sessions drain to completion."""
+        if self.reloader is None:
+            raise ValueError(
+                "hot reload is only available under --bundle serving"
+            )
+        with self._swap_lock:
+            new_services, default, report = self.reloader(self.services)
+            old = self.services
+            # swap atomically (readers never see a half-built table)
+            self.services = new_services
+            self.default = default
+            retiring = [
+                svc
+                for name, svc in old.items()
+                if new_services.get(name) is not svc
+            ]
+            # prune retired services whose sessions have all drained
+            self._retired = [
+                svc
+                for svc in (*self._retired, *retiring)
+                if svc._streams
+            ]
+            return json.dumps(report).encode()
 
     def models_payload(self) -> bytes:
         """GET /v1/models: the catalog — name, labels, provenance."""
@@ -853,6 +897,19 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
             if url.path.startswith("/v1/stream"):
                 self._stream_route(url)
                 return
+            if url.path == "/admin/reload":
+                length = self._body_length()
+                if length is None:
+                    return
+                if length:
+                    self.rfile.read(length)  # drain (reloads take no body)
+                try:
+                    self._reply(200, router.reload(), "application/json")
+                except ValueError as e:  # not a bundle server
+                    self._error(409, str(e))
+                except Exception as e:  # noqa: BLE001 — keep the server alive
+                    self._error(500, f"{type(e).__name__}: {e}")
+                return
             if url.path != "/v1/segment":
                 self._error(404, f"unknown path {self.path!r}")
                 return
@@ -957,6 +1014,67 @@ def _warm_stream_programs(pipeline, batching: bool) -> None:
             fn.call(np.zeros((b, chunk_f), np.float32))
 
 
+def bundle_reloader(
+    bundle: Path | str,
+    default_model: str | None = None,
+    thresholds: dict | None = None,
+    transport: str = "int16",
+    batch_window_ms: float = 0.0,
+    max_batch: int = 8,
+    device_lock: threading.Lock | None = None,
+):
+    """Factory for the bundle scan callable used at startup and by
+    ``POST /admin/reload``: ``rescan(current_services) -> (services,
+    default, report)``. Services whose artifact manifest is unchanged are
+    reused (metrics/session continuity); new or re-exported artifacts get
+    fresh services, warmed under the shared device lock before they route.
+    """
+    shared_lock = device_lock or threading.Lock()
+
+    def rescan(current: dict) -> tuple[dict, str, dict]:
+        from segma_tpu.bundle import load_bundle
+
+        manifest, pipelines = load_bundle(bundle, default=default_model)
+        services: dict[str, SegmentationService] = {}
+        added: list[str] = []
+        replaced: list[str] = []
+        kept: list[str] = []
+        for name, pipe in pipelines.items():
+            prev = current.get(name)
+            if (
+                prev is not None
+                and prev.exported
+                and prev.pipeline.manifest == pipe.manifest
+            ):
+                services[name] = prev
+                kept.append(name)
+                continue
+            svc = SegmentationService(
+                pipe,
+                thresholds,
+                transport=transport,
+                batch_window_ms=batch_window_ms,
+                max_batch=max_batch,
+                device_lock=shared_lock,
+            )
+            warm = np.zeros(int(pipe.manifest["chunk_duration_f"]), np.int16)
+            with shared_lock:  # in-flight requests share the device
+                pipe.segment(warm, svc.thresholds)
+                _warm_stream_programs(pipe, batch_window_ms > 0)
+            services[name] = svc
+            (replaced if name in current else added).append(name)
+        report = {
+            "default": manifest["default"],
+            "added": sorted(added),
+            "replaced": sorted(replaced),
+            "kept": sorted(kept),
+            "removed": sorted(set(current) - set(pipelines)),
+        }
+        return services, manifest["default"], report
+
+    return rescan
+
+
 def serve_forever(
     config: Any = None,
     checkpoint: Path | str | None = None,
@@ -984,31 +1102,21 @@ def serve_forever(
 
     max_body_bytes = int(max_body_mb * (1 << 20))
     if bundle is not None:
-        from segma_tpu.bundle import load_bundle
-
-        manifest, pipelines = load_bundle(bundle, default=default_model)
-        shared_lock = threading.Lock()
-        services = {
-            name: SegmentationService(
-                pipe,
-                thresholds,
-                transport=transport,
-                batch_window_ms=batch_window_ms,
-                max_batch=max_batch,
-                device_lock=shared_lock,
-            )
-            for name, pipe in pipelines.items()
-        }
-        router = ModelRouter(services, manifest["default"])
-        log(f"warming up {len(pipelines)} artifacts (load+link)...")
-        for name, pipe in pipelines.items():
-            warm = np.zeros(pipe.manifest["chunk_duration_f"], np.int16)
-            pipe.segment(warm, services[name].thresholds)
-            _warm_stream_programs(pipe, batch_window_ms > 0)
+        rescan = bundle_reloader(
+            bundle,
+            default_model=default_model,
+            thresholds=thresholds,
+            transport=transport,
+            batch_window_ms=batch_window_ms,
+            max_batch=max_batch,
+        )
+        log("loading bundle artifacts (load+link+warm)...")
+        services, default, _ = rescan({})
+        router = ModelRouter(services, default, reloader=rescan)
         server = make_server(router, host, port, max_body_bytes)
         log(
             f"serving bundle [{', '.join(sorted(services))}] "
-            f"(default {manifest['default']}) on "
+            f"(default {default}) on "
             f"http://{host}:{server.server_address[1]}"
         )
         _serve_until_signalled(server)

@@ -288,3 +288,157 @@ def test_ws_unknown_model_is_404(bundle_server):
     f.flush()
     assert b"404" in f.readline()
     sock.close()
+
+
+# -- hot reload ------------------------------------------------------------------
+
+
+def _export(model, out: Path, lower: float, version=None):
+    labels = model.label_encoder.base_labels
+    export_inference(
+        model,
+        out,
+        thresholds={
+            lb: {"lower_bound": lower, "upper_bound": 1.0} for lb in labels
+        },
+        buckets=(2,),
+        batch_size=2,
+        transport="int16",
+        stream_batches=(2,),
+        model_version=version,
+    )
+
+
+@pytest.fixture()
+def reloadable_server(tmp_path):
+    """A live bundle server over a MUTABLE bundle dir + its router."""
+    from segma_tpu.serve import bundle_reloader
+
+    root = tmp_path / "bundle"
+    root.mkdir()
+    model = _make_model(0)
+    _export(model, root / "alert", 0.0, version="v1")
+    write_bundle_manifest(root, default="alert")
+
+    rescan = bundle_reloader(root)
+    services, default, report = rescan({})
+    assert report["added"] == ["alert"] and report["kept"] == []
+    router = ModelRouter(services, default, reloader=rescan)
+    srv = make_server(router, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", router, root, model
+    srv.shutdown()
+
+
+def test_admin_reload_adds_removes_and_drains(reloadable_server):
+    """POST /admin/reload: a new artifact routes without a restart, an
+    unchanged one keeps its service (metrics continuity), a removed one
+    404s for NEW requests while an already-open streaming session on a
+    replaced model drains to completion."""
+    import shutil
+
+    url, router, root, model = reloadable_server
+    body = _pcm_body()
+
+    # open a streaming session on the original artifact
+    _, raw = _post(f"{url}/v1/stream/start?model=alert", b"")
+    sid = json.loads(raw)["session"]
+    old_service = router.get("alert")
+
+    # add a second artifact and reload
+    _export(model, root / "strict", 1.0)
+    write_bundle_manifest(root)  # keeps the prior 'alert' election
+    status, raw = _post(f"{url}/admin/reload", b"")
+    report = json.loads(raw)
+    assert status == 200
+    assert report["added"] == ["strict"]
+    assert report["kept"] == ["alert"] and report["default"] == "alert"
+    assert router.get("alert") is old_service  # service object survived
+
+    # the new model serves immediately (thresholds 1.0 -> no intervals)
+    status, raw = _post(
+        f"{url}/v1/segment?model=strict", body, "audio/l16;endianness=little"
+    )
+    assert status == 200 and json.loads(raw)["intervals"] == []
+    # catalog reflects it
+    _, raw = _get(f"{url}/v1/models")
+    assert set(json.loads(raw)["models"]) == {"alert", "strict"}
+
+    # remove 'strict' again: new requests 404, routing table shrinks
+    shutil.rmtree(root / "strict")
+    (root / "bundle.json").unlink()  # stale listing would fail the load
+    write_bundle_manifest(root)
+    status, raw = _post(f"{url}/admin/reload", b"")
+    assert json.loads(raw)["removed"] == ["strict"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(
+            f"{url}/v1/segment?model=strict",
+            body,
+            "audio/l16;endianness=little",
+        )
+    assert e.value.code == 404
+
+    # the pre-reload streaming session still drains on its service
+    _, raw = _post(
+        f"{url}/v1/stream/{sid}/push",
+        body,
+        "audio/l16;endianness=little",
+    )
+    _, raw = _post(f"{url}/v1/stream/{sid}/flush", b"")
+    assert json.loads(raw)["intervals"]  # thresholds 0.0 -> everything fires
+
+
+def test_admin_reload_replaces_reexported_artifact(reloadable_server):
+    """Re-exporting an artifact in place (new created_at) swaps in a new
+    service on reload; sessions opened BEFORE the swap drain on the
+    retired service, sessions after use the new one."""
+    import time
+
+    url, router, root, model = reloadable_server
+    _, raw = _post(f"{url}/v1/stream/start", b"")
+    old_sid = json.loads(raw)["session"]
+    old_service = router.get("alert")
+
+    time.sleep(1.1)  # created_at has 1 s resolution; force a new stamp
+    _export(model, root / "alert", 0.0, version="v2")
+    status, raw = _post(f"{url}/admin/reload", b"")
+    report = json.loads(raw)
+    assert report["replaced"] == ["alert"] and report["kept"] == []
+    assert router.get("alert") is not old_service
+    assert old_service in router._retired  # session keeps it alive
+
+    _, raw = _get(f"{url}/v1/models")
+    assert json.loads(raw)["models"]["alert"]["model_version"] == "v2"
+
+    # the old session drains; a new session lands on the new service
+    _, raw = _post(
+        f"{url}/v1/stream/{old_sid}/push",
+        _pcm_body(),
+        "audio/l16;endianness=little",
+    )
+    _, raw = _post(f"{url}/v1/stream/{old_sid}/flush", b"")
+    assert json.loads(raw)["intervals"]
+    _, raw = _post(f"{url}/v1/stream/start", b"")
+    new_sid = json.loads(raw)["session"]
+    assert new_sid in router.get("alert")._streams
+    # once the old session is gone, the next reload prunes the retiree
+    _post(f"{url}/admin/reload", b"")
+    assert old_service not in router._retired
+
+
+def test_admin_reload_rejected_without_bundle(reloadable_server):
+    """A router with no reloader (single-model serving) answers 409."""
+    url, router, _, _ = reloadable_server
+    single = ModelRouter.single(router.get("alert"))
+    srv = make_server(single, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(
+                f"http://127.0.0.1:{srv.server_address[1]}/admin/reload", b""
+            )
+        assert e.value.code == 409
+    finally:
+        srv.shutdown()

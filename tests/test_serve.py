@@ -849,3 +849,71 @@ def test_ws_close_payload_echo_is_well_formed(server):
         assert payload == b""
     finally:
         sock.close()
+
+
+def test_http_request_fuzz(server):
+    """Raw-socket fuzz of the HTTP layer itself — request line and header
+    mutations (the body parsers have their own fuzz suite). Contract:
+    every mutation gets a complete HTTP reply or a clean connection
+    close, never a hang, and the server stays fully usable afterwards
+    (no handler thread wedged holding a lock)."""
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(server)
+    rng = np.random.default_rng(0x1177)
+
+    def roundtrip(raw: bytes) -> bytes:
+        sock = socket.create_connection((u.hostname, u.port), timeout=20)
+        try:
+            sock.sendall(raw)
+            # FIN our side: whatever the handler was waiting for resolves,
+            # and keep-alive replies are followed by a server-side close
+            sock.shutdown(socket.SHUT_WR)
+            chunks = []
+            while True:
+                b = sock.recv(65536)
+                if not b:
+                    break
+                chunks.append(b)
+            return b"".join(chunks)
+        finally:
+            sock.close()
+
+    host = f"Host: {u.hostname}:{u.port}\r\n".encode()
+    base = b"POST /v1/segment HTTP/1.1\r\n" + host
+    cases = [
+        b"\x00\x01\x02\x03\r\n\r\n",
+        b"GARBAGE\r\n\r\n",
+        b"POST\r\n\r\n",
+        b"POST /v1/segment HTTP/9.9\r\n\r\n",
+        base + b"Content-Length: banana\r\n\r\n",
+        base + b"Content-Length: -5\r\n\r\n",
+        base + b"Content-Length: 1e9\r\n\r\n",
+        base + b"Content-Length: 4\r\nContent-Length: 4\r\n\r\nabcd",
+        base + b"Content-Length: 10\r\n\r\nabc",  # under-sent body + FIN
+        base + b"Content-Length: 4\r\nContent-Type: \xff\xfe\r\n\r\nabcd",
+        base + b"Transfer-Encoding: chunked\r\n\r\n0\r\n\r\n",
+        base + b"X-Filler: " + b"a" * 200_000 + b"\r\n\r\n",  # oversized header
+        b"GET /" + b"a" * 100_000 + b" HTTP/1.1\r\n" + host + b"\r\n",
+        b"POST /v1/stream/%00/push HTTP/1.1\r\n" + host
+        + b"Content-Length: 0\r\n\r\n",
+    ]
+    for _ in range(40):  # seeded random request blobs
+        n = int(rng.integers(1, 200))
+        cases.append(
+            rng.integers(0, 256, n, dtype=np.uint8).tobytes() + b"\r\n\r\n"
+        )
+    for i, raw in enumerate(cases):
+        reply = roundtrip(raw)
+        # a request line with no parseable HTTP version gets http.server's
+        # HTTP/0.9-style reply: an error body with no status line
+        ok = (
+            reply == b""
+            or reply.startswith(b"HTTP/1.")
+            or reply.startswith(b"<!DOCTYPE")
+        )
+        assert ok, (i, reply[:80])
+    # the server survived all of it: a clean request still works
+    with urllib.request.urlopen(f"{server}/healthz", timeout=30) as resp:
+        assert resp.status == 200
