@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> None:
         help="refuse request bodies above this size with 413",
     )
     parser.add_argument(
+        "--max-sessions", type=int, default=256,
+        help="concurrent streaming-session cap per model (429 when full)",
+    )
+    parser.add_argument(
         "--mesh", default="auto", choices=["auto", "off"],
         help="shard batch inference over the device mesh when several "
         "chips are visible (same policy as predict); streaming stays "
@@ -88,6 +92,7 @@ def main(argv: list[str] | None = None) -> None:
         batch_window_ms=args.batch_window_ms,
         max_batch=args.max_batch,
         max_body_mb=args.max_body_mb,
+        max_sessions=args.max_sessions,
         mesh=args.mesh,
         transport=args.transport,
     )

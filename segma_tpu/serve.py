@@ -73,6 +73,18 @@ from segma_tpu.utils.conversions import frames_to_seconds
 # anything longer.
 MAX_BODY_BYTES = 512 << 20
 
+# Streaming sessions hold host-side buffers and a dict slot until flushed
+# or TTL-evicted; an unauthenticated client must not be able to open them
+# without bound. Overridable per service (--max-sessions).
+MAX_STREAM_SESSIONS = 256
+
+
+class SessionLimitError(RuntimeError):
+    """stream_start refused: the concurrent-session cap is reached.
+
+    A distinct type so the HTTP layer can map it to 429 Too Many Requests
+    without matching on message text."""
+
 
 class _MicroBatcher:
     """Group concurrent requests into one packed device dispatch.
@@ -237,8 +249,10 @@ class SegmentationService:
         batch_window_ms: float = 0.0,
         max_batch: int = 8,
         device_lock: threading.Lock | None = None,
+        max_sessions: int = MAX_STREAM_SESSIONS,
     ) -> None:
         self.pipeline = pipeline
+        self.max_sessions = max_sessions
         self.exported = not hasattr(pipeline, "model")
         if self.exported:
             m = pipeline.manifest
@@ -373,6 +387,12 @@ class SegmentationService:
 
         with self._streams_lock:
             self._evict_stale_streams()
+            if len(self._streams) >= self.max_sessions:
+                raise SessionLimitError(
+                    f"{len(self._streams)} streaming sessions open (cap "
+                    f"{self.max_sessions}); flush existing sessions or "
+                    "raise --max-sessions"
+                )
             if self.exported:
                 # frozen artifacts stream off their exported per-chunk
                 # program (raises ValueError -> 400 for artifacts exported
@@ -721,6 +741,9 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
                         json.dumps({"session": sid}).encode(),
                         "application/json",
                     )
+                except SessionLimitError as e:
+                    service.stats.record_error()
+                    self._error(429, str(e))
                 except ValueError as e:  # exported artifact: batch-only
                     service.stats.record_error()
                     self._error(400, str(e))
@@ -799,6 +822,9 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
                 return
             try:
                 sid = service.stream_start()
+            except SessionLimitError as e:
+                self._error(429, str(e))
+                return
             except ValueError as e:  # exported artifact: batch-only
                 self._error(400, str(e))
                 return
@@ -1022,6 +1048,7 @@ def bundle_reloader(
     batch_window_ms: float = 0.0,
     max_batch: int = 8,
     device_lock: threading.Lock | None = None,
+    max_sessions: int = MAX_STREAM_SESSIONS,
 ):
     """Factory for the bundle scan callable used at startup and by
     ``POST /admin/reload``: ``rescan(current_services) -> (services,
@@ -1056,6 +1083,7 @@ def bundle_reloader(
                 batch_window_ms=batch_window_ms,
                 max_batch=max_batch,
                 device_lock=shared_lock,
+                max_sessions=max_sessions,
             )
             warm = np.zeros(int(pipe.manifest["chunk_duration_f"]), np.int16)
             with shared_lock:  # in-flight requests share the device
@@ -1090,6 +1118,7 @@ def serve_forever(
     default_model: str | None = None,
     max_body_mb: float = 512.0,
     mesh: Any = "auto",
+    max_sessions: int = MAX_STREAM_SESSIONS,
 ) -> None:
     """Load the model(s) and serve until interrupted (CLI entry).
 
@@ -1109,6 +1138,7 @@ def serve_forever(
             transport=transport,
             batch_window_ms=batch_window_ms,
             max_batch=max_batch,
+            max_sessions=max_sessions,
         )
         log("loading bundle artifacts (load+link+warm)...")
         services, default, _ = rescan({})
@@ -1159,6 +1189,7 @@ def serve_forever(
         transport=transport,
         batch_window_ms=batch_window_ms,
         max_batch=max_batch,
+        max_sessions=max_sessions,
     )
     # warmup: compile (or, for artifacts, load+link) the smallest forward +
     # decode before accepting traffic so the first request doesn't pay it

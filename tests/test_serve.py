@@ -917,3 +917,33 @@ def test_http_request_fuzz(server):
     # the server survived all of it: a clean request still works
     with urllib.request.urlopen(f"{server}/healthz", timeout=30) as resp:
         assert resp.status == 200
+
+
+def test_stream_session_cap(service):
+    """A hostile client cannot open unbounded streaming sessions: starts
+    beyond max_sessions get SessionLimitError (HTTP 429), and flushing a
+    session frees a slot."""
+    from segma_tpu.serve import SegmentationService, SessionLimitError
+
+    capped = SegmentationService(service.pipeline, max_sessions=2)
+    a = capped.stream_start()
+    capped.stream_start()
+    with pytest.raises(SessionLimitError):
+        capped.stream_start()
+    capped.stream_flush(a)
+    capped.stream_start()  # freed slot is reusable
+
+    # and over HTTP the cap maps to 429
+    srv = make_server(capped, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{url}/v1/stream/start", b"")
+        assert e.value.code == 429
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{url}/v1/stream/ws", timeout=10)
+        assert e.value.code in (400, 429)  # upgrade check may fire first
+    finally:
+        srv.shutdown()
