@@ -117,11 +117,28 @@ def load_train_state(path: Path) -> dict:
 
 
 def load_meta(path: Path) -> dict:
+    """meta.yaml as a dict ({} when absent). A torn/alien file raises a
+    clean ValueError (never a raw YAMLError traceback) so recovery paths
+    can catch corruption uniformly."""
     meta_p = Path(path) / "meta.yaml"
     if not meta_p.exists():
         return {}
-    with meta_p.open() as f:
-        return yaml.safe_load(f) or {}
+    try:
+        with meta_p.open() as f:
+            data = yaml.safe_load(f)
+    except yaml.YAMLError as e:
+        raise ValueError(
+            f"{meta_p}: corrupted checkpoint metadata (does not parse as "
+            "YAML)"
+        ) from e
+    if data is None:
+        return {}
+    if not isinstance(data, dict):
+        raise ValueError(
+            f"{meta_p}: corrupted checkpoint metadata (expected a mapping, "
+            f"got {type(data).__name__})"
+        )
+    return data
 
 
 class CheckpointManager:
@@ -167,12 +184,21 @@ class CheckpointManager:
 
     def _rediscover(self) -> None:
         """Adopt checkpoints already present in the directory (resuming into
-        an existing run dir keeps its top-k bookkeeping consistent)."""
+        an existing run dir keeps its top-k bookkeeping consistent). A dir
+        with torn/alien metadata is left out of the bookkeeping (warned,
+        never adopted as best) instead of crashing the resume — under SLURM
+        auto-requeue a crash here loops forever."""
+        from segma_tpu.utils.logging import log
+
         for p in sorted(self.dirpath.glob("epoch=*")):
-            meta = load_meta(p)
-            if "score" not in meta:
+            try:
+                meta = load_meta(p)
+                if "score" not in meta:
+                    continue
+                score = float(meta["score"])
+            except (ValueError, TypeError):
+                log(f"WARNING: skipping checkpoint with torn metadata: {p}")
                 continue
-            score = float(meta["score"])
             self.kept.append((score, p))
             if self.best_score is None or self._is_better(score, self.best_score):
                 self.best_score = score
@@ -340,11 +366,13 @@ def load_model_for_inference(
 
 def checkpoint_is_loadable(path: Path | str) -> bool:
     """Structural validity of a checkpoint dir: params.msgpack exists and
-    unpacks (no shape template needed). Catches truncated/corrupted blobs
-    without building a model."""
+    unpacks (no shape template needed) AND meta.yaml (when present) parses
+    — resume reads both, so a torn meta is as unresumable as torn params.
+    Catches truncated/corrupted blobs without building a model."""
     try:
         blob = (Path(path) / "params.msgpack").read_bytes()
         serialization.msgpack_restore(blob)
+        load_meta(Path(path))
         return True
     except Exception:  # noqa: BLE001 — any parse failure means "not valid"
         return False
@@ -370,9 +398,18 @@ def find_resumable(checkpoints_dir: Path | str) -> Path | None:
             f"WARNING: {last} is corrupted (params.msgpack does not parse);"
             " falling back to the newest epoch checkpoint"
         )
+    def epoch_of(p: Path) -> int:
+        # a torn meta.yaml (invalid YAML, non-dict payload, garbage epoch)
+        # must rank the dir last, not crash the recovery path itself
+        try:
+            meta = load_meta(p)
+            return int(meta.get("epoch", -1)) if isinstance(meta, dict) else -1
+        except Exception:  # noqa: BLE001 — any parse failure ranks last
+            return -1
+
     epochs = sorted(
         (p for p in checkpoints_dir.glob("epoch=*") if p.is_dir()),
-        key=lambda p: int(load_meta(p).get("epoch", -1)),
+        key=epoch_of,
         reverse=True,
     )
     for p in epochs:

@@ -553,6 +553,15 @@ def test_find_resumable_skips_corrupted_checkpoints(tmp_path, capsys):
     got = find_resumable(tmp_path)
     assert got is not None and got.name.startswith("epoch=01")
 
+    # a torn meta.yaml on an epoch dir must not crash the recovery path
+    # itself: invalid YAML and non-dict payloads rank last, and the next
+    # valid checkpoint still wins
+    (got / "meta.yaml").write_bytes(b"\x00{ [torn")
+    older = find_resumable(tmp_path)
+    assert older is not None and older.name.startswith("epoch=00")
+    (got / "meta.yaml").write_text("just-a-string")
+    assert find_resumable(tmp_path).name.startswith("epoch=00")
+
     # nothing valid anywhere -> None (fresh run), never an exception
     for p in tmp_path.glob("*"):
         if (p / "params.msgpack").exists():
