@@ -101,19 +101,50 @@ def load_params(path: Path, template: Any) -> Any:
 
 
 def load_opt_state(path: Path, template: Any) -> Any | None:
-    """Restore optimizer state from a ``last/`` checkpoint, or None."""
+    """Restore optimizer state from a ``last/`` checkpoint, or None.
+
+    Optimizer moments are an exactness extra, not a correctness
+    requirement (top-k dirs never carry them): a torn/mismatched blob
+    degrades to a fresh optimizer with a warning instead of turning an
+    auto-requeue resume into a crash loop."""
     p = Path(path) / "opt_state.msgpack"
     if not p.exists():
         return None
-    return serialization.from_bytes(template, p.read_bytes())
+    try:
+        return serialization.from_bytes(template, p.read_bytes())
+    except Exception as e:  # noqa: BLE001 — degrade, never crash resume
+        from segma_tpu.utils.logging import log
+
+        log(
+            f"WARNING: {p}: optimizer state not restorable "
+            f"({type(e).__name__}); resuming with fresh optimizer moments"
+        )
+        return None
 
 
 def load_train_state(path: Path) -> dict:
+    """Scheduler/early-stop counters from ``last/`` ({} when absent).
+    Torn/alien YAML degrades to {} with a warning (same rationale as
+    :func:`load_opt_state` — counters are exactness, not correctness)."""
     p = Path(path) / "train_state.yaml"
     if not p.exists():
         return {}
-    with p.open() as f:
-        return yaml.safe_load(f) or {}
+    try:
+        with p.open() as f:
+            data = yaml.safe_load(f)
+        if data is None:
+            return {}
+        if not isinstance(data, dict):
+            raise ValueError(f"expected a mapping, got {type(data).__name__}")
+        return data
+    except Exception as e:  # noqa: BLE001 — degrade, never crash resume
+        from segma_tpu.utils.logging import log
+
+        log(
+            f"WARNING: {p}: train state not restorable "
+            f"({type(e).__name__}); resuming with fresh scheduler counters"
+        )
+        return {}
 
 
 def load_meta(path: Path) -> dict:

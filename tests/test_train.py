@@ -684,3 +684,22 @@ def test_frozen_encoder_reconstructed_for_inference(synthetic_dataset, tmp_path)
                 load_model_for_inference(cfg, run_dir)
     finally:
         Models["surgical_hydra"] = registry_orig
+
+
+def test_torn_opt_and_train_state_degrade(tmp_path, capsys):
+    """opt_state.msgpack / train_state.yaml are exactness extras: torn
+    blobs must degrade resume (fresh moments/counters, warned) instead of
+    crashing it — only params/meta corruption makes a dir unresumable."""
+    from segma_tpu.checkpoint import load_opt_state, load_train_state
+
+    d = tmp_path / "last"
+    d.mkdir()
+    (d / "opt_state.msgpack").write_bytes(b"\xc1TORN")
+    (d / "train_state.yaml").write_bytes(b"\x00{ [torn")
+    assert load_opt_state(d, template={"m": np.zeros(2, np.float32)}) is None
+    assert load_train_state(d) == {}
+    (d / "train_state.yaml").write_text("just-a-string")
+    assert load_train_state(d) == {}
+    out = capsys.readouterr().out
+    assert "optimizer state not restorable" in out
+    assert "train state not restorable" in out
