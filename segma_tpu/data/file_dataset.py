@@ -200,6 +200,15 @@ class SegmaFileDataset:
                 return
             except (FileNotFoundError, CacheTooOldError):
                 pass
+            except Exception as e:  # noqa: BLE001 — a torn cache (killed
+                # mid-write, disk corruption) must trigger a rebuild, not
+                # crash every run until someone deletes .cache by hand
+                from segma_tpu.utils.logging import log
+
+                log(
+                    f"WARNING: dataset cache unreadable "
+                    f"({type(e).__name__}: {e}); rebuilding"
+                )
         self._load()
         if use_cache:
             self.save_cache()
@@ -288,14 +297,23 @@ class SegmaFileDataset:
                 self.subset_to_uris = pickle.load(bf)
 
     def save_cache(self) -> None:
+        import os
+
         cache_path = self._cache_path
         cache_path.mkdir(parents=True, exist_ok=True)
-        with (cache_path / "subds_to_durations").open("wb") as bf:
-            pickle.dump(self.subds_to_durations, bf)
-        with (cache_path / "subds_to_indexes").open("wb") as bf:
-            pickle.dump(self.subds_to_indexes, bf)
-        with (cache_path / "subset_to_uris").open("wb") as bf:
-            pickle.dump(self.subset_to_uris, bf)
+        payloads = (
+            ("subds_to_durations", self.subds_to_durations),
+            ("subds_to_indexes", self.subds_to_indexes),
+            ("subset_to_uris", self.subset_to_uris),
+        )
+        # write-then-rename per file: a process killed mid-save leaves the
+        # previous entry (or an incomplete set, which load_cache treats as
+        # absent), never a torn pickle
+        for name, payload in payloads:
+            tmp = cache_path / f".{name}.tmp"
+            with tmp.open("wb") as bf:
+                pickle.dump(payload, bf)
+            os.replace(tmp, cache_path / name)
 
     @classmethod
     def clean_cache(cls, base_p: str | Path) -> None:

@@ -929,11 +929,17 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
                     return
                 if length:
                     self.rfile.read(length)  # drain (reloads take no body)
+                if router.reloader is None:
+                    self._error(
+                        409,
+                        "hot reload is only available under --bundle serving",
+                    )
+                    return
                 try:
                     self._reply(200, router.reload(), "application/json")
-                except ValueError as e:  # not a bundle server
-                    self._error(409, str(e))
-                except Exception as e:  # noqa: BLE001 — keep the server alive
+                except Exception as e:  # noqa: BLE001 — a failed rescan
+                    # (torn artifact, bad bundle.json) leaves the previous
+                    # routing table untouched; report it, keep serving
                     self._error(500, f"{type(e).__name__}: {e}")
                 return
             if url.path != "/v1/segment":

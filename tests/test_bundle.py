@@ -442,3 +442,29 @@ def test_admin_reload_rejected_without_bundle(reloadable_server):
         assert e.value.code == 409
     finally:
         srv.shutdown()
+
+
+def test_admin_reload_failure_keeps_old_routing(reloadable_server):
+    """A torn artifact makes /admin/reload answer 500 and leaves the
+    previous routing table fully intact (the swap is atomic: it only
+    happens after every artifact loaded and warmed)."""
+    url, router, root, _model = reloadable_server
+    before = dict(router.services)
+
+    mf = root / "alert" / "manifest.json"
+    orig = mf.read_text()
+    mf.write_text("{ torn json")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{url}/admin/reload", b"")
+    assert e.value.code == 500
+    assert router.services == before and router.default == "alert"
+    # the old services keep serving
+    status, _ = _post(
+        f"{url}/v1/segment", _pcm_body(), "audio/l16;endianness=little"
+    )
+    assert status == 200
+
+    # repair -> reload succeeds again (nothing latched the failure)
+    mf.write_text(orig)
+    status, raw = _post(f"{url}/admin/reload", b"")
+    assert status == 200 and json.loads(raw)["kept"] == ["alert"]

@@ -262,3 +262,24 @@ def test_noise_fixture_kind(tmp_path):
         assert peak_share < 0.5
         checked += 1
     assert checked >= 2
+
+
+def test_torn_cache_rebuilds(ds_root, tmp_path, monkeypatch, capsys):
+    """A torn cache pickle (process killed mid-write, disk corruption)
+    must trigger a transparent rebuild with a warning — not crash every
+    run until someone deletes .cache by hand."""
+    monkeypatch.setattr(SegmaFileDataset, "CACHE_ROOT", tmp_path / "cache")
+    ds = _mk(ds_root)
+    ds.load(use_cache=True)
+    expected = {k: v.copy() for k, v in ds.subds_to_durations.items()}
+
+    (ds._cache_path / "subds_to_indexes").write_bytes(b"\x80TORN PICKLE")
+    ds2 = _mk(ds_root)
+    ds2.load(use_cache=True)  # rebuilds, re-saves
+    assert "cache unreadable" in capsys.readouterr().out
+    for k in expected:
+        np.testing.assert_array_equal(ds2.subds_to_durations[k], expected[k])
+    # the rebuilt cache is valid again
+    ds3 = _mk(ds_root)
+    ds3.load(use_cache=True)
+    assert "cache unreadable" not in capsys.readouterr().out
