@@ -627,12 +627,16 @@ class ModelRouter:
                 for name, svc in old.items()
                 if new_services.get(name) is not svc
             ]
-            # prune retired services whose sessions have all drained
-            self._retired = [
-                svc
-                for svc in (*self._retired, *retiring)
-                if svc._streams
-            ]
+            # prune retired services whose sessions have all drained —
+            # evicting stale ones first, so an abandoned session (client
+            # vanished, never flushed) cannot pin its service forever
+            kept_retired = []
+            for svc in (*self._retired, *retiring):
+                with svc._streams_lock:
+                    svc._evict_stale_streams()
+                    if svc._streams:
+                        kept_retired.append(svc)
+            self._retired = kept_retired
             return json.dumps(report).encode()
 
     def models_payload(self) -> bytes:

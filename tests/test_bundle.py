@@ -468,3 +468,26 @@ def test_admin_reload_failure_keeps_old_routing(reloadable_server):
     mf.write_text(orig)
     status, raw = _post(f"{url}/admin/reload", b"")
     assert status == 200 and json.loads(raw)["kept"] == ["alert"]
+
+
+def test_reload_prunes_abandoned_sessions_on_retired_services(
+    reloadable_server, monkeypatch
+):
+    """An abandoned session (client vanished, never flushed) must not pin
+    a retired service forever: the reload prune evicts TTL-stale sessions
+    before deciding what to keep."""
+    import time
+
+    url, router, root, model = reloadable_server
+    _, raw = _post(f"{url}/v1/stream/start", b"")
+    old_service = router.get("alert")
+
+    time.sleep(1.1)
+    _export(model, root / "alert", 0.0, version="v2")
+    _post(f"{url}/admin/reload", b"")
+    assert old_service in router._retired  # open session keeps it
+
+    # age the abandoned session past the TTL; the next reload prunes it
+    monkeypatch.setattr(type(old_service), "STREAM_TTL_S", 0.0)
+    _post(f"{url}/admin/reload", b"")
+    assert old_service not in router._retired
