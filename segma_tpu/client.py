@@ -307,6 +307,16 @@ class WSStreamSession:
             self._sock.close()
             raise SegmaClientError(101, "bad Sec-WebSocket-Accept from server")
 
+    @staticmethod
+    def _close_error(payload: bytes) -> SegmaClientError:
+        import struct
+
+        code = (
+            struct.unpack("!H", payload[:2])[0] if len(payload) >= 2 else 1005
+        )
+        message = payload[2:].decode(errors="replace") or "server closed"
+        return SegmaClientError(code, message)
+
     def push(self, samples: np.ndarray) -> list[Interval]:
         ws = self._ws
         self._f.write(ws.mask_frame(ws.OP_BINARY, _to_pcm16(samples)))
@@ -314,9 +324,8 @@ class WSStreamSession:
         op, payload = ws.read_frame(self._f, require_mask=False)
         if op == ws.OP_CLOSE:
             self._closed = True
-            raise SegmaClientError(
-                1011, payload[2:].decode(errors="replace") or "server closed"
-            )
+            self._sock.close()
+            raise self._close_error(payload)
         out = _intervals(payload)
         self.intervals.extend(out)
         return out
@@ -326,13 +335,17 @@ class WSStreamSession:
             return []
         self._closed = True
         ws = self._ws
+        out: list[Interval] = []
         try:
             self._f.write(ws.mask_frame(ws.OP_TEXT, b"flush"))
             self._f.flush()
             op, payload = ws.read_frame(self._f, require_mask=False)
-            out = _intervals(payload) if op == ws.OP_TEXT else []
-            # the close frame follows the final intervals
-            op, _ = ws.read_frame(self._f, require_mask=False)
+            if op == ws.OP_TEXT:
+                out = _intervals(payload)
+                # the close frame follows the final intervals
+                self._ws.read_frame(self._f, require_mask=False)
+            # op == OP_CLOSE: session already gone (evicted/raced) — the
+            # close IS the reply; nothing more to read
         finally:
             self._sock.close()
         self.intervals.extend(out)
