@@ -491,3 +491,64 @@ def test_reload_prunes_abandoned_sessions_on_retired_services(
     monkeypatch.setattr(type(old_service), "STREAM_TTL_S", 0.0)
     _post(f"{url}/admin/reload", b"")
     assert old_service not in router._retired
+
+
+def test_reload_under_traffic_soak(reloadable_server):
+    """Hammer /v1/segment and full streaming sessions from several threads
+    WHILE the bundle hot-reloads repeatedly (artifact re-exported in
+    place). Every request must succeed — in-flight requests hold their
+    service reference, sessions started before a swap drain on retired
+    services, and the routing swap is atomic."""
+    import time
+
+    url, router, root, model = reloadable_server
+    body = _pcm_body()
+    stop = threading.Event()
+    errors: list = []
+    ok = {"segment": 0, "stream": 0}
+
+    def segment_traffic():
+        while not stop.is_set():
+            try:
+                status, raw = _post(
+                    f"{url}/v1/segment", body, "audio/l16;endianness=little"
+                )
+                assert status == 200 and json.loads(raw)["intervals"]
+                ok["segment"] += 1
+            except Exception as e:  # noqa: BLE001 — collect, fail at end
+                errors.append(e)
+
+    def stream_traffic():
+        while not stop.is_set():
+            try:
+                _, raw = _post(f"{url}/v1/stream/start", b"")
+                sid = json.loads(raw)["session"]
+                _post(
+                    f"{url}/v1/stream/{sid}/push",
+                    body,
+                    "audio/l16;endianness=little",
+                )
+                _post(f"{url}/v1/stream/{sid}/flush", b"")
+                ok["stream"] += 1
+            except Exception as e:  # noqa: BLE001 — collect, fail at end
+                errors.append(e)
+
+    threads = [threading.Thread(target=segment_traffic) for _ in range(3)]
+    threads += [threading.Thread(target=stream_traffic) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(3):
+            time.sleep(1.1)  # force a fresh created_at stamp
+            _export(model, root / "alert", 0.0, version=f"soak{i}")
+            status, raw = _post(f"{url}/admin/reload", b"")
+            assert status == 200
+            assert json.loads(raw)["replaced"] == ["alert"]
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+    assert not errors, errors[:3]
+    assert ok["segment"] > 10 and ok["stream"] > 3, ok
+    # steady state: one live service, retirees only while sessions drain
+    assert set(router.services) == {"alert"}
