@@ -50,10 +50,14 @@ def main(argv: list[str] | None = None) -> None:
                 "fresh run"
             )
 
-    run_training(
+    result = run_training(
         cfg,
         args.tags,
         resume_from=resume_from,
         run_id=args.run_id,
         output=args.output,
     )
+    if result.get("interrupted"):
+        # preempted or self-recycled: EX_TEMPFAIL keeps the requeue loop
+        # alive (the `finished` sentinel is gated on exit 0)
+        raise SystemExit(75)

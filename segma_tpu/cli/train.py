@@ -133,4 +133,9 @@ def run_training(
 def main(argv: list[str] | None = None) -> None:
     args, extra_args = build_argparser().parse_known_args(argv)
     cfg = load_config(config_path=args.config, cli_extra_args=extra_args)
-    run_training(cfg, args.tags, resume_from=args.resume_from)
+    result = run_training(cfg, args.tags, resume_from=args.resume_from)
+    if result.get("interrupted"):
+        # preempted or self-recycled: exit EX_TEMPFAIL so the requeue
+        # script does NOT drop the `finished` sentinel — the successor job
+        # auto-resumes from last/
+        raise SystemExit(75)

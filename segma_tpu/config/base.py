@@ -271,6 +271,17 @@ class TrainConfig(BaseConfig):
     # deterministic-algorithms switch, utils/__init__.py:17-18): aborts on
     # the first NaN produced by any jitted computation
     debug_nans: bool = False
+    # host->device encoding of train/val batches: "f32" ships normalized
+    # float32; "int16" ships the raw PCM16 crop and normalizes ON DEVICE
+    # (half the bytes per batch; bit-identical for 16-bit PCM sources —
+    # x * 2^-15 on device equals the host division exactly). Samples whose
+    # source is not 16-bit PCM fall back to f32 transparently.
+    transport: str = "f32"
+    # self-recycle guard: when host RSS exceeds this many GB at an epoch
+    # boundary, stop with interrupted=True (last/ already holds the exact
+    # resume state) so the requeue loop restarts the process instead of
+    # the kernel OOM killer. null = auto (90% of MemTotal); 0 disables.
+    host_rss_limit_gb: float | None = None
 
 
 @dataclass

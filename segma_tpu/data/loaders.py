@@ -109,6 +109,12 @@ class AudioSegmentationSampler:
         self.config = config
         self.label_encoder = label_encoder
         self.host_hook = host_hook
+        self.transport = config.train.transport
+        if self.transport not in ("f32", "int16"):
+            raise DataLoaderError(
+                f"train.transport must be 'f32' or 'int16', "
+                f"got {self.transport!r}"
+            )
         self.rng = np.random.default_rng(seed)
         # decoded-audio RAM cache (int16): random crops re-read the same
         # files constantly; decoding each file once removes the dominant
@@ -159,7 +165,14 @@ class AudioSegmentationSampler:
 
         y = windows_to_targets(self.windows + start_f, self.indexes[uri_i])
         if self.host_hook is not None:
+            if waveform.dtype == np.int16:  # hooks expect float waveforms
+                waveform = waveform.astype(np.float32) / 32768.0
             waveform = self.host_hook(waveform)
+        elif waveform.dtype == np.int16:
+            # train.transport=int16: ship the raw PCM crop; the jitted
+            # train/eval steps normalize on device (x * 2^-15 there is
+            # bit-identical to the host division — half the bytes/batch)
+            return waveform, y
         return waveform.astype(np.float32), y
 
     def _read_crop(self, uri_i: int, audio_path: Path, start_f: int) -> np.ndarray:
@@ -180,6 +193,8 @@ class AudioSegmentationSampler:
                 self._audio_cache.put(uri_i, cached)
             crop = cached[start_f : start_f + self.chunk_f]
             if crop.dtype == np.int16:
+                if self.transport == "int16":
+                    return np.array(crop)  # raw PCM16 for the device hop
                 return crop.astype(np.float32) / 32768.0
             return np.array(crop, np.float32)
         waveform = get_samples_in_range(audio_path, start_f, self.chunk_f)
@@ -189,6 +204,16 @@ class AudioSegmentationSampler:
 
     def sample_batch(self, batch_size: int) -> dict[str, np.ndarray]:
         xs, ys = zip(*(self.sample() for _ in range(batch_size)))
+        if any(x.dtype != xs[0].dtype for x in xs):
+            # mixed sources under transport=int16 (some files not PCM16):
+            # promote the whole batch to normalized f32 — np.stack's own
+            # promotion would mix raw PCM magnitudes with [-1, 1] floats
+            xs = [
+                x.astype(np.float32) / 32768.0
+                if x.dtype == np.int16
+                else np.asarray(x, np.float32)
+                for x in xs
+            ]
         return {"x": np.stack(xs), "y": np.stack(ys)}
 
     def samples_per_epoch(self) -> int:

@@ -230,6 +230,13 @@ def render_metrics(
                 else ""
             )
             lines.append(f"{metric}{lab} {value}")
+    # process-level host memory gauge: long-lived servers on a leaky host
+    # stack (e.g. a relay client retaining transfer payloads) need an
+    # alertable RSS signal so operators recycle before the OOM killer does
+    from segma_tpu.utils import host_rss_gb
+
+    lines.append("# TYPE segma_host_rss_bytes gauge")
+    lines.append(f"segma_host_rss_bytes {int(host_rss_gb() * 1e9)}")
     return ("\n".join(lines) + "\n").encode()
 
 

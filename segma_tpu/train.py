@@ -174,6 +174,17 @@ class EarlyStopping:
         return self.bad_epochs >= self.patience
 
 
+def _device_waveform(x: jnp.ndarray) -> jnp.ndarray:
+    """Normalize an int16 training-transport batch on device.
+
+    ``train.transport=int16`` ships the raw PCM crop (half the host->device
+    bytes); ``x * 2^-15`` here is bit-identical to the loader's host-side
+    ``/ 32768.0`` for the same samples. f32 batches pass through."""
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) * (1.0 / 32768.0)
+    return x
+
+
 def make_train_step(
     model: SegmentationModel, optimizer: optax.GradientTransformation
 ) -> Callable:
@@ -182,7 +193,8 @@ def make_train_step(
     def train_step(params, opt_state, batch, dropout_key):
         def loss_fn(p):
             logits = model.apply(
-                p, batch["x"], train=True, rngs={"dropout": dropout_key}
+                p, _device_waveform(batch["x"]), train=True,
+                rngs={"dropout": dropout_key},
             )
             total, per_label = model.loss(logits, batch["y"])
             return total, per_label
@@ -210,7 +222,7 @@ def make_eval_step(model: SegmentationModel) -> Callable:
     """
 
     def eval_step(params, batch):
-        logits = model.apply(params, batch["x"], train=False)
+        logits = model.apply(params, _device_waveform(batch["x"]), train=False)
         total, per_label = model.loss(logits, batch["y"])
         # per-base-label probabilities (powerset models marginalize here)
         frame_logits = model.inference_transform(logits)
@@ -660,6 +672,15 @@ class Trainer:
                 },
             }
 
+        # self-recycle guard: a leaky host stack (e.g. this environment's
+        # relay client retains every transfer payload) must end in a clean
+        # interrupted-stop + requeue, not the kernel OOM killer
+        from segma_tpu.utils import host_mem_total_gb, host_rss_gb
+
+        rss_limit = tc.host_rss_limit_gb
+        if rss_limit is None:
+            rss_limit = 0.9 * host_mem_total_gb()  # 0 when /proc absent
+
         history = []
         interrupted = False
         try:
@@ -728,6 +749,21 @@ class Trainer:
 
                 if self.early_stopping.step(monitored):
                     self.logger.log({"early_stop": epoch})
+                    break
+
+                rss = host_rss_gb() if rss_limit else 0.0
+                if rss_limit and rss > rss_limit:
+                    # last/ was just written by ckpt.step: resume is exact.
+                    # interrupted=True keeps the requeue contract alive
+                    # (the runner must NOT mark the run finished).
+                    self.logger.log(
+                        {
+                            "recycle_at_epoch": epoch,
+                            "host_rss_gb": round(rss, 2),
+                            "host_rss_limit_gb": round(rss_limit, 2),
+                        }
+                    )
+                    interrupted = True
                     break
 
         finally:

@@ -17,3 +17,27 @@ def set_seed(seed: int) -> None:
     """
     random.seed(seed)
     np.random.seed(seed)
+
+
+def host_rss_gb() -> float:
+    """This process's resident set size in GB (0.0 when /proc is absent)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6  # kB -> GB
+    except OSError:
+        pass
+    return 0.0
+
+
+def host_mem_total_gb() -> float:
+    """Total host RAM in GB (0.0 when /proc is absent)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0

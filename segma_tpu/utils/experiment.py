@@ -109,8 +109,12 @@ fi
 sbatch --dependency=afterany:$SLURM_JOBID "$0"
 
 {self.train_command()}
+status=$?
 
-touch "$RUN_DIR/finished"
+# only a COMPLETED run drops the sentinel: interrupted/self-recycled runs
+# exit 75 (EX_TEMPFAIL) and must be picked up by the queued successor job
+[ "$status" -eq 0 ] && touch "$RUN_DIR/finished"
+exit "$status"
 """
 
     def xpk_script(self) -> str:

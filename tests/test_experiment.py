@@ -20,6 +20,10 @@ def test_slurm_script_self_requeues(tmp_path):
     script = paths["run"].read_text()
     assert "--dependency=afterany:$SLURM_JOBID" in script
     assert "finished" in script
+    # the sentinel is gated on exit status: an interrupted/self-recycled
+    # run (exit 75) must NOT mark itself finished, or the queued successor
+    # would refuse to resume it
+    assert '[ "$status" -eq 0 ] && touch "$RUN_DIR/finished"' in script
     assert "auto_train.py" in script and "--auto-resume" in script
     assert paths["run"].stat().st_mode & 0o111  # executable
 

@@ -585,6 +585,7 @@ def test_http_api_contract_is_stable(server, wav_bytes):
         "segma_requests_total", "segma_request_errors_total",
         "segma_audio_seconds_total", "segma_uptime_seconds",
         "segma_batch_dispatches_total", "segma_request_latency_seconds",
+        "segma_host_rss_bytes",
     }
 
 
@@ -866,16 +867,22 @@ def test_http_request_fuzz(server):
     def roundtrip(raw: bytes) -> bytes:
         sock = socket.create_connection((u.hostname, u.port), timeout=20)
         try:
-            sock.sendall(raw)
-            # FIN our side: whatever the handler was waiting for resolves,
-            # and keep-alive replies are followed by a server-side close
-            sock.shutdown(socket.SHUT_WR)
+            try:
+                sock.sendall(raw)
+                # FIN our side: whatever the handler was waiting for
+                # resolves, and keep-alive replies get a server-side close
+                sock.shutdown(socket.SHUT_WR)
+            except OSError:
+                pass  # server legitimately closed on us mid-send
             chunks = []
-            while True:
-                b = sock.recv(65536)
-                if not b:
-                    break
-                chunks.append(b)
+            try:
+                while True:
+                    b = sock.recv(65536)
+                    if not b:
+                        break
+                    chunks.append(b)
+            except OSError:
+                pass  # reset instead of FIN: treat as a close
             return b"".join(chunks)
         finally:
             sock.close()

@@ -703,3 +703,81 @@ def test_torn_opt_and_train_state_degrade(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "optimizer state not restorable" in out
     assert "train state not restorable" in out
+
+
+def test_int16_transport_bit_parity(train_cfg, tmp_path):
+    """train.transport=int16 ships raw PCM16 crops and normalizes on
+    device; for 16-bit PCM sources the train step must be BIT-identical
+    to the f32 transport (x * 2^-15 on device == the host division)."""
+    import jax
+    import jax.numpy as jnp
+
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.models import Models
+    from segma_tpu.train import make_optimizer, make_train_step
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    cfg = train_cfg
+    cfg.train.transport = "int16"
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    params0 = model.init_params(jax.random.key(0))
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+    batch = next(iter(dm.train_dataloader()))
+    assert batch["x"].dtype == np.int16  # PCM16 fixture -> raw crops ship
+
+    opt = make_optimizer(model, 0.01)
+    step = make_train_step(model, opt)
+    key = jax.random.key(7)
+    import copy
+
+    p_i16, _, loss_i16, _ = step(
+        jax.tree.map(jnp.copy, params0), opt.init(params0), batch, key
+    )
+    f32_batch = {
+        "x": batch["x"].astype(np.float32) / 32768.0,
+        "y": copy.deepcopy(batch["y"]),
+    }
+    p_f32, _, loss_f32, _ = step(
+        jax.tree.map(jnp.copy, params0), opt.init(params0), f32_batch, key
+    )
+    assert float(loss_i16) == float(loss_f32)
+    for a, b in zip(jax.tree.leaves(p_i16), jax.tree.leaves(p_f32)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_host_rss_watchdog_recycles_and_resumes(train_cfg, tmp_path, monkeypatch):
+    """train.host_rss_limit_gb: crossing the limit at an epoch boundary
+    stops with interrupted=True (clean requeue) and resume completes the
+    run — the self-recycle path for leaky host stacks."""
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    cfg = train_cfg
+    cfg.train.max_epochs = 3
+    cfg.train.host_rss_limit_gb = 0.001  # any real process exceeds this
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+
+    run_dir = tmp_path / "run"
+    trainer = Trainer(model=model, config=cfg, run_dir=run_dir)
+    result = trainer.fit(dm)
+    assert result["interrupted"] is True
+    assert len(result["history"]) == 1  # recycled after epoch 0
+    # the epoch-boundary checkpoint is the exact resume point
+    last = run_dir / "checkpoints" / "last"
+    assert (last / "opt_state.msgpack").exists()
+
+    cfg.train.host_rss_limit_gb = 0.0  # disabled -> runs to completion
+    model2 = Models["conv_vad"](MultiLabelEncoder(cfg.data.classes), cfg)
+    t2 = Trainer(model=model2, config=cfg, run_dir=run_dir)
+    result2 = t2.fit(dm, resume_from=last)
+    assert result2["interrupted"] is False
+    epochs = [h["epoch"] for h in result2["history"]]
+    assert epochs == [1, 2]  # resumed exactly after the recycle point
