@@ -53,6 +53,13 @@ def main(argv: list[str] | None = None) -> None:
         help="concurrent streaming-session cap per model (429 when full)",
     )
     parser.add_argument(
+        "--max-rss-gb", type=float, default=0.0,
+        help="graceful self-recycle: when host RSS crosses this, drain "
+        "in-flight requests and exit 75 for the orchestrator to restart "
+        "(the relay client leaks transfer payloads — see /metrics "
+        "segma_host_rss_bytes). 0 disables",
+    )
+    parser.add_argument(
         "--mesh", default="auto", choices=["auto", "off"],
         help="shard batch inference over the device mesh when several "
         "chips are visible (same policy as predict); streaming stays "
@@ -93,6 +100,7 @@ def main(argv: list[str] | None = None) -> None:
         max_batch=args.max_batch,
         max_body_mb=args.max_body_mb,
         max_sessions=args.max_sessions,
+        max_rss_gb=args.max_rss_gb,
         mesh=args.mesh,
         transport=args.transport,
     )

@@ -1016,14 +1016,48 @@ def make_server(
     )
 
 
-def _serve_until_signalled(server: ThreadingHTTPServer) -> None:
+def _start_rss_watchdog(
+    server: ThreadingHTTPServer, limit_gb: float, poll_s: float = 10.0
+) -> dict:
+    """Graceful self-recycle for long-lived servers on a leaky host stack
+    (the relay client retains transfer payloads — see CLAUDE.md): when RSS
+    crosses ``limit_gb``, stop accepting, drain in-flight requests, and
+    let the process exit (75) so the orchestrator restarts it — instead of
+    the kernel OOM killer resetting clients mid-reply. Returns a state
+    dict whose ``fired`` key records whether the watchdog tripped."""
+    from segma_tpu.utils import host_rss_gb
+    from segma_tpu.utils.logging import log
+
+    state = {"fired": False}
+
+    def watch() -> None:
+        while True:
+            time.sleep(poll_s)
+            rss = host_rss_gb()
+            if rss > limit_gb:
+                log(
+                    f"host RSS {rss:.2f} GB > --max-rss-gb {limit_gb:g}: "
+                    "draining and exiting for an orchestrator restart"
+                )
+                state["fired"] = True
+                server.shutdown()
+                return
+
+    threading.Thread(target=watch, daemon=True).start()
+    return state
+
+
+def _serve_until_signalled(
+    server: ThreadingHTTPServer, max_rss_gb: float = 0.0
+) -> None:
     """serve_forever with graceful termination.
 
     SIGTERM — what k8s/systemd/SLURM send on stop — drains in-flight
     requests (shutdown stops accepting, ``block_on_close`` waits for
     handler threads) instead of resetting client connections mid-reply.
     ``shutdown()`` runs on a helper thread: it blocks until the serve loop
-    exits, and the signal fires ON the loop's thread."""
+    exits, and the signal fires ON the loop's thread. ``max_rss_gb`` > 0
+    arms the RSS self-recycle watchdog (exit 75 when it fires)."""
     import signal
 
     from segma_tpu.utils.logging import log
@@ -1036,6 +1070,9 @@ def _serve_until_signalled(server: ThreadingHTTPServer) -> None:
         prev = signal.signal(signal.SIGTERM, _term)
     except ValueError:  # not the main thread (library/test embedding)
         prev = None
+    watchdog = (
+        _start_rss_watchdog(server, max_rss_gb) if max_rss_gb > 0 else None
+    )
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -1043,6 +1080,8 @@ def _serve_until_signalled(server: ThreadingHTTPServer) -> None:
     finally:
         if prev is not None:
             signal.signal(signal.SIGTERM, prev)
+    if watchdog is not None and watchdog["fired"]:
+        raise SystemExit(75)  # EX_TEMPFAIL: restart me
 
 
 def _warm_stream_programs(pipeline, batching: bool) -> None:
@@ -1136,6 +1175,7 @@ def serve_forever(
     max_body_mb: float = 512.0,
     mesh: Any = "auto",
     max_sessions: int = MAX_STREAM_SESSIONS,
+    max_rss_gb: float = 0.0,
 ) -> None:
     """Load the model(s) and serve until interrupted (CLI entry).
 
@@ -1166,7 +1206,7 @@ def serve_forever(
             f"(default {default}) on "
             f"http://{host}:{server.server_address[1]}"
         )
-        _serve_until_signalled(server)
+        _serve_until_signalled(server, max_rss_gb)
         return
 
     if artifact is not None:
@@ -1224,4 +1264,4 @@ def serve_forever(
         f"serving {service.model_name} on "
         f"http://{host}:{server.server_address[1]}"
     )
-    _serve_until_signalled(server)
+    _serve_until_signalled(server, max_rss_gb)

@@ -954,3 +954,20 @@ def test_stream_session_cap(service):
         assert e.value.code in (400, 429)  # upgrade check may fire first
     finally:
         srv.shutdown()
+
+
+def test_rss_watchdog_drains_and_exits_75(service):
+    """--max-rss-gb: crossing the limit stops the serve loop gracefully
+    and exits 75 (EX_TEMPFAIL) so the orchestrator restarts the process
+    instead of the OOM killer resetting clients."""
+    import time as _time
+
+    from segma_tpu.serve import _serve_until_signalled
+
+    srv = make_server(service, port=0)
+    t0 = _time.monotonic()
+    with pytest.raises(SystemExit) as e:
+        # any real process's RSS exceeds 0.001 GB -> fires on first poll
+        _serve_until_signalled(srv, max_rss_gb=0.001)
+    assert e.value.code == 75
+    assert _time.monotonic() - t0 < 60
