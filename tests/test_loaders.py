@@ -197,3 +197,48 @@ def test_audio_cache_budget_and_threads():
     for t in threads:
         t.join()
     assert not errs and len(big) == 2000
+
+
+def test_int16_transport_sampler_and_mixed_promotion(cfg, loaded_ds):
+    """transport=int16: PCM16 sources yield raw int16 crops, value-equal
+    to the f32 path after normalization; a mixed-source batch (some files
+    not PCM16) promotes everything to normalized f32 — np.stack's own
+    promotion would mix raw PCM magnitudes with [-1, 1] floats."""
+    cfg.train.transport = "int16"
+    s16 = AudioSegmentationSampler(
+        loaded_ds.train, cfg, CS, MultiLabelEncoder(CLASSES), seed=3
+    )
+    cfg.train.transport = "f32"
+    s32 = AudioSegmentationSampler(
+        loaded_ds.train, cfg, CS, MultiLabelEncoder(CLASSES), seed=3
+    )
+    x16, y16 = s16.sample()
+    x32, y32 = s32.sample()
+    assert x16.dtype == np.int16 and x32.dtype == np.float32
+    np.testing.assert_array_equal(x16.astype(np.float32) / 32768.0, x32)
+    np.testing.assert_array_equal(y16, y32)
+
+    # homogeneous batch keeps int16
+    assert s16.sample_batch(4)["x"].dtype == np.int16
+
+    # mixed dtypes (simulating a non-PCM16 file in the pool) promote
+    seq = iter(
+        [
+            (np.full(16_000, 100, np.int16), y16),
+            (np.full(16_000, 100 / 32768.0, np.float32), y16),
+        ]
+    )
+    s16.sample = lambda: next(seq)
+    batch = s16.sample_batch(2)
+    assert batch["x"].dtype == np.float32
+    np.testing.assert_allclose(batch["x"][0], batch["x"][1], atol=1e-7)
+
+
+def test_bad_transport_rejected(cfg, loaded_ds):
+    cfg.train.transport = "uint4"
+    from segma_tpu.data.loaders import DataLoaderError
+
+    with pytest.raises(DataLoaderError, match="transport"):
+        AudioSegmentationSampler(
+            loaded_ds.train, cfg, CS, MultiLabelEncoder(CLASSES), seed=0
+        )
