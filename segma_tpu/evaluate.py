@@ -222,6 +222,19 @@ def eval_model_output(
     truth = load_rttm_dir(rttm_true_p)
     preds = load_rttm_dir(rttm_pred_p)
     uems = load_uem_dir(uem_p) if uem_p else {}
+    # scoring runs over the uri INTERSECTION (reference parity:
+    # scripts/evaluate.py:59-75) — but a prediction run that silently
+    # dropped files would then be scored only on the files it managed,
+    # inflating the number. Be loud about the asymmetry.
+    missing_pred = sorted(set(truth) - set(preds))
+    if missing_pred:
+        shown = ", ".join(missing_pred[:5])
+        print(
+            f"[log] - WARNING: {len(missing_pred)} uri(s) have ground truth "
+            f"but NO prediction and are excluded from scoring: {shown}"
+            f"{', ...' if len(missing_pred) > 5 else ''}",
+            flush=True,
+        )
     for uri in sorted(set(truth) & set(preds)):
         print(f"[log] - evaluating file: '{uri}'", flush=True)
         metric(truth[uri], preds[uri], uri=uri, uem=uems.get(uri))

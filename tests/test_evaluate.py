@@ -211,3 +211,22 @@ def test_golden_analytic_cases():
             else:
                 assert got == pytest.approx(v, abs=1e-9), (name, c)
         assert metric.der() == pytest.approx(exp["der"], abs=1e-9), name
+
+
+def test_missing_prediction_uris_warned(tmp_path, capsys):
+    """Scoring runs over the uri intersection (reference parity), but a
+    truth uri with no prediction must be called out loudly — a predict
+    run that dropped files would otherwise inflate its score silently."""
+    gt, pred = tmp_path / "gt", tmp_path / "pred"
+    gt.mkdir(), pred.mkdir()
+    line = "SPEAKER {u} <NA> 1.0 2.0 <NA> <NA> male <NA> <NA>\n"
+    for u in ("a", "b", "c"):
+        (gt / f"{u}.rttm").write_text(line.format(u=u))
+    (pred / "a.rttm").write_text(line.format(u="a"))
+
+    from segma_tpu.evaluate import eval_model_output
+
+    scores = eval_model_output(gt, pred, ["male"], tmp_path / "f.csv")
+    out = capsys.readouterr().out
+    assert "WARNING: 2 uri(s)" in out and "b, c" in out
+    assert scores["male"] == 1.0  # the scored file matches exactly
