@@ -845,6 +845,12 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
             self.send_header("Sec-WebSocket-Accept", ws.accept_key(key))
             self.end_headers()
             self.close_connection = True
+            # register for the drain path (graceful shutdown force-closes
+            # long-lived WS sockets instead of waiting them out), and reap
+            # dead peers: a socket idle past the session TTL raises
+            # timeout -> OSError -> discard below
+            self.server.ws_conns.add(self.connection)
+            self.connection.settimeout(SegmentationService.STREAM_TTL_S)
 
             def send(opcode: int, payload: bytes) -> None:
                 self.wfile.write(ws.encode_frame(opcode, payload))
@@ -910,9 +916,20 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
                 except Exception:  # noqa: BLE001 — socket already gone
                     pass
                 service.stream_discard(sid)
+            finally:
+                self.server.ws_conns.discard(self.connection)
 
         def do_GET(self):  # noqa: N802 (http.server API)
             url = urlparse(self.path)
+            if url.path == "/v1/stream/ws":
+                # long-lived: NOT counted in-flight — the drain path
+                # force-closes the registered socket instead of waiting
+                self._ws_route(url)
+                return
+            with self.server.track_inflight():
+                self._get_inner(url)
+
+        def _get_inner(self, url) -> None:
             path = url.path
             if path == "/healthz":
                 self._reply(200, router.health_payload(), "application/json")
@@ -924,13 +941,14 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
                 )
             elif path == "/v1/models":
                 self._reply(200, router.models_payload(), "application/json")
-            elif path == "/v1/stream/ws":
-                self._ws_route(url)
             else:
                 self._error(404, f"unknown path {self.path!r}")
 
         def do_POST(self):  # noqa: N802
-            url = urlparse(self.path)
+            with self.server.track_inflight():
+                self._post_inner(urlparse(self.path))
+
+        def _post_inner(self, url) -> None:
             if url.path.startswith("/v1/stream"):
                 self._stream_route(url)
                 return
@@ -995,6 +1013,58 @@ def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    """ThreadingHTTPServer + real drain support.
+
+    ``daemon_threads`` stays True (an idle keep-alive connection must not
+    be able to block process exit), so stdlib ``server_close`` joins
+    nothing — instead requests are COUNTED: ``drain()`` waits for the
+    in-flight count to reach zero (bounded by ``grace_s``) and then
+    force-closes registered long-lived WebSocket sockets, whose handlers
+    exit via their normal disconnect path (session discarded)."""
+
+    daemon_threads = True
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
+        self.ws_conns: set = set()
+
+    def track_inflight(self):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            with self._inflight_lock:
+                self._inflight += 1
+            try:
+                yield
+            finally:
+                with self._inflight_lock:
+                    self._inflight -= 1
+
+        return cm()
+
+    def inflight(self) -> int:
+        with self._inflight_lock:
+            return self._inflight
+
+    def drain(self, grace_s: float = 30.0) -> None:
+        """Let in-flight requests finish (up to ``grace_s``), then
+        force-close long-lived WS sessions so nothing outlives us."""
+        import socket as _socket
+
+        deadline = time.monotonic() + grace_s
+        while time.monotonic() < deadline and self.inflight() > 0:
+            time.sleep(0.05)
+        for conn in list(self.ws_conns):
+            try:
+                conn.shutdown(_socket.SHUT_RDWR)
+            except OSError:
+                pass
+
+
 def make_server(
     service: SegmentationService | ModelRouter,
     host: str = "127.0.0.1",
@@ -1011,9 +1081,7 @@ def make_server(
         if isinstance(service, ModelRouter)
         else ModelRouter.single(service)
     )
-    return ThreadingHTTPServer(
-        (host, port), _make_handler(router, max_body_bytes)
-    )
+    return _Server((host, port), _make_handler(router, max_body_bytes))
 
 
 def _start_rss_watchdog(
@@ -1052,12 +1120,14 @@ def _serve_until_signalled(
 ) -> None:
     """serve_forever with graceful termination.
 
-    SIGTERM — what k8s/systemd/SLURM send on stop — drains in-flight
-    requests (shutdown stops accepting, ``block_on_close`` waits for
-    handler threads) instead of resetting client connections mid-reply.
-    ``shutdown()`` runs on a helper thread: it blocks until the serve loop
-    exits, and the signal fires ON the loop's thread. ``max_rss_gb`` > 0
-    arms the RSS self-recycle watchdog (exit 75 when it fires)."""
+    SIGTERM — what k8s/systemd/SLURM send on stop — stops accepting, then
+    ``_Server.drain()`` waits for in-flight requests to finish replying
+    (handler threads are daemon: stdlib close joins nothing) and
+    force-closes long-lived WS sessions, instead of resetting clients
+    mid-reply at process exit. ``shutdown()`` runs on a helper thread: it
+    blocks until the serve loop exits, and the signal fires ON the loop's
+    thread. ``max_rss_gb`` > 0 arms the RSS self-recycle watchdog (exit 75
+    when it fires)."""
     import signal
 
     from segma_tpu.utils.logging import log
@@ -1080,6 +1150,11 @@ def _serve_until_signalled(
     finally:
         if prev is not None:
             signal.signal(signal.SIGTERM, prev)
+        # REAL drain: the accept loop stopping does not finish in-flight
+        # replies (handler threads are daemon and are never joined) — wait
+        # for them, then force-close long-lived WS sessions
+        if hasattr(server, "drain"):
+            server.drain()
     if watchdog is not None and watchdog["fired"]:
         raise SystemExit(75)  # EX_TEMPFAIL: restart me
 

@@ -971,3 +971,77 @@ def test_rss_watchdog_drains_and_exits_75(service):
         _serve_until_signalled(srv, max_rss_gb=0.001)
     assert e.value.code == 75
     assert _time.monotonic() - t0 < 60
+
+
+def test_drain_waits_for_inflight_reply(service, wav_bytes):
+    """Graceful shutdown must let an in-flight request finish replying:
+    handler threads are daemon, so without the drain the process would
+    exit (and kill the reply) the moment the accept loop stops
+    (regression: 'drain' previously only stopped the accept loop)."""
+    import time as _time
+
+    from segma_tpu.serve import SegmentationService
+
+    slow = SegmentationService(service.pipeline)
+    orig = slow._segment_audios
+
+    def slow_segment(audios):
+        _time.sleep(1.0)
+        return orig(audios)
+
+    slow._segment_audios = slow_segment
+    srv = make_server(slow, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    body, _ = wav_bytes
+    result = {}
+
+    def client():
+        result["status"], result["raw"] = _post(f"{url}/v1/segment", body)
+
+    ct = threading.Thread(target=client)
+    ct.start()
+    # wait until the request is actually in flight, then stop + drain
+    deadline = _time.monotonic() + 5
+    while srv.inflight() == 0 and _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    assert srv.inflight() == 1
+    srv.shutdown()
+    srv.drain(grace_s=10.0)
+    assert srv.inflight() == 0  # drain returned only after the reply
+    ct.join(timeout=10)
+    assert result.get("status") == 200 and json.loads(result["raw"])["intervals"]
+
+
+def test_drain_force_closes_ws_sessions(service):
+    """A long-lived WS session must not block the drain: its socket is
+    force-closed, the handler exits via the disconnect path, and the
+    session is discarded."""
+    import time as _time
+
+    from segma_tpu.serve import SegmentationService
+
+    svc = SegmentationService(service.pipeline)
+    srv = make_server(svc, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    sock, f, ws = _ws_client(url)
+    try:
+        f.write(ws.mask_frame(ws.OP_BINARY, np.zeros(8000, "<i2").tobytes()))
+        f.flush()
+        op, _ = ws.read_frame(f, require_mask=False)
+        assert op == ws.OP_TEXT
+        assert _settle(lambda: len(srv.ws_conns) == 1)
+        srv.shutdown()
+        t0 = _time.monotonic()
+        srv.drain(grace_s=5.0)
+        assert _time.monotonic() - t0 < 5.0  # the WS wasn't waited out
+        # our end sees the close
+        with pytest.raises((ConnectionError, OSError)):
+            for _ in range(10):
+                ws.read_frame(f, require_mask=False)
+    finally:
+        sock.close()
+    assert _settle(lambda: not svc._streams), svc._streams
