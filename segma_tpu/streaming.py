@@ -48,9 +48,22 @@ def make_streaming_forward(model: SegmentationModel):
 
     @partial(jax.jit, static_argnums=())
     def forward(params, chunk):
+        # int16 chunks normalize ON DEVICE (x * 2^-15 == the host division
+        # bit-for-bit): serving pushes arrive as PCM16, so shipping them
+        # raw halves the per-chunk host->device bytes
+        if chunk.dtype == jnp.int16:
+            chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
         return transform(apply(params, chunk[None, :], train=False))[0]
 
     return forward
+
+
+def _chunk_to_f32(chunk: np.ndarray) -> np.ndarray:
+    """Host-side fallback normalization (exported programs are traced on
+    f32 inputs; the conversion is bit-identical to the device one)."""
+    if chunk.dtype == np.int16:
+        return chunk.astype(np.float32) / 32768.0
+    return np.asarray(chunk, np.float32)
 
 
 class ChunkForwardBatcher:
@@ -81,6 +94,8 @@ class ChunkForwardBatcher:
 
         @jax.jit
         def batch_forward(params, chunks):  # (B, chunk_f) -> (B, T, L)
+            if chunks.dtype == jnp.int16:  # device-side normalization
+                chunks = chunks.astype(jnp.float32) * (1.0 / 32768.0)
             return transform(apply(params, chunks, train=False))
 
         # powers of two up to max_batch: at most log2(max_batch)+1 compiled
@@ -111,6 +126,7 @@ class ChunkForwardBatcher:
         fns = dict(exported.stream_batch_fns)
 
         def batch_forward(_params, chunks):
+            chunks = _chunk_to_f32(chunks)  # frozen programs take f32
             if chunks.shape[0] == 1:
                 return np.asarray(single.call(chunks[0]))[None]
             return np.asarray(fns[int(chunks.shape[0])].call(chunks))
@@ -165,7 +181,13 @@ class ChunkForwardBatcher:
             self.dispatches += 1
             try:
                 params = group[0][0]
-                chunks = np.stack([c for _, c, _, _ in group])
+                cs = [c for _, c, _, _ in group]
+                if len({c.dtype for c in cs}) > 1:
+                    # sessions may buffer different dtypes: promote int16
+                    # to f32 (bit-exact) — np.stack's own promotion would
+                    # mix raw PCM magnitudes with [-1, 1] floats
+                    cs = [_chunk_to_f32(c) for c in cs]
+                chunks = np.stack(cs)
                 bucket = self._bucket(len(group))
                 if bucket > len(group):  # pad to the compiled bucket size
                     pad = np.zeros(
@@ -231,7 +253,8 @@ class StreamingSegmenter:
         if forward_fn is None:
 
             def forward_fn(_params, chunk):
-                return exported.stream_fn.call(chunk)
+                # the frozen program was traced on f32 input
+                return exported.stream_fn.call(_chunk_to_f32(chunk))
 
         return cls(
             _ExportedShim(exported.manifest),
@@ -335,14 +358,27 @@ class StreamingSegmenter:
     # -- public API ---------------------------------------------------------------
     def push(self, samples: np.ndarray) -> list[tuple[int, int, str]]:
         """Feed more mono samples (float32 in [-1, 1] or int16 PCM);
-        returns newly finalized intervals."""
+        returns newly finalized intervals.
+
+        int16 pushes are buffered AND shipped as int16 — the device
+        normalizes (bit-identical to the host division, half the bytes
+        per chunk). Mixing dtypes mid-stream promotes the buffer to f32
+        transparently (also bit-exact)."""
         if self._done:
             raise StreamFlushedError(
                 "flush() already called on this segmenter"
             )
-        if samples.dtype == np.int16:
-            samples = samples.astype(np.float32) / 32768.0
-        self._buffer = np.concatenate([self._buffer, samples.astype(np.float32)])
+        samples = np.asarray(samples)
+        if samples.dtype != np.int16:
+            samples = samples.astype(np.float32)
+        if self._buffer.size == 0:
+            self._buffer = self._buffer.astype(samples.dtype)
+        elif samples.dtype != self._buffer.dtype:
+            if self._buffer.dtype == np.int16:
+                self._buffer = self._buffer.astype(np.float32) / 32768.0
+            if samples.dtype == np.int16:
+                samples = samples.astype(np.float32) / 32768.0
+        self._buffer = np.concatenate([self._buffer, samples])
         out: list[tuple[int, int, str]] = []
         ck = self.ck
         while True:
@@ -386,7 +422,7 @@ class StreamingSegmenter:
             if tail_frames > 0:
                 off = tail_start - self._consumed
                 tail = self._buffer[off:]
-                chunk = np.zeros(ck.chunk_duration_f, np.float32)
+                chunk = np.zeros(ck.chunk_duration_f, self._buffer.dtype)
                 chunk[: tail.shape[0]] = tail
                 out.extend(
                     self._emit_frames(self._process_chunk(chunk, tail_frames))

@@ -298,3 +298,52 @@ def test_whisper_streaming_matches_offline_live_and_exported(tmp_path):
             seg.push(audio[off : off + 9_000])
         seg.flush()
         assert seg.intervals == offline
+
+
+def test_streaming_mixed_dtype_pushes_promote(vad_model, audio):
+    """int16 pushes buffer AND ship as int16 (half the bytes; the device
+    normalizes bit-identically); switching dtype mid-stream promotes the
+    buffer to f32 with unchanged results."""
+    pcm = (audio * 32768.0).clip(-32768, 32767).astype(np.int16)
+    a = StreamingSegmenter(vad_model, vad_model.params)
+    cut = 20_000
+    a.push(pcm[:cut])
+    assert a._buffer.dtype == np.int16  # int16 mode engaged
+    a.push(pcm[cut:].astype(np.float32) / 32768.0)  # switch -> promote
+    assert a._buffer.dtype == np.float32
+    a.flush()
+    b = StreamingSegmenter(vad_model, vad_model.params)
+    b.push(pcm)
+    b.flush()
+    assert a.intervals == b.intervals and a.intervals
+
+
+def test_chunk_forward_batcher_mixed_dtype_group(vad_model):
+    """Concurrent sessions buffering different dtypes can share one
+    batched dispatch: int16 rows promote bit-exactly, so both sessions
+    get identical logits for the same underlying audio."""
+    import threading
+
+    from segma_tpu.streaming import ChunkForwardBatcher
+
+    chunk_f = vad_model.config.audio.chunk_duration_f
+    rng = np.random.default_rng(9)
+    pcm = (rng.standard_normal(chunk_f) * 8000).astype(np.int16)
+    batcher = ChunkForwardBatcher(vad_model, window_ms=150.0, max_batch=4)
+    outs = {}
+
+    def call(key, chunk):
+        outs[key] = batcher(vad_model.params, chunk)
+
+    ts = [
+        threading.Thread(target=call, args=("i16", pcm)),
+        threading.Thread(
+            target=call, args=("f32", pcm.astype(np.float32) / 32768.0)
+        ),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # same padded batched program, bit-identical effective inputs
+    np.testing.assert_array_equal(outs["i16"], outs["f32"])
