@@ -53,7 +53,7 @@ def build_model():
 
 def run_sessions(
     model, n_sessions: int, push_s: float, total_s: float, batcher=None,
-    exported=None,
+    exported=None, dtype: str = "f32",
 ) -> dict:
     """N concurrent sessions each stream ``total_s`` seconds of audio in
     ``push_s``-sized pushes; returns per-push latency stats."""
@@ -71,9 +71,11 @@ def run_sessions(
         # per-thread generator: np.random.Generator is not thread-safe,
         # and per-session seeds keep inputs independent AND reproducible
         rng = np.random.default_rng(i)
-        audio = (rng.standard_normal(push_n * n_pushes) * 0.3).astype(
-            np.float32
-        )
+        audio = rng.standard_normal(push_n * n_pushes) * 0.3
+        if dtype == "int16":  # the serving path: PCM16 ships raw
+            audio = (audio * 32767.0).clip(-32768, 32767).astype(np.int16)
+        else:
+            audio = audio.astype(np.float32)
         for k in range(n_pushes):
             t0 = time.perf_counter()
             seg.push(audio[k * push_n : (k + 1) * push_n])
@@ -109,6 +111,11 @@ def main() -> None:
     parser.add_argument("--push-ms", type=float, default=500.0)
     parser.add_argument("--total-s", type=float, default=16.0)
     parser.add_argument(
+        "--dtype", default="f32", choices=["f32", "int16"],
+        help="push dtype (int16 = what HTTP serving ships; chunks then "
+        "cross to the device raw, half the bytes)",
+    )
+    parser.add_argument(
         "--artifact", default=None,
         help="benchmark streaming off a frozen export dir (stream.jaxexp / "
         "stream_batch<N>.jaxexp) instead of a live model",
@@ -140,7 +147,7 @@ def main() -> None:
         np.asarray(exported.stream_fn.call(np.zeros(chunk_f, np.float32)))
         for b, fn in sorted((exported.stream_batch_fns or {}).items()):
             np.asarray(fn.call(np.zeros((b, chunk_f), np.float32)))
-    warm = run_sessions(model, 1, push_s, 4.0, exported=exported)
+    warm = run_sessions(model, 1, push_s, 4.0, exported=exported, dtype=args.dtype)
     print(f"[warmup] {warm}", file=sys.stderr)
 
     rows = []
@@ -148,15 +155,19 @@ def main() -> None:
         rows.append(
             {
                 "mode": "serial-forward",
-                **run_sessions(model, n, push_s, args.total_s, exported=exported),
+                **run_sessions(
+                    model, n, push_s, args.total_s, exported=exported,
+                    dtype=args.dtype,
+                ),
             }
         )
         if n > 1:
             batcher = make_batcher()
             # warm the batched buckets
-            run_sessions(model, n, push_s, 4.0, batcher=batcher, exported=exported)
+            run_sessions(model, n, push_s, 4.0, batcher=batcher, exported=exported, dtype=args.dtype)
             r = run_sessions(
-                model, n, push_s, args.total_s, batcher=batcher, exported=exported
+                model, n, push_s, args.total_s, batcher=batcher,
+                exported=exported, dtype=args.dtype,
             )
             r["dispatches"] = batcher.dispatches
             rows.append({"mode": "batched-forward", **r})
