@@ -318,6 +318,21 @@ class CheckpointManager:
         tmp.rename(last)
         shutil.rmtree(old, ignore_errors=True)
 
+    def refresh_last(
+        self,
+        epoch: int,
+        trainable_params: Any,
+        meta: dict,
+        opt_state: Any = None,
+        train_state: dict | None = None,
+    ) -> None:
+        """Refresh ``last/`` without top-k accounting — for epochs that
+        skip validation (``train.val_every_n_epochs`` > 1): resume stays
+        exact every epoch while best/top-k rank only scored epochs."""
+        meta = {**meta, "epoch": epoch}
+        if self.save_last and self.write:
+            self._write_last(trainable_params, meta, opt_state, train_state)
+
     def save_interrupt(
         self,
         epoch: int,

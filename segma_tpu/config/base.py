@@ -282,6 +282,10 @@ class TrainConfig(BaseConfig):
     # resume state) so the requeue loop restarts the process instead of
     # the kernel OOM killer. null = auto (90% of MemTotal); 0 disables.
     host_rss_limit_gb: float | None = None
+    # run validation (and therefore scoring/top-k/scheduler/early-stop
+    # decisions) every N epochs instead of every epoch; the final epoch
+    # always validates and last/ stays fresh every epoch (exact resume).
+    val_every_n_epochs: int = 1
 
 
 @dataclass

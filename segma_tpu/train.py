@@ -712,7 +712,12 @@ class Trainer:
                     self.logger.log({"preempted_at_epoch": epoch, "saved": str(path)})
                     interrupted = True
                     break
-                metrics = self._val_epoch(params, val_loader)
+                # validation cadence: every N epochs + always the last one
+                # (train.val_every_n_epochs; non-val epochs still refresh
+                # last/ so resume stays exact)
+                val_n = max(1, tc.val_every_n_epochs)
+                do_val = (epoch + 1) % val_n == 0 or epoch == max_epochs - 1
+                metrics = self._val_epoch(params, val_loader) if do_val else {}
                 metrics["train/loss"] = train_loss
                 metrics["lr"] = get_learning_rate(opt_state)
                 metrics["epoch"] = epoch
@@ -724,32 +729,44 @@ class Trainer:
                 self.logger.log(metrics)
                 history.append(metrics)
 
-                monitored = metrics.get(self.monitor)
-                if monitored is None:
-                    raise ValueError(
-                        f"monitored metric {self.monitor!r} missing from val metrics"
-                    )
-
-                # plateau scheduler -> scale injected LR (no recompiles);
-                # cosine mode sets the LR per step in _train_epoch instead
-                if tc.scheduler.type == "plateau" and self.scheduler.step(monitored):
-                    opt_state = set_learning_rate(
-                        opt_state, base_lr * self.scheduler.scale
-                    )
-
                 trainable, _ = self.model.split_params(params)
-                self.ckpt.step(
-                    epoch,
-                    monitored,
-                    trainable,
-                    meta=self._ckpt_meta(),
-                    opt_state=opt_state,
-                    train_state=train_state_snapshot(),
-                )
+                if not do_val:
+                    self.ckpt.refresh_last(
+                        epoch,
+                        trainable,
+                        meta=self._ckpt_meta(),
+                        opt_state=opt_state,
+                        train_state=train_state_snapshot(),
+                    )
+                else:
+                    monitored = metrics.get(self.monitor)
+                    if monitored is None:
+                        raise ValueError(
+                            f"monitored metric {self.monitor!r} missing "
+                            "from val metrics"
+                        )
 
-                if self.early_stopping.step(monitored):
-                    self.logger.log({"early_stop": epoch})
-                    break
+                    # plateau scheduler -> scale injected LR (no
+                    # recompiles); cosine sets the LR per step instead
+                    if tc.scheduler.type == "plateau" and self.scheduler.step(
+                        monitored
+                    ):
+                        opt_state = set_learning_rate(
+                            opt_state, base_lr * self.scheduler.scale
+                        )
+
+                    self.ckpt.step(
+                        epoch,
+                        monitored,
+                        trainable,
+                        meta=self._ckpt_meta(),
+                        opt_state=opt_state,
+                        train_state=train_state_snapshot(),
+                    )
+
+                    if self.early_stopping.step(monitored):
+                        self.logger.log({"early_stop": epoch})
+                        break
 
                 rss = host_rss_gb() if rss_limit else 0.0
                 if rss_limit and rss > rss_limit:

@@ -781,3 +781,36 @@ def test_host_rss_watchdog_recycles_and_resumes(train_cfg, tmp_path, monkeypatch
     assert result2["interrupted"] is False
     epochs = [h["epoch"] for h in result2["history"]]
     assert epochs == [1, 2]  # resumed exactly after the recycle point
+
+
+def test_val_every_n_epochs(train_cfg, tmp_path):
+    """train.val_every_n_epochs=2: validation/scoring runs on epochs 1, 3
+    and the final epoch; non-val epochs still refresh last/ (exact
+    resume), and best/top-k rank only scored epochs."""
+    from segma_tpu.checkpoint import load_meta
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    cfg = train_cfg
+    cfg.train.max_epochs = 5
+    cfg.train.val_every_n_epochs = 2
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+    run_dir = tmp_path / "run"
+    trainer = Trainer(model=model, config=cfg, run_dir=run_dir)
+    result = trainer.fit(dm)
+
+    hist = result["history"]
+    assert [h["epoch"] for h in hist] == [0, 1, 2, 3, 4]
+    val_epochs = [h["epoch"] for h in hist if "val/loss" in h]
+    assert val_epochs == [1, 3, 4]  # every 2nd + the final epoch
+    # only scored epochs create top-k dirs
+    epoch_dirs = sorted(p.name for p in (run_dir / "checkpoints").glob("epoch=*"))
+    assert {int(n.split("=")[1][:2]) for n in epoch_dirs} <= {1, 3, 4}
+    # last/ is from the FINAL epoch (refreshed on non-val epochs too)
+    assert load_meta(run_dir / "checkpoints" / "last")["epoch"] == 4
+    assert result["best_path"] is not None
