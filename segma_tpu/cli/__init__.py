@@ -38,6 +38,10 @@ _COMMANDS = {
         "segma_tpu.cli.bundle",
         "catalog a directory of artifacts for multi-model serving",
     ),
+    "doctor": (
+        "segma_tpu.cli.doctor",
+        "environment diagnostics (devices, cache, mesh, stall probe)",
+    ),
 }
 
 
