@@ -36,11 +36,21 @@ def rttm_to_frame_tensor(
     label_set = set(labels)
     segments: list[tuple[float, float, str]] = []
     with Path(rttm_path).open("r") as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             parts = line.strip().split()
             if not parts:
                 continue
-            start_s, duration_s, label = float(parts[3]), float(parts[4]), parts[7]
+            try:
+                start_s, duration_s, label = (
+                    float(parts[3]),
+                    float(parts[4]),
+                    parts[7],
+                )
+            except (IndexError, ValueError) as e:
+                raise ValueError(
+                    f"{rttm_path}:{lineno}: not an RTTM line "
+                    f"({line.strip()[:60]!r})"
+                ) from e
             if label in label_set:
                 segments.append((start_s, duration_s, label))
 

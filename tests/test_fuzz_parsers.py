@@ -290,3 +290,20 @@ def test_annotation_line_fuzz():
     assert (a.uid, a.start_time_s, a.duration_s, a.label) == ("uid", 1.5, 2.25, "male")
     r = AudioAnnotation.from_rttm(a.to_rttm())
     assert (r.uid, r.start_time_s, r.duration_s, r.label) == ("uid", 1.5, 2.25, "male")
+
+
+def test_rttm_frame_tensor_malformed_lines(tmp_path):
+    """The tuner's raw RTTM rasterizer names the file and line on
+    malformed input instead of leaking IndexError."""
+    import pytest
+
+    from segma_tpu.tune import rttm_to_frame_tensor
+
+    p = tmp_path / "bad.rttm"
+    good = "SPEAKER u <NA> 1.0 2.0 <NA> <NA> male <NA> <NA>\n"
+    for bad in ("SPEAKER u <NA> 1.0\n", "SPEAKER u <NA> x y <NA> <NA> male a b\n"):
+        p.write_text(good + bad)
+        with pytest.raises(ValueError, match="bad.rttm:2"):
+            rttm_to_frame_tensor(p, ["male"])
+    p.write_text(good)
+    assert rttm_to_frame_tensor(p, ["male"]).sum() > 0
