@@ -230,9 +230,12 @@ def eval_model_output(
     if missing_pred:
         shown = ", ".join(missing_pred[:5])
         print(
-            f"[log] - WARNING: {len(missing_pred)} uri(s) have ground truth "
-            f"but NO prediction and are excluded from scoring: {shown}"
-            f"{', ...' if len(missing_pred) > 5 else ''}",
+            f"[log] - NOTE: scoring {len(set(truth) & set(preds))} shared "
+            f"uri(s); {len(missing_pred)} ground-truth uri(s) have no "
+            f"prediction and are excluded ({shown}"
+            f"{', ...' if len(missing_pred) > 5 else ''}) — expected when "
+            "predictions cover a split subset, NOT when a predict run "
+            "dropped files",
             flush=True,
         )
     for uri in sorted(set(truth) & set(preds)):

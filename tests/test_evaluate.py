@@ -228,5 +228,6 @@ def test_missing_prediction_uris_warned(tmp_path, capsys):
 
     scores = eval_model_output(gt, pred, ["male"], tmp_path / "f.csv")
     out = capsys.readouterr().out
-    assert "WARNING: 2 uri(s)" in out and "b, c" in out
+    assert "2 ground-truth uri(s) have no prediction" in out
+    assert "b, c" in out and "scoring 1 shared" in out
     assert scores["male"] == 1.0  # the scored file matches exactly
