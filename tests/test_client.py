@@ -146,3 +146,28 @@ def test_iter_wav_chunks(audio):
     assert sum(len(c) for c in chunks) == len(wave)
     assert all(c.dtype == np.int16 for c in chunks)
     assert len(chunks[0]) == 8000
+
+
+def test_client_stream_429_maps_to_error(service):
+    """The session cap surfaces through the SDK as SegmaClientError(429)
+    for both HTTP and WS stream opens."""
+    from segma_tpu.serve import SegmentationService, make_server
+
+    capped = SegmentationService(service.pipeline, max_sessions=1)
+    srv = make_server(capped, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = SegmaClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        first = c.stream()
+        with pytest.raises(SegmaClientError) as e:
+            c.stream()
+        assert e.value.status == 429
+        with pytest.raises(SegmaClientError) as e:
+            c.stream_ws()
+        assert e.value.status == 429
+        first.flush()  # slot freed -> works again
+        with c.stream() as s2:
+            s2.push(np.zeros(4000, np.int16))
+    finally:
+        srv.shutdown()
