@@ -29,7 +29,10 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--batch_size", "--batch-size", default=128, type=int)
     parser.add_argument(
         "--platforms", nargs="*", default=["cpu", "tpu"],
-        help="lowering targets baked into the artifact",
+        help="lowering targets baked into the artifact. NOTE: multi-"
+        "platform tracing uses the portable mel frontend — whisper-family "
+        "exports can flip the odd borderline frame vs the live TPU path; "
+        "pass 'tpu' alone for byte-identical TPU-only artifacts",
     )
     parser.add_argument(
         "--model-version", default=None,

@@ -27,6 +27,17 @@ Layout::
 Each program embeds the params as constants (self-containment over size);
 for encoder-heavy models every extra bucket costs roughly one weight copy
 on disk — trim ``buckets`` when that matters.
+
+Parity note (measured round 3, whisper-base on chip): the default
+multi-platform export (``platforms=("cpu", "tpu")``) must trace the
+PORTABLE mel frontend instead of the fused Pallas kernel, so mel-frontend
+models can flip the odd borderline frame vs the live TPU path (observed:
+one interval boundary 0.58 vs 0.60 s over two 60 s files — last-ulp logit
+differences at the threshold). ``--platforms tpu`` keeps the Pallas
+lowering and is **byte-identical** to the live pipeline; use it when the
+artifact will only ever run on TPU and bit-parity matters. Models without
+a mel frontend (conv_vad, hubert/wavlm waveform encoders) are
+byte-identical either way.
 """
 
 from __future__ import annotations
