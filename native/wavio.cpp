@@ -65,7 +65,15 @@ bool parse_header(FILE* f, WavLayout* out) {
     } else if (memcmp(hdr, "data", 4) == 0) {
       if (!have_fmt) return false;
       out->data_offset = static_cast<uint64_t>(ftell(f));
-      out->data_size = size;
+      // clamp the CLAIMED chunk size to the bytes actually present: a
+      // tiny file claiming a 4 GB data chunk would otherwise make every
+      // caller (and wavio_read_range's staging vector) size buffers off
+      // the claim — gigabytes of allocation from a 100-byte upload
+      fseek(f, 0, SEEK_END);
+      const uint64_t fsz = static_cast<uint64_t>(ftell(f));
+      const uint64_t avail =
+          fsz > out->data_offset ? fsz - out->data_offset : 0;
+      out->data_size = size < avail ? size : avail;
       return true;
     } else {
       fseek(f, static_cast<long>(size + (size & 1)), SEEK_CUR);

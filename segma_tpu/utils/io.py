@@ -94,13 +94,21 @@ def _parse_wav_header(audio_p: Path) -> _WavLayout:
                 if fmt is None:
                     raise ValueError(f"{audio_p}: data chunk before fmt chunk")
                 audio_format, n_channels, sample_rate, bits = fmt
+                # clamp the CLAIMED size to the bytes actually present: a
+                # tiny file claiming a 4 GB data chunk would otherwise make
+                # every caller size its buffers off the claim (a 100-byte
+                # upload allocating gigabytes per request = memory DoS on
+                # the serving path; the body cap can't see inside headers)
+                data_offset = f.tell()
+                f.seek(0, 2)
+                avail = max(0, f.tell() - data_offset)
                 return _WavLayout(
                     sample_rate=sample_rate,
                     n_channels=n_channels,
                     bits_per_sample=bits,
                     audio_format=audio_format,
-                    data_offset=f.tell(),
-                    data_size=chunk_size,
+                    data_offset=data_offset,
+                    data_size=min(chunk_size, avail),
                 )
             else:
                 f.seek(chunk_size + (chunk_size & 1), 1)

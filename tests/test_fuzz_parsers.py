@@ -307,3 +307,35 @@ def test_rttm_frame_tensor_malformed_lines(tmp_path):
             rttm_to_frame_tensor(p, ["male"])
     p.write_text(good)
     assert rttm_to_frame_tensor(p, ["male"]).sum() > 0
+
+
+def test_wav_huge_data_size_claim_is_clamped(tmp_path):
+    """A tiny file whose header CLAIMS a 4 GB data chunk must report only
+    the bytes actually present — otherwise every caller sizes buffers off
+    the claim (gigabytes of allocation from a 100-byte upload: a memory
+    DoS the serving body cap cannot see). Both decoders must agree."""
+    import os
+
+    pcm = np.arange(50, dtype="<i2").tobytes()  # 100 real bytes
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    blob = (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFF0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 0xFFFFFFF0) + pcm
+    )
+    p = _write(tmp_path, "huge_claim.wav", blob)
+
+    for no_native in (False, True):
+        if no_native:
+            os.environ["SEGMA_TPU_NO_NATIVE"] = "1"
+        native._lib.cache_clear()
+        try:
+            info = get_audio_info(p)
+            assert info.n_samples == 50, (no_native, info.n_samples)
+            out = read_pcm16_mono(p)
+            np.testing.assert_array_equal(out, np.frombuffer(pcm, "<i2"))
+            rng = get_samples_in_range(p, 0, -1)
+            assert rng.shape[-1] == 50
+        finally:
+            os.environ.pop("SEGMA_TPU_NO_NATIVE", None)
+            native._lib.cache_clear()
