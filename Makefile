@@ -8,8 +8,15 @@ format:
 lint:
 	ruff check segma_tpu tests scripts
 
+# Gating (reference Makefile:20-21 gates --disallow-untyped-defs):
+# check_types.py enforces annotation coverage on every public def and
+# always runs; the mypy pass is gating wherever mypy is installed
+# (CI installs it — this dev image cannot, zero egress).
 type-check:
-	python -m mypy segma_tpu --ignore-missing-imports || true
+	python scripts/check_types.py
+	@if python -c "import mypy" 2>/dev/null; then \
+	  python -m mypy segma_tpu --ignore-missing-imports; \
+	else echo "mypy not installed here; CI runs it (gating)"; fi
 
 test:
 	python -m pytest tests/ -x -q

@@ -11,6 +11,8 @@ import time
 from datetime import datetime
 from pathlib import Path
 
+from typing import Any
+
 from segma_tpu.config import Config, load_config
 from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
 from segma_tpu.models import Models
@@ -45,7 +47,7 @@ def run_training(
     resume_from: str | None = None,
     run_id: str | None = None,
     output: str | None = None,
-):
+) -> dict[str, Any]:
     from segma_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -129,7 +129,9 @@ class SegmaClient:
             if own:
                 conn.close()
 
-    def _audio_body(self, audio) -> tuple[bytes, str]:
+    def _audio_body(
+        self, audio: str | Path | bytes | bytearray | np.ndarray
+    ) -> tuple[bytes, str]:
         if isinstance(audio, (str, Path)):
             return Path(audio).read_bytes(), "application/octet-stream"
         if isinstance(audio, (bytes, bytearray)):
@@ -158,7 +160,7 @@ class SegmaClient:
 
     def segment(
         self,
-        audio,
+        audio: str | Path | bytes | bytearray | np.ndarray,
         uri: str = "audio",
         model: str | None = None,
         rttm: bool = False,

@@ -15,7 +15,7 @@ import types
 import typing
 from dataclasses import asdict, dataclass, field
 from pathlib import Path
-from typing import Literal, Union
+from typing import Any, Literal, Union
 
 import yaml
 
@@ -277,6 +277,14 @@ class TrainConfig(BaseConfig):
     # x * 2^-15 on device equals the host division exactly). Samples whose
     # source is not 16-bit PCM fall back to f32 transparently.
     transport: str = "f32"
+    # "host" ships each batch's waveforms from the host; "device" uploads
+    # the whole subset's audio to HBM ONCE (int16 when all sources are
+    # 16-bit PCM) and ships only (crop offsets, labels) per batch — the
+    # jitted steps gather crops on device. Bit-identical trajectories
+    # (tests/test_device_cache.py); single-controller only (multi-host
+    # controllers hold disjoint file shards). Biggest win when the
+    # host->device link is slow or leaky (CLAUDE.md relay retention).
+    data_cache: str = "host"
     # self-recycle guard: when host RSS exceeds this many GB at an epoch
     # boundary, stop with interrupted=True (last/ already holds the exact
     # resume state) so the requeue loop restarts the process instead of
@@ -319,7 +327,7 @@ class Config(BaseConfig):
 # ---------------------------------------------------------------------------
 
 
-def _type_matches(value, tp) -> bool:
+def _type_matches(value: Any, tp: Any) -> bool:
     """Best-effort strict type check used for union arbitration."""
     origin = typing.get_origin(tp)
     if tp is typing.Any:
@@ -372,7 +380,7 @@ def _dataclass_accepts(cls, data: dict) -> bool:
     return True
 
 
-def _convert(value, tp, path: str):
+def _convert(value: Any, tp: Any, path: str) -> Any:
     origin = typing.get_origin(tp)
     if tp is typing.Any:
         return value
@@ -429,7 +437,7 @@ def _convert(value, tp, path: str):
     return value
 
 
-def _from_dict(cls, data: dict, path: str = "config"):
+def _from_dict(cls: type, data: dict, path: str = "config") -> Any:
     """Strict recursive dataclass instantiation (unknown keys are errors)."""
     if cls is ModelConfig:
         # resolve the config union by model name, sidestepping structural

@@ -234,7 +234,7 @@ def import_reference_checkpoint(
     return params
 
 
-def _as_f32(tree):
+def _as_f32(tree: Any) -> Any:
     if isinstance(tree, dict):
         return {k: _as_f32(v) for k, v in tree.items()}
     return np.asarray(tree, dtype=np.float32)

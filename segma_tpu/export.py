@@ -46,6 +46,7 @@ import json
 import time
 from dataclasses import dataclass
 from pathlib import Path
+from typing import Any, Callable
 
 import jax
 import numpy as np
@@ -60,7 +61,7 @@ from segma_tpu.inference import (
     threshold_vector,
     unpack_run_intervals,
 )
-from segma_tpu.models.base import ConvolutionSettings
+from segma_tpu.models.base import ConvolutionSettings, SegmentationModel
 from segma_tpu.ops.adpcm import AdpcmAudio, adpcm_encode_audio, encoded_nbytes
 
 FORMAT_VERSION = 1
@@ -125,7 +126,7 @@ def _bucket_plan(needed: int, buckets: list[int]) -> list[int]:
 
 
 def export_inference(
-    model,
+    model: SegmentationModel,
     output_dir: Path | str,
     thresholds: dict | None = None,
     buckets: tuple[int, ...] = (8, 32, 128, 512),
@@ -203,8 +204,15 @@ def export_inference(
 
 
 def _export_programs(
-    pipe, params, model, output_dir, buckets, transport, dtype, platforms,
-    stream_batches,
+    pipe: InferencePipeline,
+    params: Any,
+    model: SegmentationModel,
+    output_dir: Path,
+    buckets: tuple[int, ...],
+    transport: str,
+    dtype: Any,
+    platforms: tuple[str, ...],
+    stream_batches: tuple[int, ...],
 ) -> None:
     ck = pipe.chunkyfier
     buckets = tuple(sorted(set(buckets)))
@@ -319,8 +327,8 @@ class ExportedPipeline:
         return self.stream_fn is not None
 
     def streaming_segmenter(
-        self, thresholds: dict | None = None, forward_fn=None
-    ):
+        self, thresholds: dict | None = None, forward_fn: Callable | None = None
+    ) -> Any:
         """Online segmentation off the frozen artifact — same contract as
         ``StreamingSegmenter(model, params, ...)`` but driven by the
         exported per-chunk program (params baked in). ``forward_fn``
@@ -348,7 +356,7 @@ class ExportedPipeline:
         step = self.manifest["rf_step"]
         return ConvolutionSettings((step,), (step,), (0,))
 
-    def _chunkyfier(self):
+    def _chunkyfier(self) -> Chunkyfier:
         return Chunkyfier(
             1, self.manifest["chunk_duration_f"], self.frame_settings
         )
@@ -457,7 +465,9 @@ class ExportedPipeline:
             return self._host_decode(logits, thr, cs)
         return intervals
 
-    def _host_decode(self, logits, thr, cs) -> list[tuple[int, int, str]]:
+    def _host_decode(
+        self, logits: np.ndarray, thr: np.ndarray, cs: ConvolutionSettings
+    ) -> list[tuple[int, int, str]]:
         mask = 1.0 / (1.0 + np.exp(-logits)) > thr[None, :]
 
         class _Enc:  # create_intervals only reads .base_labels

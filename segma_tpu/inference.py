@@ -30,7 +30,7 @@ from dataclasses import dataclass
 from functools import partial
 from math import floor
 from pathlib import Path
-from typing import Any
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,7 @@ from segma_tpu.config import Config, load_config
 from segma_tpu.models.base import ConvolutionSettings, SegmentationModel
 from segma_tpu.ops.adpcm import AdpcmAudio, adpcm_encode_audio, n_blocks
 from segma_tpu.utils.conversions import frames_to_seconds
-from segma_tpu.utils.encoders import MultiLabelEncoder
+from segma_tpu.utils.encoders import LabelEncoder, MultiLabelEncoder
 from segma_tpu.utils.io import get_all_samples, read_pcm16_mono
 
 TAIL_MIN_SAMPLES = 400  # reference inference.py:195
@@ -241,7 +241,7 @@ class InferencePipeline:
         self._decode_packed_jit = _decode_packed
 
     # -- jitted core -----------------------------------------------------------
-    def _build_infer(self):
+    def _build_infer(self) -> Callable:
         ck = self.chunkyfier
         stride, chunk_f = ck.chunk_stride, ck.chunk_duration_f
         overlap = chunk_f - stride
@@ -582,7 +582,10 @@ def decode_capacity(rows: int) -> int:
 
 
 def unpack_run_intervals(
-    packed: np.ndarray, cap: int, labels, frame_settings
+    packed: np.ndarray,
+    cap: int,
+    labels: list[str] | tuple[str, ...],
+    frame_settings: ConvolutionSettings,
 ) -> list[tuple[int, int, str]] | None:
     """(n_labels, 1+2*cap) packed device runs -> sample intervals.
 
@@ -603,7 +606,7 @@ def unpack_run_intervals(
     return intervals
 
 
-def load_thresholds(thresholds) -> dict | None:
+def load_thresholds(thresholds: dict | str | Path | None) -> dict | None:
     """Resolve a thresholds argument: dict passes through; a str/Path loads
     the tuner's YAML (with an existence check); None stays None. One home
     for this validation across the live and artifact CLIs."""
@@ -760,7 +763,7 @@ def write_intervals(
 
 def save_logits(
     logits: np.ndarray,
-    label_encoder,
+    label_encoder: LabelEncoder,
     output_p: Path,
     uri: str,
 ) -> Path:

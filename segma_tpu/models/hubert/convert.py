@@ -66,7 +66,7 @@ def _load_raw(path: Path) -> dict[str, np.ndarray]:
     return {k: _np(v) for k, v in sd.items()}
 
 
-def _np(v):
+def _np(v: Any) -> np.ndarray:
     import torch
 
     return v.numpy() if isinstance(v, torch.Tensor) else np.asarray(v)
@@ -92,7 +92,9 @@ def _normalize_keys(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
-def _dense(sd, name: str, bias: bool = True) -> dict[str, np.ndarray]:
+def _dense(
+    sd: dict[str, np.ndarray], name: str, bias: bool = True
+) -> dict[str, np.ndarray]:
     """torch Linear -> flax Dense params (shared by all three converters:
     hubert, wavlm, whisper — one home for the torch->flax rewriters)."""
     p = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T)}
@@ -101,11 +103,11 @@ def _dense(sd, name: str, bias: bool = True) -> dict[str, np.ndarray]:
     return p
 
 
-def _layernorm(sd, name: str) -> dict[str, np.ndarray]:
+def _layernorm(sd: dict[str, np.ndarray], name: str) -> dict[str, np.ndarray]:
     return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
 
 
-def _pos_conv_weight(sd) -> np.ndarray:
+def _pos_conv_weight(sd: dict[str, np.ndarray]) -> np.ndarray:
     """Resolve the weight-normed positional conv kernel.
 
     weight-norm over dim=2: w = g * v / ||v||_(dims 0,1), then torch
@@ -172,7 +174,7 @@ def convert_hubert_state_dict(
     return _as_f32(fe), _as_f32(tr)
 
 
-def _as_f32(tree):
+def _as_f32(tree: Any) -> Any:
     if isinstance(tree, dict):
         return {k: _as_f32(v) for k, v in tree.items()}
     return np.asarray(tree, dtype=np.float32)

@@ -85,7 +85,7 @@ def convert_wavlm_params(path: Path) -> tuple[WavLMEncoderConfig, dict, dict]:
     return cfg, _as_f32(fe), _as_f32(tr)
 
 
-def _as_f32(tree):
+def _as_f32(tree: Any) -> Any:
     if isinstance(tree, dict):
         return {k: _as_f32(v) for k, v in tree.items()}
     return np.asarray(tree, dtype=np.float32)

@@ -64,7 +64,7 @@ def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return sd
 
 
-def _conv(sd, name: str) -> dict[str, np.ndarray]:
+def _conv(sd: dict[str, np.ndarray], name: str) -> dict[str, np.ndarray]:
     # torch Conv1d (out, in, k) -> flax (k, in, out)
     return {
         "kernel": np.ascontiguousarray(sd[f"{name}.weight"].transpose(2, 1, 0)),

@@ -147,7 +147,9 @@ def stft_power(
     return re * re + im * im  # (B, frames, n_freqs) f32
 
 
-def _pallas_eligible(wav: jax.Array, n_fft, hop, n_mels, drop_last) -> bool:
+def _pallas_eligible(
+    wav: jax.Array, n_fft: int, hop: int, n_mels: int, drop_last: bool
+) -> bool:
     """The fused Pallas kernel covers the default Whisper geometry on TPU."""
     import os
 

@@ -33,7 +33,9 @@ TILE_F = 256  # frames per kernel invocation
 
 
 @lru_cache(maxsize=2)
-def _split_basis(n_fft: int = N_FFT, hop: int = HOP_LENGTH):
+def _split_basis(
+    n_fft: int = N_FFT, hop: int = HOP_LENGTH
+) -> tuple[np.ndarray, np.ndarray]:
     """Windowed DFT basis split into 3 row blocks of `hop` (last padded)."""
     n_freqs = n_fft // 2 + 1
     window = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft))
@@ -55,7 +57,15 @@ def _split_basis(n_fft: int = N_FFT, hop: int = HOP_LENGTH):
     return split(cos_b), split(sin_b)
 
 
-def _logmel_kernel(r0_ref, r1_ref, r2_ref, cos_ref, sin_ref, fb_ref, out_ref):
+def _logmel_kernel(
+    r0_ref: Any,
+    r1_ref: Any,
+    r2_ref: Any,
+    cos_ref: Any,
+    sin_ref: Any,
+    fb_ref: Any,
+    out_ref: Any,
+) -> None:
     """One (batch, frame-tile) block -> (TILE_F, n_mels) log10-mel."""
     re = jnp.zeros((TILE_F, cos_ref.shape[-1]), jnp.float32)
     im = jnp.zeros_like(re)

@@ -36,13 +36,13 @@ TP_RULES: list[tuple[str, P]] = [
 ]
 
 
-def _path_str(path) -> str:
+def _path_str(path: Any) -> str:
     return "/".join(
         str(getattr(k, "key", getattr(k, "idx", k))) for k in path
     )
 
 
-def spec_for_path(path, leaf=None) -> P:
+def spec_for_path(path: Any, leaf: Any = None) -> P:
     s = _path_str(path)
     for pattern, spec in TP_RULES:
         if re.search(pattern, s):

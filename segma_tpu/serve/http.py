@@ -13,6 +13,7 @@ import struct
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
 from urllib.parse import parse_qs, urlparse
 
 from segma_tpu.serve.router import ModelRouter
@@ -23,7 +24,9 @@ from segma_tpu.serve.service import (
 )
 
 
-def _make_handler(router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES):
+def _make_handler(
+    router: ModelRouter, max_body_bytes: int = MAX_BODY_BYTES
+) -> type[BaseHTTPRequestHandler]:
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -366,13 +369,13 @@ class _Server(ThreadingHTTPServer):
 
     daemon_threads = True
 
-    def __init__(self, *args, **kwargs) -> None:
+    def __init__(self, *args: Any, **kwargs: Any) -> None:
         super().__init__(*args, **kwargs)
         self._inflight = 0
         self._inflight_lock = threading.Lock()
         self.ws_conns: set = set()
 
-    def track_inflight(self):
+    def track_inflight(self) -> Any:
         import contextlib
 
         @contextlib.contextmanager

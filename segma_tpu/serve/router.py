@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 import threading
 from pathlib import Path
-from typing import Any
+from typing import Any, Callable
 
 import numpy as np
 
@@ -33,7 +33,7 @@ class ModelRouter:
         self,
         services: dict[str, SegmentationService],
         default: str,
-        reloader=None,
+        reloader: Callable | None = None,
     ) -> None:
         if default not in services:
             raise KeyError(f"default model {default!r} not in {sorted(services)}")
@@ -140,7 +140,7 @@ class ModelRouter:
         return json.dumps(payload).encode()
 
 
-def _warm_stream_programs(pipeline, batching: bool) -> None:
+def _warm_stream_programs(pipeline: Any, batching: bool) -> None:
     """Compile/link an artifact's streaming programs before traffic (the
     batched buckets only when micro-batching will use them)."""
     if not pipeline.supports_streaming:
@@ -161,7 +161,7 @@ def bundle_reloader(
     max_batch: int = 8,
     device_lock: threading.Lock | None = None,
     max_sessions: int = MAX_STREAM_SESSIONS,
-):
+) -> Callable:
     """Factory for the bundle scan callable used at startup and by
     ``POST /admin/reload``: ``rescan(current_services) -> (services,
     default, report)``. Services whose artifact manifest is unchanged are

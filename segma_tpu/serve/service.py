@@ -54,7 +54,9 @@ class _MicroBatcher:
     that single short requests leave mostly idle; measured 1.7x on
     whisper-base over 20 s clips)."""
 
-    def __init__(self, service, window_ms: float, max_batch: int) -> None:
+    def __init__(
+        self, service: "SegmentationService", window_ms: float, max_batch: int
+    ) -> None:
         self.service = service
         self.window_s = window_ms / 1000.0
         self.max_batch = max(1, max_batch)
@@ -107,7 +109,7 @@ class SegmentationService:
 
     def __init__(
         self,
-        pipeline,
+        pipeline: Any,
         thresholds: dict[str, dict[str, float]] | None = None,
         transport: str = "int16",
         batch_window_ms: float = 0.0,
@@ -311,7 +313,7 @@ class SegmentationService:
             self._streams[sid] = (seg, threading.Lock(), time.monotonic())
         return sid
 
-    def _stream(self, sid: str, claim: bool = False):
+    def _stream(self, sid: str, claim: bool = False) -> tuple:
         with self._streams_lock:
             self._evict_stale_streams()
             entry = self._streams.get(sid)
@@ -326,7 +328,7 @@ class SegmentationService:
                 self._streams[sid] = (seg, lock, time.monotonic())
         return seg, lock
 
-    def _dispatch_lock(self):
+    def _dispatch_lock(self) -> Any:
         """Cross-session lock for streaming device dispatch. With the
         ChunkForwardBatcher active, holding the device lock across push()
         would serialize sessions and starve the batcher of concurrent

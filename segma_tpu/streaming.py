@@ -14,7 +14,7 @@ decode math) — asserted in tests.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,7 @@ class StreamFlushedError(RuntimeError):
     without matching on message text."""
 
 
-def make_streaming_forward(model: SegmentationModel):
+def make_streaming_forward(model: SegmentationModel) -> Callable:
     """One jitted per-chunk forward ``(params, chunk) -> (T, L) logits``,
     shareable across StreamingSegmenter instances."""
     # single-device program: strip a baked-in seq-parallel mesh here (not
@@ -109,7 +109,7 @@ class ChunkForwardBatcher:
 
     @classmethod
     def from_exported(
-        cls, exported, window_ms: float = 3.0
+        cls, exported: Any, window_ms: float = 3.0
     ) -> "ChunkForwardBatcher":
         """Batcher over an artifact's exported stream programs: singleton
         groups run ``stream.jaxexp``, larger groups pad to the next shipped
@@ -135,7 +135,9 @@ class ChunkForwardBatcher:
         self._setup(batch_forward, window_ms, [1, *fns])
         return self
 
-    def _setup(self, batch_forward, window_ms: float, buckets: list[int]):
+    def _setup(
+        self, batch_forward: Callable, window_ms: float, buckets: list[int]
+    ) -> None:
         import queue
         import threading
 
@@ -237,9 +239,9 @@ class StreamingSegmenter:
     @classmethod
     def from_exported(
         cls,
-        exported,
+        exported: Any,
         thresholds: dict[str, dict[str, float]] | None = None,
-        forward_fn=None,
+        forward_fn: Callable | None = None,
     ) -> "StreamingSegmenter":
         """Online segmentation off a frozen artifact
         (:class:`segma_tpu.export.ExportedPipeline` with a ``stream.jaxexp``

@@ -28,7 +28,7 @@ class LabelEncoder(ABC):
         """Raw label vocabulary."""
 
     @abstractmethod
-    def transform(self, label) -> int: ...
+    def transform(self, label: str | tuple[str, ...]) -> int: ...
 
     @abstractmethod
     def inv_transform(self, i: int) -> str | tuple[str, ...]: ...
@@ -81,7 +81,7 @@ class PowersetEncoder(LabelEncoder):
     def base_labels(self) -> tuple[str, ...]:
         return self._base
 
-    def _canonical(self, labels) -> tuple[str, ...]:
+    def _canonical(self, labels: Iterable[str] | str) -> tuple[str, ...]:
         if isinstance(labels, str):
             labels = (labels,)
         ordered = tuple(label for label in self._base if label in set(labels))
@@ -94,7 +94,7 @@ class PowersetEncoder(LabelEncoder):
             ordered = ordered[: self.max_set_size]
         return ordered
 
-    def transform(self, label) -> int:
+    def transform(self, label: str | tuple[str, ...]) -> int:
         return self.map[self._canonical(label if label != () else ())]
 
     def inv_transform(self, i: int) -> tuple[str, ...]:
@@ -184,7 +184,7 @@ class MultiLabelEncoder(LabelEncoder):
     def base_labels(self) -> tuple[str, ...]:
         return self._labels
 
-    def transform(self, label) -> int:
+    def transform(self, label: str | tuple[str, ...]) -> int:
         return self.map[label]
 
     def inv_transform(self, i: int) -> str:

@@ -68,7 +68,7 @@ _ERRORS = {
 }
 
 
-def _err(call: str, rc: int, path) -> ValueError:
+def _err(call: str, rc: int, path: Path | str) -> ValueError:
     reason = _ERRORS.get(rc, f"error {rc}")
     return ValueError(f"{path}: {reason} ({call})")
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import struct
 from base64 import b64encode
+from typing import Any
 
 GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
@@ -60,7 +61,7 @@ def encode_frame(opcode: int, payload: bytes) -> bytes:
     return head + payload
 
 
-def read_frame(rfile, require_mask: bool = True) -> tuple[int, bytes]:
+def read_frame(rfile: Any, require_mask: bool = True) -> tuple[int, bytes]:
     """Read one complete frame from a file-like socket stream.
 
     Returns (opcode, unmasked payload). ``require_mask=True`` enforces the
