@@ -1,0 +1,131 @@
+"""Device-resident training-data cache: a subset's entire audio in HBM.
+
+Training through a slow host<->device link re-uploads the same audio every
+epoch — the reference's sampler decodes and ships every crop from the host
+(``src/segma/data/loaders.py:126-217``), and this build's host cache still
+re-ships each batch. With ``train.data_cache=device`` every file is
+uploaded ONCE (int16 whenever every source is 16-bit PCM — half the
+bytes), and per batch only ``(crop offsets, labels)`` cross the link: the
+jitted train/eval steps gather the waveform crops from HBM with a vmapped
+``dynamic_slice``. The loss trajectory is bit-identical to host sampling
+(same rng draws, same ``x * 2^-15`` on-device normalization; pinned by
+``tests/test_device_cache.py``).
+
+Layout: files are concatenated into one flat 1-D buffer; each file's slot
+is padded to at least ``chunk_f`` samples so a crop of a too-short file
+reads trailing zeros (exactly the host path's zero-padding) instead of the
+next file's samples. Crop starts are drawn in ``[0, len - chunk_f)`` so a
+crop never crosses a file boundary.
+
+Under a mesh the buffer is replicated (audio datasets at these scales are
+a few hundred MB; each chip gathers its own batch shard locally with no
+collectives — asserted by ``tests/test_parallel.py``). Multi-host is
+rejected at build time: controllers hold disjoint file shards, so no
+single replicated buffer exists.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from segma_tpu.data.file_dataset import DatasetSubset
+from segma_tpu.utils.io import get_samples_in_range, read_pcm16_mono
+
+
+class DeviceAudioCache:
+    """Host-built flat audio buffer + per-file base offsets.
+
+    ``build()`` on the host, ``place()`` once onto the device/mesh; the
+    jitted steps close over ``buf`` so it stays HBM-resident across calls.
+    """
+
+    def __init__(
+        self, host_flat: np.ndarray, bases: np.ndarray, chunk_f: int
+    ) -> None:
+        self.host_flat = host_flat  # int16 (all-PCM16 sources) or float32
+        self.bases = bases  # (n_files,) int32 slot starts
+        self.chunk_f = chunk_f
+        self.buf: Any = None  # jax.Array after place()
+
+    @classmethod
+    def build(
+        cls, subset: DatasetSubset, dataset_path: str | Path, chunk_f: int
+    ) -> "DeviceAudioCache":
+        wav_dir = Path(dataset_path) / "wav"
+        arrays: list[np.ndarray] = []
+        any_f32 = False
+        for uri in subset.uris:
+            path = (wav_dir / uri).with_suffix(".wav")
+            raw = read_pcm16_mono(path)
+            if raw is None:  # non-PCM16 source: decode + downmix to f32
+                full = get_samples_in_range(path, 0, -1)
+                raw = (
+                    full.mean(axis=0) if full.shape[0] > 1 else full[0]
+                ).astype(np.float32)
+                any_f32 = True
+            arrays.append(raw)
+        if any_f32:
+            # one buffer, one dtype: normalize the PCM16 files on the host
+            # (same /32768.0 the host sampler applies for f32 transport)
+            arrays = [
+                a.astype(np.float32) / 32768.0 if a.dtype == np.int16 else a
+                for a in arrays
+            ]
+        bases: list[int] = []
+        pos = 0
+        for a in arrays:
+            bases.append(pos)
+            pos += max(len(a), chunk_f)  # short files: zero-padded slot
+        if pos >= 2**31:
+            raise ValueError(
+                f"device cache would hold {pos} samples (>= 2^31): offsets "
+                "are int32 (TPU x64 is off) — use train.data_cache=host for "
+                "datasets this large"
+            )
+        flat = np.zeros(pos, np.float32 if any_f32 else np.int16)
+        for a, b in zip(arrays, bases):
+            flat[b : b + len(a)] = a
+        return cls(flat, np.asarray(bases, np.int32), chunk_f)
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.host_flat.nbytes)
+
+    def place(self, mesh: Any = None) -> Any:
+        """Upload the buffer (replicated over ``mesh`` when given);
+        idempotent — the epoch loop may call it freely."""
+        if self.buf is not None:
+            return self.buf
+        import jax
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.buf = jax.device_put(
+                self.host_flat, NamedSharding(mesh, PartitionSpec())
+            )
+        else:
+            self.buf = jax.device_put(self.host_flat)
+        return self.buf
+
+    def make_gather(self) -> Any:
+        """(offsets (B,) int32) -> (B, chunk_f) crops, for use inside jit.
+
+        The returned closure captures the placed ``buf``; XLA compiles the
+        vmapped ``dynamic_slice`` into a local gather (no collectives under
+        a mesh — the buffer is replicated)."""
+        if self.buf is None:
+            raise RuntimeError("place() the cache before building gathers")
+        import jax
+
+        buf, chunk_f = self.buf, self.chunk_f
+
+        def gather(offsets: Any) -> Any:
+            return jax.vmap(
+                lambda o: jax.lax.dynamic_slice(buf, (o,), (chunk_f,))
+            )(offsets)
+
+        return gather

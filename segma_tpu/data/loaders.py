@@ -21,12 +21,13 @@ import queue
 import threading
 from math import ceil
 from pathlib import Path
-from typing import Callable, Iterator
+from typing import Any, Callable, Iterator
 
 import numpy as np
 
 from segma_tpu.config import Config
 from segma_tpu.data.file_dataset import DatasetSubset, SegmaFileDataset
+from segma_tpu.data.intervals import IntervalIndex
 from segma_tpu.models.geometry import ConvolutionSettings
 from segma_tpu.utils.conversions import frames_to_seconds, seconds_to_frames
 from segma_tpu.utils.encoders import LabelEncoder
@@ -49,7 +50,7 @@ def generate_frames(
     return conv_settings.rf_bounds(n_windows).clip(0, chunk_duration_f)
 
 
-def windows_to_targets(windows: np.ndarray, index) -> np.ndarray:
+def windows_to_targets(windows: np.ndarray, index: IntervalIndex) -> np.ndarray:
     """Multi-hot targets for (offset) windows — one vectorized query."""
     return index.query_windows(windows)
 
@@ -102,6 +103,7 @@ class AudioSegmentationSampler:
         host_hook: Callable[[np.ndarray], np.ndarray] | None = None,
         cache_audio_gb: float = DEFAULT_CACHE_GB,
         shared_audio_cache: "AudioCache | None" = None,
+        device_bases: np.ndarray | None = None,
     ) -> None:
         self.uris = subset.uris
         self.durations = subset.durations
@@ -114,6 +116,16 @@ class AudioSegmentationSampler:
             raise DataLoaderError(
                 f"train.transport must be 'f32' or 'int16', "
                 f"got {self.transport!r}"
+            )
+        # train.data_cache=device: the subset's audio is HBM-resident and
+        # sample() emits (flat-buffer offset, targets) instead of shipping
+        # the waveform — identical rng draws, so trajectories match the
+        # host path bit for bit (tests/test_device_cache.py)
+        self._device_bases = device_bases
+        if device_bases is not None and host_hook is not None:
+            raise DataLoaderError(
+                "data_cache=device is incompatible with host-side audio "
+                "hooks (feature extraction must run inside the jitted step)"
             )
         self.rng = np.random.default_rng(seed)
         # decoded-audio RAM cache (int16): random crops re-read the same
@@ -155,6 +167,13 @@ class AudioSegmentationSampler:
         uri_i = int(self.rng.choice(len(self.uris), p=self._weights))
         high = int(self.durations["audio_duration_f"][uri_i]) - self.chunk_f
         start_f = int(self.rng.integers(low=0, high=max(1, high)))
+
+        if self._device_bases is not None:
+            y = windows_to_targets(self.windows + start_f, self.indexes[uri_i])
+            return (
+                np.int32(self._device_bases[uri_i] + start_f),
+                y,
+            )
 
         audio_path = (
             Path(self.config.data.dataset_path) / "wav" / self.uris[uri_i]
@@ -254,6 +273,8 @@ class PrefetchingLoader:
         self.n_batches = n_batches
         self.prefetch = prefetch
         self.extra_samplers = extra_samplers or []
+        # set by SegmentationDataLoader under train.data_cache=device
+        self.device_cache: Any = None
 
     def __len__(self) -> int:
         return self.n_batches
@@ -366,6 +387,28 @@ class SegmentationDataLoader:
             )
             batch_size = batch_size // n_procs
 
+        data_cache = self.config.train.data_cache
+        if data_cache not in ("host", "device"):
+            raise DataLoaderError(
+                f"train.data_cache must be 'host' or 'device', "
+                f"got {data_cache!r}"
+            )
+        device_cache = None
+        if data_cache == "device":
+            if n_procs > 1:
+                raise DataLoaderError(
+                    "train.data_cache=device needs a single controller "
+                    "(multi-host processes hold disjoint file shards; no "
+                    "replicated buffer exists) — use data_cache=host"
+                )
+            from segma_tpu.data.device_cache import DeviceAudioCache
+
+            device_cache = DeviceAudioCache.build(
+                subset,
+                self.config.data.dataset_path,
+                self.config.audio.chunk_duration_f,
+            )
+
         shared_cache = AudioCache(budget_bytes=int(DEFAULT_CACHE_GB * 1e9))
 
         def make_sampler(worker: int) -> AudioSegmentationSampler:
@@ -380,14 +423,21 @@ class SegmentationDataLoader:
                 host_hook=self.host_hook,
                 # one decoded-audio cache per SUBSET, not per worker
                 shared_audio_cache=shared_cache,
+                device_bases=(
+                    device_cache.bases if device_cache is not None else None
+                ),
             )
 
         n_workers = max(1, self.config.train.dataloader.num_workers)
         sampler = make_sampler(0)
         extras = [make_sampler(w) for w in range(1, min(n_workers, n_batches))]
-        return PrefetchingLoader(
+        loader = PrefetchingLoader(
             sampler, batch_size, n_batches, extra_samplers=extras
         )
+        # the Trainer places this on the device/mesh and builds its jitted
+        # steps' gathers from it (train.py wires it up in fit())
+        loader.device_cache = device_cache
+        return loader
 
     def train_dataloader(self) -> PrefetchingLoader:
         return self._loader(self.dataset.train, seed_offset=0)

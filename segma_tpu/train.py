@@ -73,14 +73,14 @@ def make_optimizer(
     return opt
 
 
-def _masked_state(opt_state):
+def _masked_state(opt_state: Any) -> Any:
     """Unwrap to the masked-AdamW state (through MultiSteps if present)."""
     if hasattr(opt_state, "inner_opt_state"):  # optax.MultiStepsState
         return opt_state.inner_opt_state
     return opt_state
 
 
-def set_learning_rate(opt_state, lr: float):
+def set_learning_rate(opt_state: Any, lr: float) -> Any:
     """Update the injected learning rate in a masked-optimizer state."""
     inner = _masked_state(opt_state).inner_state
     new = jnp.asarray(lr, jnp.float32)
@@ -95,7 +95,7 @@ def set_learning_rate(opt_state, lr: float):
     return opt_state
 
 
-def get_learning_rate(opt_state) -> float:
+def get_learning_rate(opt_state: Any) -> float:
     return float(_masked_state(opt_state).inner_state.hyperparams["learning_rate"])
 
 
@@ -185,15 +185,36 @@ def _device_waveform(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _waveform_source(cache: Any) -> Callable:
+    """How a batch's ``x`` becomes device waveforms inside the jitted steps.
+
+    Host path: ``x`` IS the waveform batch (f32, or int16 normalized on
+    device). Device-cache path (``train.data_cache=device``): ``x`` is a
+    ``(B,)`` int32 vector of flat-buffer offsets; the crops are gathered
+    from the HBM-resident buffer the closure captures — only offsets and
+    labels ever cross the host->device link."""
+    if cache is None:
+        return _device_waveform
+    gather = cache.make_gather()
+
+    def from_cache(x: jnp.ndarray) -> jnp.ndarray:
+        return _device_waveform(gather(x))
+
+    return from_cache
+
+
 def make_train_step(
-    model: SegmentationModel, optimizer: optax.GradientTransformation
+    model: SegmentationModel,
+    optimizer: optax.GradientTransformation,
+    cache: Any = None,
 ) -> Callable:
     """Build the jitted train step (donated params/opt_state)."""
+    waveforms = _waveform_source(cache)
 
     def train_step(params, opt_state, batch, dropout_key):
         def loss_fn(p):
             logits = model.apply(
-                p, _device_waveform(batch["x"]), train=True,
+                p, waveforms(batch["x"]), train=True,
                 rngs={"dropout": dropout_key},
             )
             total, per_label = model.loss(logits, batch["y"])
@@ -209,7 +230,7 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0, 1))
 
 
-def make_eval_step(model: SegmentationModel) -> Callable:
+def make_eval_step(model: SegmentationModel, cache: Any = None) -> Callable:
     """Jitted validation step: loss terms + F1 sufficient statistics.
 
     Powerset models additionally return subset-class statistics for the
@@ -221,8 +242,10 @@ def make_eval_step(model: SegmentationModel) -> Callable:
     build implements them.
     """
 
+    waveforms = _waveform_source(cache)
+
     def eval_step(params, batch):
-        logits = model.apply(params, _device_waveform(batch["x"]), train=False)
+        logits = model.apply(params, waveforms(batch["x"]), train=False)
         total, per_label = model.loss(logits, batch["y"])
         # per-base-label probabilities (powerset models marginalize here)
         frame_logits = model.inference_transform(logits)
@@ -335,7 +358,7 @@ class Trainer:
         sends SIGTERM ahead of the hard kill); safe to call from anywhere."""
         self._preempt_requested = True
 
-    def _handle_preempt_signal(self, signum, _frame) -> None:
+    def _handle_preempt_signal(self, signum: int, _frame: Any) -> None:
         # async-signal-safe: only set flags — logging (stdout/wandb I/O) from
         # signal context can raise a reentrant-call RuntimeError at the
         # interrupted bytecode and kill the loop before the interrupt
@@ -363,7 +386,9 @@ class Trainer:
         return jax.tree.map(jnp.asarray, batch)
 
     # -- epochs -------------------------------------------------------------------
-    def _train_epoch(self, params, opt_state, loader, key) -> tuple:
+    def _train_epoch(
+        self, params: Any, opt_state: Any, loader: Any, key: jax.Array
+    ) -> tuple:
         losses = []
         tc = self.config.train
         every = tc.log_every_n_steps
@@ -404,7 +429,7 @@ class Trainer:
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         return params, opt_state, mean_loss, key
 
-    def _val_epoch(self, params, loader) -> dict[str, float]:
+    def _val_epoch(self, params: Any, loader: Any) -> dict[str, float]:
         tc = self.config.train
         labels = self.model.label_encoder.base_labels
         wants = lambda m: (  # noqa: E731
@@ -491,7 +516,9 @@ class Trainer:
                 metrics["val/partial_auroc"] = float(s_auroc[:n_single].mean())
         return metrics
 
-    def _plot_roc(self, probs, targets, labels) -> None:
+    def _plot_roc(
+        self, probs: np.ndarray, targets: np.ndarray, labels: tuple[str, ...]
+    ) -> None:
         """Per-label ROC curves -> <run_dir>/roc_epoch.png (role of the
         reference's wandb ROC figures, models/base.py:319-357)."""
         try:
@@ -528,7 +555,7 @@ class Trainer:
     # -- fit -------------------------------------------------------------------
     def fit(
         self,
-        datamodule,
+        datamodule: Any,
         resume_from: Path | None = None,
     ) -> dict[str, Any]:
         tc = self.config.train
@@ -637,6 +664,24 @@ class Trainer:
         base_lr = tc.lr
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
+
+        # train.data_cache=device: each subset's audio was flattened by the
+        # loader; upload it ONCE (replicated over the mesh) and rebuild the
+        # jitted steps so they gather crops from HBM — per batch, only
+        # (offsets, labels) cross the host->device link from here on
+        t_cache = getattr(train_loader, "device_cache", None)
+        v_cache = getattr(val_loader, "device_cache", None)
+        if t_cache is not None:
+            t_cache.place(self.mesh)
+            self.train_step = make_train_step(
+                self.model, self.optimizer, cache=t_cache
+            )
+            self.logger.log(
+                {"device_cache_mb": round(t_cache.nbytes / 1e6, 1)}
+            )
+        if v_cache is not None:
+            v_cache.place(self.mesh)
+            self.eval_step = make_eval_step(self.model, cache=v_cache)
         max_epochs = self.max_epochs or tc.max_epochs
         # cosine schedule state: the global step counter survives resume
         self._global_step = start_epoch * len(train_loader)

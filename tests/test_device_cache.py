@@ -1,0 +1,230 @@
+"""train.data_cache=device: HBM-resident audio, on-device crop gathers.
+
+The contract: identical rng draws and identical numerics to host sampling
+(the ONLY difference is where the waveform bytes live), so the training
+trajectory must match bit for bit.
+"""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from segma_tpu.config import load_config
+from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+from segma_tpu.data.device_cache import DeviceAudioCache
+from segma_tpu.data.loaders import AudioSegmentationSampler, DataLoaderError
+from segma_tpu.models import Models
+from segma_tpu.train import Trainer
+from segma_tpu.utils.encoders import MultiLabelEncoder
+from segma_tpu.utils.io import read_pcm16_mono
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+
+
+def _cfg(dataset: Path, **over: str):
+    extra = [
+        f"data.dataset_path={dataset}",
+        "data.classes=[male,female,key_child,other_child]",
+        "data.dataset_multiplier=0.3",
+        "model.name=conv_vad",
+        "model.config={hidden: 32, depth: 1, dtype: f32}",
+        "audio.chunk_duration_s=1.0",
+        "train.batch_size=4",
+        "train.max_epochs=2",
+        "train.seed=0",
+        "train.lr=0.003",
+        "train.dataloader.num_workers=1",  # deterministic batch order
+        "wandb.offline=true",
+    ] + [f"{k}={v}" for k, v in over.items()]
+    return load_config(CONFIG_DIR / "default.yml", extra)
+
+
+@pytest.fixture(scope="module")
+def loaded_ds(synthetic_dataset):
+    cfg = _cfg(synthetic_dataset)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    return ds
+
+
+def test_build_layout(loaded_ds, synthetic_dataset):
+    chunk_f = 16_000
+    cache = DeviceAudioCache.build(
+        loaded_ds.train, synthetic_dataset, chunk_f
+    )
+    subset = loaded_ds.train
+    assert cache.host_flat.dtype == np.int16  # all fixture WAVs are PCM16
+    assert cache.bases.dtype == np.int32
+    assert np.all(np.diff(cache.bases) >= chunk_f)  # slots >= chunk_f
+    # flat buffer holds each file's exact samples at its base
+    for i, uri in enumerate(subset.uris):
+        raw = read_pcm16_mono(
+            (Path(synthetic_dataset) / "wav" / uri).with_suffix(".wav")
+        )
+        b = int(cache.bases[i])
+        np.testing.assert_array_equal(cache.host_flat[b : b + len(raw)], raw)
+
+
+def test_gather_matches_host_crop(loaded_ds, synthetic_dataset):
+    chunk_f = 16_000
+    cache = DeviceAudioCache.build(loaded_ds.train, synthetic_dataset, chunk_f)
+    cache.place()
+    gather = cache.make_gather()
+    uri = loaded_ds.train.uris[0]
+    raw = read_pcm16_mono(
+        (Path(synthetic_dataset) / "wav" / uri).with_suffix(".wav")
+    )
+    start = 12_345
+    offsets = np.asarray([int(cache.bases[0]) + start], np.int32)
+    crop = np.asarray(jax.jit(gather)(offsets))[0]
+    np.testing.assert_array_equal(crop, raw[start : start + chunk_f])
+
+
+def test_short_file_reads_trailing_zeros(tmp_path):
+    """A file shorter than chunk_f gathers its samples + zero pad — exactly
+    the host path's np.pad — never the next file's audio."""
+    from segma_tpu.data.file_dataset import DatasetSubset
+
+    import wave
+
+    short = (np.arange(1000) % 77).astype(np.int16)
+    nxt = np.full(20_000, 999, np.int16)
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    for name, samples in (("a", short), ("b", nxt)):
+        with wave.open(str(wav_dir / f"{name}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16_000)
+            w.writeframes(samples.tobytes())
+    subset = DatasetSubset(
+        uris=["a", "b"],
+        durations=np.array(
+            [(1000, 1000), (20_000, 20_000)],
+            dtype=[("audio_duration_f", "i8"), ("annotated_duration_f", "i8")],
+        ),
+        indexes=[None, None],
+    )
+    chunk_f = 16_000
+    cache = DeviceAudioCache.build(subset, tmp_path, chunk_f)
+    cache.place()
+    crop = np.asarray(jax.jit(cache.make_gather())(np.zeros(1, np.int32)))[0]
+    np.testing.assert_array_equal(crop[:1000], short)
+    assert np.all(crop[1000:] == 0)
+
+
+def test_sampler_offsets_mode(loaded_ds, synthetic_dataset):
+    """Device-mode sampler draws the SAME (file, start) sequence as host
+    mode and emits (base + start) offsets."""
+    cfg = _cfg(synthetic_dataset)
+    model = Models["conv_vad"](
+        MultiLabelEncoder(cfg.data.classes), cfg
+    )
+    cache = DeviceAudioCache.build(
+        loaded_ds.train, synthetic_dataset, cfg.audio.chunk_duration_f
+    )
+    kw = dict(
+        subset=loaded_ds.train,
+        config=cfg,
+        conv_settings=model.conv_settings,
+        label_encoder=MultiLabelEncoder(cfg.data.classes),
+        seed=7,
+    )
+    host = AudioSegmentationSampler(**kw)
+    dev = AudioSegmentationSampler(**kw, device_bases=cache.bases)
+    hb = host.sample_batch(4)
+    db = dev.sample_batch(4)
+    assert db["x"].shape == (4,) and db["x"].dtype == np.int32
+    np.testing.assert_array_equal(hb["y"], db["y"])  # same rng draws
+    # offsets decode back to the host waveforms exactly
+    cache.place()
+    crops = np.asarray(jax.jit(cache.make_gather())(db["x"]))
+    np.testing.assert_allclose(
+        crops.astype(np.float32) / 32768.0, hb["x"], atol=0
+    )
+
+
+def _fit(cfg, tmp_path, tag):
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+    trainer = Trainer(model=model, config=cfg, run_dir=tmp_path / tag)
+    return trainer.fit(dm)["history"]
+
+
+def test_bit_identical_trajectory(synthetic_dataset, tmp_path):
+    """The headline contract: host vs device data cache, same seed ->
+    bit-identical loss trajectory (train AND val, every epoch)."""
+    host = _fit(_cfg(synthetic_dataset), tmp_path, "host")
+    dev = _fit(
+        _cfg(synthetic_dataset, **{"train.data_cache": "device"}),
+        tmp_path,
+        "dev",
+    )
+    assert len(host) == len(dev) == 2
+    for h, d in zip(host, dev):
+        assert h["train/loss"] == d["train/loss"]
+        assert h["val/loss"] == d["val/loss"]
+        assert h["val/f1_score"] == d["val/f1_score"]
+
+
+def test_int16_transport_also_bit_identical(synthetic_dataset, tmp_path):
+    """data_cache=device must equal the int16-transport host path too (both
+    normalize on device with x * 2^-15)."""
+    host = _fit(
+        _cfg(synthetic_dataset, **{"train.transport": "int16"}),
+        tmp_path,
+        "host16",
+    )
+    dev = _fit(
+        _cfg(synthetic_dataset, **{"train.data_cache": "device"}),
+        tmp_path,
+        "dev16",
+    )
+    for h, d in zip(host, dev):
+        assert h["train/loss"] == d["train/loss"]
+
+
+def test_multihost_rejected(synthetic_dataset, monkeypatch):
+    cfg = _cfg(synthetic_dataset, **{"train.data_cache": "device"})
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(DataLoaderError, match="single controller"):
+        dm.train_dataloader()
+
+
+def test_bad_data_cache_value_rejected(synthetic_dataset):
+    cfg = _cfg(synthetic_dataset, **{"train.data_cache": "hbm"})
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+    with pytest.raises(DataLoaderError, match="data_cache"):
+        dm.train_dataloader()
+
+
+def test_host_hook_incompatible(loaded_ds, synthetic_dataset):
+    cfg = _cfg(synthetic_dataset)
+    model = Models["conv_vad"](MultiLabelEncoder(cfg.data.classes), cfg)
+    cache = DeviceAudioCache.build(
+        loaded_ds.train, synthetic_dataset, cfg.audio.chunk_duration_f
+    )
+    with pytest.raises(DataLoaderError, match="host-side audio hooks"):
+        AudioSegmentationSampler(
+            subset=loaded_ds.train,
+            config=cfg,
+            conv_settings=model.conv_settings,
+            label_encoder=MultiLabelEncoder(cfg.data.classes),
+            seed=0,
+            host_hook=lambda x: x,
+            device_bases=cache.bases,
+        )

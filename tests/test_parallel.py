@@ -473,3 +473,181 @@ def test_adpcm_transport_under_mesh_matches_single(tp_model):
     )
     got = sharded.logits_for_audio(enc)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# HLO collective-contract tests (round-4): a sharding regression (a dropped
+# with_sharding_constraint, a TP rule that stops matching after a rename)
+# passes every NUMERIC test by silently replicating — only the compiled
+# program's collective inventory exposes it. Contract: gradient/TP psums
+# present, and ZERO collective-permutes (the round-2 CPU-mesh rendezvous
+# lesson, which is also better TPU design: permutes serialize on ICI hops).
+# ---------------------------------------------------------------------------
+
+
+def _collective_counts(hlo: str) -> dict[str, int]:
+    import re
+
+    ops = (
+        "collective-permute",
+        "all-reduce",
+        "all-gather",
+        "reduce-scatter",
+        "all-to-all",
+    )
+    return {
+        op: len(re.findall(rf"\b{op}(?:-start)?\(", hlo)) for op in ops
+    }
+
+
+def _train_step_hlo(tp_model, mesh, batch, shard_the_params=True):
+    """Compiled-HLO text of the full train step under `mesh`."""
+    import jax.numpy as jnp
+
+    from segma_tpu.parallel.mesh import replicate
+    from segma_tpu.train import make_optimizer, make_train_step
+
+    optimizer = make_optimizer(tp_model, 1e-3)
+    train_step = make_train_step(tp_model, optimizer)
+    fresh = jax.tree.map(jnp.array, tp_model.params)
+    params = (
+        shard_params(fresh, mesh)
+        if shard_the_params
+        else replicate(fresh, mesh)
+    )
+    opt_state = jax.jit(optimizer.init)(params)
+    compiled = train_step.lower(
+        params, opt_state, batch, jax.random.key(0)
+    ).compile()
+    return compiled.as_text()
+
+
+def test_train_step_collective_contract_dp_tp(tp_model):
+    """dp=4 x tp=2: gradient psums + TP reductions present, no permutes."""
+    _require_8_devices()
+    mesh = make_mesh(data=4, model=2)
+    batch = shard_batch(
+        {
+            "x": np.zeros((8, 16_000), np.float32),
+            "y": np.zeros((8, 49, 4), np.float32),
+        },
+        mesh,
+    )
+    counts = _collective_counts(_train_step_hlo(tp_model, mesh, batch))
+    assert counts["collective-permute"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
+    # dp gradient psums + row-parallel TP activation reductions
+    assert counts["all-reduce"] >= 2, counts
+
+
+def test_broken_sharding_changes_the_inventory(tp_model):
+    """The regression this contract catches: fully-replicated params AND
+    batch (what a dropped sharding degrades to) compile to a program with
+    ZERO cross-device collectives — the exact signature the contract test
+    above would go red on."""
+    _require_8_devices()
+    from segma_tpu.parallel.mesh import replicate
+
+    mesh = make_mesh(data=4, model=2)
+    batch = replicate(
+        {
+            "x": np.zeros((8, 16_000), np.float32),
+            "y": np.zeros((8, 49, 4), np.float32),
+        },
+        mesh,
+    )
+    counts = _collective_counts(
+        _train_step_hlo(tp_model, mesh, batch, shard_the_params=False)
+    )
+    assert counts["all-reduce"] == 0, counts  # silently replicating
+
+
+def test_train_step_collective_contract_dp_sp_tp(tp_model):
+    """The full dryrun_multichip mesh (data=2 x seq=2 x model=2) keeps the
+    permute-free contract — seq sharding of whisper's time axis must ride
+    all-gathers around attention, never halo permutes."""
+    _require_8_devices()
+    mesh = make_mesh(data=2, seq=2, model=2)
+    seq_model = type(tp_model).__new__(type(tp_model))
+    seq_model.__dict__.update(tp_model.__dict__)
+    seq_model.module = tp_model.module.clone(mesh=mesh)
+    batch = shard_batch(
+        {
+            "x": np.zeros((4, 16_000), np.float32),
+            "y": np.zeros((4, 49, 4), np.float32),
+        },
+        mesh,
+    )
+    counts = _collective_counts(_train_step_hlo(seq_model, mesh, batch))
+    assert counts["collective-permute"] == 0, counts
+    assert counts["all-reduce"] >= 2, counts
+
+
+def test_tp_forward_collective_contract(tp_model):
+    """Inference forward under tp=2: row-parallel out_proj/fc2 reductions
+    present (the program IS tensor-parallel), zero permutes."""
+    _require_8_devices()
+    import jax.numpy as jnp
+
+    mesh = make_mesh(data=4, model=2)
+    params = shard_params(jax.tree.map(jnp.array, tp_model.params), mesh)
+    x = shard_batch({"x": np.zeros((8, 16_000), np.float32)}, mesh)["x"]
+    fwd = jax.jit(lambda p, w: tp_model.apply(p, w, train=False))
+    counts = _collective_counts(fwd.lower(params, x).compile().as_text())
+    assert counts["collective-permute"] == 0, counts
+    assert counts["all-reduce"] >= 1, counts
+
+
+def test_device_cache_train_step_no_gather_collectives(
+    tp_model, synthetic_dataset
+):
+    """train.data_cache=device under a data=8 mesh: the HBM buffer is
+    replicated and offsets are batch-sharded, so the crop gather must
+    compile to a LOCAL dynamic-slice on every chip — no all-gathers, no
+    permutes; the only collectives are the gradient psums."""
+    _require_8_devices()
+    import jax.numpy as jnp
+
+    from segma_tpu.data.device_cache import DeviceAudioCache
+    from segma_tpu.data.file_dataset import SegmaFileDataset
+    from segma_tpu.train import make_optimizer, make_train_step
+
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            f"data.dataset_path={synthetic_dataset}",
+            "data.classes=[male,female,key_child,other_child]",
+            "audio.chunk_duration_s=1.0",
+        ],
+    )
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    mesh = make_mesh(data=8, model=1)
+    cache = DeviceAudioCache.build(ds.train, synthetic_dataset, 16_000)
+    cache.place(mesh)
+
+    optimizer = make_optimizer(tp_model, 1e-3)
+    train_step = make_train_step(tp_model, optimizer, cache=cache)
+    params = shard_params(jax.tree.map(jnp.array, tp_model.params), mesh)
+    opt_state = jax.jit(optimizer.init)(params)
+    batch = shard_batch(
+        {
+            "x": np.zeros(8, np.int32),  # flat-buffer offsets
+            "y": np.zeros((8, 49, 4), np.float32),
+        },
+        mesh,
+    )
+    hlo = train_step.lower(
+        params, opt_state, batch, jax.random.key(0)
+    ).compile().as_text()
+    counts = _collective_counts(hlo)
+    assert counts["collective-permute"] == 0, counts
+    assert counts["all-gather"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
+    assert counts["all-reduce"] >= 1, counts  # dp gradient psum
+
+    # and it must actually run: one sharded step, finite loss
+    params, opt_state, loss, _ = train_step(
+        params, opt_state, batch, jax.random.key(0)
+    )
+    assert np.isfinite(float(loss))
