@@ -49,6 +49,7 @@ from pathlib import Path
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
@@ -198,6 +199,12 @@ def export_inference(
         # artifacts lack both the key and the program)
         "streaming": True,
         "stream_batches": list(stream_batches),
+        # input dtypes of the frozen stream programs: stream.jaxexp is f32,
+        # stream_int16.jaxexp takes raw PCM16 (device-normalized), and the
+        # stream_batch<b>.jaxexp buckets are traced on stream_batch_dtype.
+        # Loaders treat a missing key as the r3 layout (f32 everywhere).
+        "stream_int16": True,
+        "stream_batch_dtype": "int16",
     }
     (output_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
     return output_dir
@@ -245,9 +252,15 @@ def _export_programs(
             exp_d.serialize()
         )
 
-    # streaming forward: one float32 chunk -> per-frame logits, the same
-    # program shape as streaming.make_streaming_forward (live sessions push
-    # f32 chunks), so a frozen artifact can serve /v1/stream/* too
+    # streaming forwards: one chunk -> per-frame logits, the same program
+    # shape as streaming.make_streaming_forward, so a frozen artifact can
+    # serve /v1/stream/* too. Two single-chunk variants ship:
+    #   stream.jaxexp        f32 input (universal fallback, back-compat)
+    #   stream_int16.jaxexp  int16 input, normalized ON DEVICE — what live
+    #     sessions actually push (HTTP/WS bodies are PCM16); shipping it
+    #     frozen removes the host f32 conversion AND halves the per-chunk
+    #     bytes, the measured 4-16x p99 gap live-int16 vs artifact-f32
+    #     (BENCH_REPORT.md r3/r4 streaming rows)
     smodel = model
     if getattr(smodel.module, "mesh", None) is not None:
         # single-device program: strip a baked-in seq-parallel mesh (same
@@ -256,22 +269,32 @@ def _export_programs(
     apply, transform = smodel.apply, smodel.inference_transform
 
     def stream(chunk):
+        if chunk.dtype == jnp.int16:
+            chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
         return transform(apply(params, chunk[None, :], train=False))[0]
 
-    exp_s = jax_export.export(jax.jit(stream), platforms=platforms)(
-        jax.ShapeDtypeStruct((ck.chunk_duration_f,), np.float32)
-    )
-    (output_dir / "stream.jaxexp").write_bytes(exp_s.serialize())
+    for fname, sdtype in (
+        ("stream.jaxexp", np.float32),
+        ("stream_int16.jaxexp", np.int16),
+    ):
+        exp_s = jax_export.export(jax.jit(stream), platforms=platforms)(
+            jax.ShapeDtypeStruct((ck.chunk_duration_f,), sdtype)
+        )
+        (output_dir / fname).write_bytes(exp_s.serialize())
 
     # batched stream forwards: N concurrent sessions' chunks in one padded
     # dispatch (the live path's ChunkForwardBatcher measured 4.1x p99 at 8
-    # sessions when each single-chunk dispatch pays ~80 ms relay latency)
+    # sessions when each single-chunk dispatch pays ~80 ms relay latency).
+    # Traced on int16 — the dtype serving sessions buffer; an f32 group
+    # (mid-stream dtype promotion, rare) falls back to per-row f32 singles.
     def stream_batch(chunks):
+        if chunks.dtype == jnp.int16:
+            chunks = chunks.astype(jnp.float32) * (1.0 / 32768.0)
         return transform(apply(params, chunks, train=False))
 
     for b in stream_batches:
         exp_sb = jax_export.export(jax.jit(stream_batch), platforms=platforms)(
-            jax.ShapeDtypeStruct((b, ck.chunk_duration_f), np.float32)
+            jax.ShapeDtypeStruct((b, ck.chunk_duration_f), np.int16)
         )
         (output_dir / f"stream_batch{b}.jaxexp").write_bytes(
             exp_sb.serialize()
@@ -285,8 +308,9 @@ class ExportedPipeline:
     manifest: dict
     infer_fns: dict  # n_chunks -> Exported
     decode_fns: dict  # n_chunks -> Exported
-    stream_fn: object = None  # Exported chunk forward, when shipped
+    stream_fn: object = None  # Exported f32 chunk forward, when shipped
     stream_batch_fns: dict | None = None  # batch size -> Exported
+    stream_i16_fn: object = None  # Exported int16 chunk forward (r4+)
 
     @classmethod
     def load(cls, artifact_dir: Path | str) -> "ExportedPipeline":
@@ -311,6 +335,12 @@ class ExportedPipeline:
             if stream_p.is_file()
             else None
         )
+        stream_i16_p = artifact_dir / "stream_int16.jaxexp"
+        stream_i16_fn = (
+            jax_export.deserialize(stream_i16_p.read_bytes())
+            if stream_i16_p.is_file()
+            else None
+        )
         stream_batch_fns = {}
         for b in manifest.get("stream_batches", []):
             sb_p = artifact_dir / f"stream_batch{b}.jaxexp"
@@ -319,7 +349,12 @@ class ExportedPipeline:
                     sb_p.read_bytes()
                 )
         return cls(
-            manifest, infer_fns, decode_fns, stream_fn, stream_batch_fns
+            manifest,
+            infer_fns,
+            decode_fns,
+            stream_fn,
+            stream_batch_fns,
+            stream_i16_fn,
         )
 
     @property

@@ -122,12 +122,40 @@ class ChunkForwardBatcher:
                 "(stream_batch<b>.jaxexp) — re-export to enable "
                 "cross-session batching"
             )
-        single = exported.stream_fn
+        single_f32 = exported.stream_fn
+        single_i16 = exported.stream_i16_fn
         fns = dict(exported.stream_batch_fns)
+        # r4+ artifacts trace the batch buckets on int16 (what serving
+        # sessions buffer — half the bytes/chunk, no host conversion);
+        # a missing manifest key means the r3 all-f32 layout
+        batch_dtype = (
+            np.int16
+            if exported.manifest.get("stream_batch_dtype") == "int16"
+            else np.float32
+        )
 
         def batch_forward(_params, chunks):
-            chunks = _chunk_to_f32(chunks)  # frozen programs take f32
+            chunks = np.asarray(chunks)
+            if chunks.dtype != batch_dtype:
+                if batch_dtype == np.float32:
+                    chunks = _chunk_to_f32(chunks)  # r3 programs take f32
+                else:
+                    # int16-traced buckets can't take a promoted-f32 group
+                    # (mid-stream dtype mix, rare): exact per-row singles
+                    chunks = _chunk_to_f32(chunks)
+                    return np.stack(
+                        [np.asarray(single_f32.call(c)) for c in chunks]
+                    )
             if chunks.shape[0] == 1:
+                single = (
+                    single_i16
+                    if chunks.dtype == np.int16 and single_i16 is not None
+                    else single_f32
+                )
+                if single is single_f32:
+                    return np.asarray(
+                        single.call(_chunk_to_f32(chunks[0]))
+                    )[None]
                 return np.asarray(single.call(chunks[0]))[None]
             return np.asarray(fns[int(chunks.shape[0])].call(chunks))
 
@@ -253,9 +281,16 @@ class StreamingSegmenter:
             raise ValueError("artifact has no streaming program")
 
         if forward_fn is None:
+            i16 = exported.stream_i16_fn
 
             def forward_fn(_params, chunk):
-                # the frozen program was traced on f32 input
+                chunk = np.asarray(chunk)
+                if chunk.dtype == np.int16 and i16 is not None:
+                    # r4+ artifacts ship an int16-input program: raw PCM16
+                    # crosses the wire, the device normalizes (the measured
+                    # live-int16 vs artifact-f32 p99 gap, BENCH_REPORT.md)
+                    return i16.call(chunk)
+                # f32 pushes (or r3 artifacts): the f32-traced program
                 return exported.stream_fn.call(_chunk_to_f32(chunk))
 
         return cls(

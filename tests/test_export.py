@@ -55,6 +55,7 @@ def test_artifact_layout(artifact):
         "infer_4.jaxexp",
         "decode_4.jaxexp",
         "stream.jaxexp",
+        "stream_int16.jaxexp",
         "stream_batch2.jaxexp",
         "stream_batch4.jaxexp",
         "stream_batch8.jaxexp",
@@ -325,6 +326,8 @@ def test_manifest_schema_is_stable(artifact):
         # tolerate these being absent in artifacts exported before they
         # existed
         "model_version", "created_at", "streaming", "stream_batches",
+        # streaming program dtypes (additive, r4): absent = r3 all-f32
+        "stream_int16", "stream_batch_dtype",
     }
     assert manifest["format_version"] == 1
 

@@ -347,3 +347,135 @@ def test_chunk_forward_batcher_mixed_dtype_group(vad_model):
         t.join()
     # same padded batched program, bit-identical effective inputs
     np.testing.assert_array_equal(outs["i16"], outs["f32"])
+
+
+# ---------------------------------------------------------------------------
+# int16-input frozen stream programs (round-4): the exported path must stop
+# paying the measured f32 penalty — int16 pushes ride stream_int16.jaxexp /
+# int16-traced stream_batch buckets with byte-identical intervals.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vad_artifact(vad_model, tmp_path_factory):
+    from segma_tpu.export import export_inference
+
+    out = tmp_path_factory.mktemp("stream_art") / "conv_vad"
+    export_inference(
+        vad_model, out, buckets=(2,), batch_size=2, transport="int16"
+    )
+    return out
+
+
+def test_exported_int16_stream_program_used_and_byte_identical(
+    vad_model, vad_artifact, audio
+):
+    """int16 pushes through a frozen artifact must (a) dispatch the
+    int16-input program — no host f32 conversion — and (b) produce the
+    exact intervals of the live segmenter AND the f32 exported path."""
+    from segma_tpu.export import ExportedPipeline
+
+    exported = ExportedPipeline.load(vad_artifact)
+    assert exported.stream_i16_fn is not None
+    assert exported.manifest["stream_int16"] is True
+    assert exported.manifest["stream_batch_dtype"] == "int16"
+
+    pcm = (audio * 32768.0).clip(-32768, 32767).astype(np.int16)
+
+    live = StreamingSegmenter(vad_model, vad_model.params)
+    frozen_i16 = exported.streaming_segmenter()
+    frozen_f32 = exported.streaming_segmenter()
+    for off in range(0, pcm.shape[0], 9_000):
+        live.push(pcm[off : off + 9_000])
+        frozen_i16.push(pcm[off : off + 9_000])
+        frozen_f32.push(pcm[off : off + 9_000].astype(np.float32) / 32768.0)
+    for seg in (live, frozen_i16, frozen_f32):
+        seg.flush()
+    assert frozen_i16.intervals == live.intervals
+    assert frozen_f32.intervals == live.intervals
+    assert live.intervals  # non-degenerate
+
+
+def test_exported_batcher_int16_buckets(vad_model, vad_artifact):
+    """Concurrent int16 sessions share the int16-traced frozen batch
+    programs: fewer dispatches than chunks, intervals identical to serial
+    single-session frozen runs. (Raw logits may differ in the last ulp
+    between batch shapes — XLA fuses each program independently — so the
+    contract, as for the live batcher, is interval identity.)"""
+    import threading
+
+    from segma_tpu.export import ExportedPipeline
+    from segma_tpu.streaming import ChunkForwardBatcher
+
+    exported = ExportedPipeline.load(vad_artifact)
+    n_sessions = 4
+    rng = np.random.default_rng(12)
+    audios = [
+        (rng.standard_normal(3 * 16_000 + 777) * 9000).astype(np.int16)
+        for _ in range(n_sessions)
+    ]
+    expected = []
+    for a in audios:
+        s = exported.streaming_segmenter()
+        s.push(a)
+        s.flush()
+        expected.append(s.intervals)
+
+    batcher = ChunkForwardBatcher.from_exported(exported, window_ms=30.0)
+    segs = [
+        exported.streaming_segmenter(forward_fn=batcher)
+        for _ in range(n_sessions)
+    ]
+    results: list = [None] * n_sessions
+
+    def run(i: int) -> None:
+        a = audios[i]
+        for off in range(0, len(a), 16_000):
+            segs[i].push(a[off : off + 16_000])
+        segs[i].flush()
+        results[i] = segs[i].intervals
+
+    threads = [
+        threading.Thread(target=run, args=(i,)) for i in range(n_sessions)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results == expected
+    assert batcher.dispatches < sum(4 for _ in audios)
+
+
+def test_r3_artifact_layout_still_streams(vad_model, vad_artifact, tmp_path, audio):
+    """Back-compat: an artifact WITHOUT stream_int16.jaxexp (the r3 layout,
+    f32-traced batch buckets) must keep streaming int16 pushes through the
+    f32 program via host conversion — same intervals."""
+    import json
+    import shutil
+
+    from segma_tpu.export import ExportedPipeline
+
+    old = tmp_path / "r3_layout"
+    shutil.copytree(vad_artifact, old)
+    (old / "stream_int16.jaxexp").unlink()
+    # r3 batch buckets were f32-traced; this copy's are int16 — drop them
+    # from the manifest (and disk) to model the r3 layout faithfully
+    m = json.loads((old / "manifest.json").read_text())
+    del m["stream_int16"]
+    del m["stream_batch_dtype"]
+    m["stream_batches"] = []
+    for p in old.glob("stream_batch*.jaxexp"):
+        p.unlink()
+    (old / "manifest.json").write_text(json.dumps(m))
+
+    exported = ExportedPipeline.load(old)
+    assert exported.stream_i16_fn is None
+    pcm = (audio * 32768.0).clip(-32768, 32767).astype(np.int16)
+    live = StreamingSegmenter(vad_model, vad_model.params)
+    frozen = exported.streaming_segmenter()
+    for off in range(0, pcm.shape[0], 9_000):
+        live.push(pcm[off : off + 9_000])
+        frozen.push(pcm[off : off + 9_000])
+    live.flush()
+    frozen.flush()
+    assert frozen.intervals == live.intervals and live.intervals
