@@ -22,16 +22,25 @@ from segma_tpu.annotation import AudioAnnotation
 from segma_tpu.structs.interval import Intervals
 
 
+def rttm_files(path: Path) -> dict[str, Path]:
+    """uri -> .rttm path for a directory (nothing parsed yet — the
+    evaluator streams per uri so 10k-file runs stay memory-flat)."""
+    return {p.stem: p for p in sorted(Path(path).glob("*.rttm"))}
+
+
+def load_rttm_file(path: Path) -> list[AudioAnnotation]:
+    """Annotations of one .rttm file (empty files ok)."""
+    return [
+        AudioAnnotation.from_rttm(line)
+        for line in Path(path).read_text().splitlines()
+        if line.strip()
+    ]
+
+
 def load_rttm_dir(path: Path) -> dict[str, list[AudioAnnotation]]:
-    """uri -> annotations for every .rttm in a directory (empty files ok)."""
-    out: dict[str, list[AudioAnnotation]] = {}
-    for rttm in sorted(Path(path).glob("*.rttm")):
-        annots = []
-        for line in rttm.read_text().splitlines():
-            if line.strip():
-                annots.append(AudioAnnotation.from_rttm(line))
-        out[rttm.stem] = annots
-    return out
+    """uri -> annotations for every .rttm in a directory (whole-dir
+    convenience for small sets; the evaluator itself streams per uri)."""
+    return {uri: load_rttm_file(p) for uri, p in rttm_files(path).items()}
 
 
 def load_uem_dir(path: Path) -> dict[str, list[tuple[float, float]]]:
@@ -219,8 +228,8 @@ def eval_model_output(
             raise FileNotFoundError(f"Folder Path '{p}' not found.")
 
     metric = MacroAverageFMeasure(classes)
-    truth = load_rttm_dir(rttm_true_p)
-    preds = load_rttm_dir(rttm_pred_p)
+    truth = rttm_files(rttm_true_p)
+    preds = rttm_files(rttm_pred_p)
     uems = load_uem_dir(uem_p) if uem_p else {}
     # scoring runs over the uri INTERSECTION (reference parity:
     # scripts/evaluate.py:59-75) — but a prediction run that silently
@@ -238,9 +247,23 @@ def eval_model_output(
             "dropped files",
             flush=True,
         )
-    for uri in sorted(set(truth) & set(preds)):
-        print(f"[log] - evaluating file: '{uri}'", flush=True)
-        metric(truth[uri], preds[uri], uri=uri, uem=uems.get(uri))
+    shared = sorted(set(truth) & set(preds))
+    # per-uri streaming: parse one truth + one prediction file, score,
+    # release — memory stays flat for 10k-file runs (round-4 VERDICT 9).
+    # Per-file log lines would themselves dominate at that scale: chatty
+    # for small sets (reference parity), a progress line per 1000 beyond.
+    chatty = len(shared) <= 50
+    for i, uri in enumerate(shared):
+        if chatty:
+            print(f"[log] - evaluating file: '{uri}'", flush=True)
+        elif i % 1000 == 0:
+            print(f"[log] - evaluating {i}/{len(shared)} ...", flush=True)
+        metric(
+            load_rttm_file(truth[uri]),
+            load_rttm_file(preds[uri]),
+            uri=uri,
+            uem=uems.get(uri),
+        )
 
     metric.report_csv(scores_output)
 

@@ -231,3 +231,38 @@ def test_missing_prediction_uris_warned(tmp_path, capsys):
     assert "2 ground-truth uri(s) have no prediction" in out
     assert "b, c" in out and "scoring 1 shared" in out
     assert scores["male"] == 1.0  # the scored file matches exactly
+
+
+def test_many_files_smoke(tmp_path):
+    """10k-uri evaluation must stream per-uri: bounded wall time, correct
+    accumulated scores (round-4 scalability pass)."""
+    import time
+
+    from segma_tpu.evaluate import eval_model_output
+
+    gt, pred = tmp_path / "gt", tmp_path / "pred"
+    gt.mkdir()
+    pred.mkdir()
+    line = (
+        "SPEAKER {u} 1 {s:.2f} {d:.2f} <NA> <NA> {label} <NA> <NA>"
+    )
+    for i in range(10_000):
+        u = f"u{i:05d}"
+        (gt / f"{u}.rttm").write_text(
+            line.format(u=u, s=0.0, d=1.0, label="male") + "\n"
+        )
+        # predictions overlap ground truth by exactly half
+        (pred / f"{u}.rttm").write_text(
+            line.format(u=u, s=0.5, d=1.0, label="male") + "\n"
+        )
+    t0 = time.perf_counter()
+    scores = eval_model_output(
+        gt, pred, classes=["male", "female"], scores_output=tmp_path / "f.csv"
+    )
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 60.0, f"10k-file evaluation took {elapsed:.1f}s"
+    # P = R = 0.5 per file and in aggregate -> F = 0.5; "female" is absent
+    # from both ref and hyp everywhere -> perfect 1.0 by convention
+    assert abs(scores["male"] - 0.5) < 1e-9
+    assert scores["female"] == 1.0
+    assert (tmp_path / "f.csv").exists()
