@@ -1,0 +1,185 @@
+"""MFU / %-of-peak accounting for the model zoo (BENCH_REPORT.md column).
+
+xRT says "faster than the task needs"; MFU says "using the silicon well".
+This script reports both ingredients:
+
+- **FLOPs per forward** from XLA's cost analysis of the ACTUAL compiled
+  program (``compiled.cost_analysis()["flops"]``) — robust across models
+  and counts the fused graph instead of a hand-derived formula that drifts
+  from the code.
+- **device-only ms per forward** from a scan-chained forward: ``--chain N``
+  iterations run inside ONE dispatch (each iteration's input is perturbed
+  by ``i * 1e-6`` to defeat CSE), so the ~80 ms relay dispatch latency of
+  this environment amortizes to noise and ``jax.block_until_ready``'s
+  unreliability through the relay is bypassed by forcing a scalar output.
+
+MFU = achieved FLOP/s / peak. Peak defaults to TPU v5e bf16 (197 TFLOP/s
+per chip); override with ``--peak-tflops`` for other chips.
+
+Usage:
+  python scripts/mfu.py                    # FLOPs only, local CPU (fast)
+  python scripts/mfu.py --measure          # + device timing on the chip
+  python scripts/mfu.py --json mfu.json    # machine-readable output
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import warnings
+from pathlib import Path
+from typing import Any
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from segma_tpu.utils.cache import enable_compilation_cache
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "segma_tpu" / "config"
+
+# same model matrix as scripts/bench_backbones.py
+CONFIGS = {
+    "conv_vad": ["model.name=conv_vad"],
+    "whisper_padded": [
+        "model.name=surgical_hydra",
+        "model.config.encoder=whisper_base_random",
+    ],
+    "hubert": [
+        "model.name=surgical_hubert_hydra",
+        "model.config.wav_encoder=hubert_base_random",
+        "audio.strict_frames=true",
+    ],
+    "wavlm": [
+        "model.name=surgical_wavlm_hydra",
+        "model.config.wav_encoder=wavlm_base_random",
+        "audio.strict_frames=true",
+    ],
+}
+
+V5E_PEAK_BF16_TFLOPS = 197.0  # per chip (v5e: 394 int8 TOPS / 197 bf16)
+
+
+def build_model(name: str) -> Any:
+    from segma_tpu.config import load_config
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    cfg = load_config(CONFIG_DIR / "default.yml", CONFIGS[name])
+    enc = MultiLabelEncoder(cfg.data.classes)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # random-weights warning expected
+        model = Models[cfg.model.name](enc, cfg)
+    import jax
+
+    model.init_params(jax.random.key(0))
+    return model
+
+
+def analyze_one(
+    name: str, batch_size: int, chain: int, measure: bool, rounds: int
+) -> dict[str, Any]:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    model = build_model(name)
+    chunk_f = model.config.audio.chunk_duration_f
+    shaped = jax.ShapeDtypeStruct((batch_size, chunk_f), jnp.float32)
+
+    fwd = jax.jit(lambda p, x: model.apply(p, x, train=False))
+    t0 = time.perf_counter()
+    compiled = fwd.lower(model.params, shaped).compile()
+    compile_s = time.perf_counter() - t0
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict] per device program
+        cost = cost[0]
+    flops_fwd = float(cost.get("flops", 0.0))
+    out: dict[str, Any] = {
+        "model": name,
+        "batch": batch_size,
+        "chunk_f": chunk_f,
+        "gflops_per_forward": round(flops_fwd / 1e9, 2),
+        "audio_s_per_forward": batch_size * chunk_f / 16_000,
+        "compile_s": round(compile_s, 1),
+        "backend": jax.devices()[0].platform,
+    }
+    if not measure:
+        return out
+
+    # device-only timing: `chain` forwards inside one dispatch
+    def chained(p: Any, x: jnp.ndarray) -> jnp.ndarray:
+        def body(carry: jnp.ndarray, i: jnp.ndarray) -> tuple[jnp.ndarray, None]:
+            logits = model.apply(
+                p, x + i.astype(jnp.float32) * 1e-6, train=False
+            )
+            return carry + jnp.asarray(logits).mean(), None
+
+        tot, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(chain))
+        return tot
+
+    run = jax.jit(chained)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        (rng.standard_normal((batch_size, chunk_f)) * 0.1).astype(np.float32)
+    )
+    params = jax.device_put(model.params)
+    float(run(params, x))  # compile + warm
+    walls = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        float(run(params, x))  # the float() forces real execution (CLAUDE.md)
+        walls.append(time.perf_counter() - t0)
+    best = min(walls)
+    ms_fwd = best / chain * 1e3
+    tflops = flops_fwd * chain / best / 1e12
+    out.update(
+        device_ms_per_forward=round(ms_fwd, 2),
+        achieved_tflops=round(tflops, 2),
+        xrt_device_only=round(out["audio_s_per_forward"] / (ms_fwd / 1e3), 0),
+        walls_s=[round(w, 3) for w in walls],
+        chain=chain,
+    )
+    return out
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--models", nargs="*", default=list(CONFIGS), choices=list(CONFIGS)
+    )
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--chain", type=int, default=16)
+    parser.add_argument("--rounds", type=int, default=3)
+    parser.add_argument("--measure", action="store_true")
+    parser.add_argument("--peak-tflops", type=float, default=V5E_PEAK_BF16_TFLOPS)
+    parser.add_argument("--json", type=Path, default=None)
+    args = parser.parse_args()
+
+    if not args.measure:
+        # FLOPs analysis needs no accelerator; force the local CPU so this
+        # mode never touches (or waits on) the TPU tunnel
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    enable_compilation_cache()
+
+    rows = []
+    for name in args.models:
+        row = analyze_one(
+            name, args.batch_size, args.chain, args.measure, args.rounds
+        )
+        if args.measure:
+            row["mfu_pct"] = round(
+                100.0 * row["achieved_tflops"] / args.peak_tflops, 2
+            )
+            row["peak_tflops"] = args.peak_tflops
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    if args.json:
+        args.json.write_text(json.dumps(rows, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
