@@ -31,7 +31,7 @@ enable_compilation_cache()
 SR = 16_000
 
 
-def build_model():
+def build_model(config: str | None, checkpoint: str | None):
     import jax
 
     from segma_tpu.config import load_config
@@ -39,14 +39,21 @@ def build_model():
     from segma_tpu.utils.encoders import MultiLabelEncoder
 
     cfg = load_config(
-        Path(__file__).resolve().parent.parent
+        config
+        or Path(__file__).resolve().parent.parent
         / "segma_tpu"
         / "config"
         / "default.yml",
-        ["model.name=conv_vad"],
+        [] if config else ["model.name=conv_vad"],
     )
+    if checkpoint:  # same weights as an exported artifact -> fair live-vs-
+        # artifact comparison (the model itself is latency-shape-bound, but
+        # keep the programs byte-comparable)
+        from segma_tpu.checkpoint import load_model_for_inference
+
+        return load_model_for_inference(cfg, checkpoint)
     enc = MultiLabelEncoder(cfg.data.classes)
-    model = Models["conv_vad"](enc, cfg)
+    model = Models[cfg.model.name](enc, cfg)
     model.init_params(jax.random.key(0))
     return model
 
@@ -120,6 +127,15 @@ def main() -> None:
         help="benchmark streaming off a frozen export dir (stream.jaxexp / "
         "stream_batch<N>.jaxexp) instead of a live model",
     )
+    parser.add_argument(
+        "--config", default=None,
+        help="live-model config (default: default.yml + model.name=conv_vad)",
+    )
+    parser.add_argument(
+        "--checkpoint", default=None,
+        help="load live-model weights from a checkpoint (pass the same "
+        "run an artifact was exported from for a live-vs-artifact A/B)",
+    )
     args = parser.parse_args()
 
     from segma_tpu.streaming import ChunkForwardBatcher
@@ -131,7 +147,7 @@ def main() -> None:
         exported = ExportedPipeline.load(args.artifact)
         model = None
     else:
-        model = build_model()
+        model = build_model(args.config, args.checkpoint)
     push_s = args.push_ms / 1000.0
 
     def make_batcher():
@@ -145,8 +161,16 @@ def main() -> None:
         # buckets — warm every exported stream program directly instead
         chunk_f = int(exported.manifest["chunk_duration_f"])
         np.asarray(exported.stream_fn.call(np.zeros(chunk_f, np.float32)))
+        if getattr(exported, "stream_i16_fn", None) is not None:
+            np.asarray(exported.stream_i16_fn.call(np.zeros(chunk_f, np.int16)))
+        # r4+ artifacts trace the batch buckets on int16; r3 ones on f32
+        bdt = (
+            np.int16
+            if exported.manifest.get("stream_batch_dtype") == "int16"
+            else np.float32
+        )
         for b, fn in sorted((exported.stream_batch_fns or {}).items()):
-            np.asarray(fn.call(np.zeros((b, chunk_f), np.float32)))
+            np.asarray(fn.call(np.zeros((b, chunk_f), bdt)))
     warm = run_sessions(model, 1, push_s, 4.0, exported=exported, dtype=args.dtype)
     print(f"[warmup] {warm}", file=sys.stderr)
 
