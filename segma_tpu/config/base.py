@@ -285,6 +285,16 @@ class TrainConfig(BaseConfig):
     # controllers hold disjoint file shards). Biggest win when the
     # host->device link is slow or leaky (CLAUDE.md relay retention).
     data_cache: str = "host"
+    # "step" dispatches one jitted call per batch; "epoch" (requires
+    # data_cache=device) runs the WHOLE epoch as one lax.scan dispatch —
+    # every batch's (offsets, labels) upload in one transfer and zero
+    # per-step host round-trips. Same math and rng stream as "step";
+    # XLA fuses the scan body slightly differently, so trajectories are
+    # ulp-equivalent rather than bit-exact (tests/test_device_cache.py).
+    # Trade-offs: per-step loss logging arrives at epoch end, and SIGTERM
+    # preemption is honored at epoch granularity (the in-flight scan
+    # completes first).
+    dispatch: str = "step"
     # self-recycle guard: when host RSS exceeds this many GB at an epoch
     # boundary, stop with interrupted=True (last/ already holds the exact
     # resume state) so the requeue loop restarts the process instead of

@@ -230,6 +230,71 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0, 1))
 
 
+def _set_lr_traced(opt_state: Any, lr: jnp.ndarray) -> Any:
+    """Traced twin of :func:`set_learning_rate` for use inside jit/scan.
+
+    No placement logic: inside a traced region the scalar inherits its
+    sharding from the carry, and ``lax.scan`` unflattens a fresh state
+    pytree every iteration so the dict write never aliases across steps."""
+    inner = _masked_state(opt_state).inner_state
+    inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def make_epoch_fn(
+    model: SegmentationModel,
+    optimizer: optax.GradientTransformation,
+    cache: Any,
+) -> Callable:
+    """Build the jitted WHOLE-EPOCH function (``train.dispatch=epoch``).
+
+    One ``lax.scan`` over the step body replaces ``n_batches`` separate
+    dispatches: with the audio already HBM-resident
+    (``train.data_cache=device``) a full epoch's inputs are just
+    ``(S, B)`` int32 offsets + ``(S, B, T, L)`` labels + ``(S,)`` learning
+    rates, shipped in ONE transfer, and the host pays ONE dispatch
+    round-trip per epoch instead of one per step. The step body is the
+    same computation as :func:`make_train_step` — same rng split order,
+    same lr injection point — so trajectories match step dispatch to
+    ulp-level (XLA fuses a scan body slightly differently from the
+    standalone step program; ``tests/test_device_cache.py`` pins the
+    tolerance).
+
+    The reference has no analog (its Lightning loop is host-driven per
+    step); this is the TPU-native formulation — compiler-visible control
+    flow via ``lax.scan``, no data-dependent host round-trips.
+    """
+    waveforms = _waveform_source(cache)
+
+    def one_step(carry, xs):
+        params, opt_state, key = carry
+        offsets, y, lr = xs
+        opt_state = _set_lr_traced(opt_state, lr)
+        key, sub = jax.random.split(key)
+
+        def loss_fn(p):
+            logits = model.apply(
+                p, waveforms(offsets), train=True, rngs={"dropout": sub}
+            )
+            total, per_label = model.loss(logits, y)
+            return total, per_label
+
+        (loss, per_label), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, key), (loss, per_label)
+
+    def epoch_fn(params, opt_state, key, offsets_e, y_e, lrs_e):
+        (params, opt_state, key), (losses, per_label) = jax.lax.scan(
+            one_step, (params, opt_state, key), (offsets_e, y_e, lrs_e)
+        )
+        return params, opt_state, key, losses, per_label
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+
 def make_eval_step(model: SegmentationModel, cache: Any = None) -> Callable:
     """Jitted validation step: loss terms + F1 sufficient statistics.
 
@@ -337,6 +402,18 @@ class Trainer:
         )
         self.train_step = make_train_step(self.model, self.optimizer)
         self.eval_step = make_eval_step(self.model)
+        # train.dispatch=epoch: built in fit() once the device cache is
+        # placed (the scan body gathers crops from it)
+        self.epoch_fn: Callable | None = None
+        if tc.dispatch not in ("step", "epoch"):
+            raise ValueError(
+                f"train.dispatch must be 'step' or 'epoch', got {tc.dispatch!r}"
+            )
+        if tc.dispatch == "epoch" and tc.data_cache != "device":
+            raise ValueError(
+                "train.dispatch=epoch scans over HBM-resident crops — it "
+                "requires train.data_cache=device"
+            )
         self.ckpt = CheckpointManager(
             self.run_dir / "checkpoints",
             monitor=self.monitor,
@@ -386,9 +463,81 @@ class Trainer:
         return jax.tree.map(jnp.asarray, batch)
 
     # -- epochs -------------------------------------------------------------------
+    def _train_epoch_scan(
+        self, params: Any, opt_state: Any, loader: Any, key: jax.Array
+    ) -> tuple:
+        """One dispatch per epoch (``train.dispatch=epoch``): stack the
+        loader's (offsets, labels) batches on the host, compute the
+        per-step learning rates, and hand the whole epoch to the jitted
+        ``lax.scan``. Same values, same order as the step loop — only the
+        dispatch granularity changes."""
+        tc = self.config.train
+        if self._preempt_requested:  # signal arrived between epochs
+            return params, opt_state, float("nan"), key
+        offs, ys = [], []
+        for batch in loader:
+            offs.append(batch["x"])
+            ys.append(batch["y"])
+        n_steps = len(offs)
+        if n_steps == 0:
+            return params, opt_state, float("nan"), key
+        step0 = getattr(self, "_global_step", 0)
+        if tc.scheduler.type == "cosine":
+            lrs = np.asarray(
+                [
+                    cosine_lr(
+                        step0 + i,
+                        tc.lr,
+                        self._total_steps,
+                        tc.scheduler.warmup_steps,
+                        tc.scheduler.min_lr_ratio,
+                    )
+                    for i in range(n_steps)
+                ],
+                np.float32,
+            )
+        else:  # plateau: constant within an epoch (rescaled between epochs)
+            lrs = np.full(n_steps, get_learning_rate(opt_state), np.float32)
+        offsets_e, y_e = np.stack(offs), np.stack(ys)
+        if self.mesh is not None:
+            # step axis stays unsharded (scan iterates it); batch axis
+            # shards over data like every per-step batch does
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+            offsets_e = jax.device_put(offsets_e, sh)
+            y_e = jax.device_put(y_e, sh)
+            lrs = jax.device_put(lrs, NamedSharding(self.mesh, PartitionSpec()))
+        params, opt_state, key, losses, per_label = self.epoch_fn(
+            params, opt_state, key, offsets_e, y_e, lrs
+        )
+        self._global_step = step0 + n_steps
+        every = tc.log_every_n_steps
+        if every:
+            labels = self.model.label_encoder.base_labels
+            losses_h, per_label_h = np.asarray(losses), np.asarray(per_label)
+            for i in range(n_steps):
+                gs = step0 + i + 1
+                if gs % every:
+                    continue
+                step_metrics = {
+                    "step": gs,
+                    "train/loss_step": float(losses_h[i]),
+                }
+                for j, label in enumerate(labels):
+                    step_metrics[f"train/loss_step_{label}"] = float(
+                        per_label_h[i, j]
+                    )
+                self.logger.log(step_metrics)
+        # same program as the step loop's jnp.mean(jnp.stack(losses))
+        mean_loss = float(jnp.mean(losses)) if n_steps else float("nan")
+        return params, opt_state, mean_loss, key
+
     def _train_epoch(
         self, params: Any, opt_state: Any, loader: Any, key: jax.Array
     ) -> tuple:
+        if self.epoch_fn is not None:
+            return self._train_epoch_scan(params, opt_state, loader, key)
         losses = []
         tc = self.config.train
         every = tc.log_every_n_steps
@@ -676,6 +825,10 @@ class Trainer:
             self.train_step = make_train_step(
                 self.model, self.optimizer, cache=t_cache
             )
+            if tc.dispatch == "epoch":
+                self.epoch_fn = make_epoch_fn(
+                    self.model, self.optimizer, cache=t_cache
+                )
             self.logger.log(
                 {"device_cache_mb": round(t_cache.nbytes / 1e6, 1)}
             )

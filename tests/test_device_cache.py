@@ -189,6 +189,88 @@ def test_int16_transport_also_bit_identical(synthetic_dataset, tmp_path):
         assert h["train/loss"] == d["train/loss"]
 
 
+def test_epoch_dispatch_trajectory_parity(synthetic_dataset, tmp_path):
+    """train.dispatch=epoch (one lax.scan dispatch per epoch) runs the SAME
+    math as per-step dispatch — same rng split order, same lr injection,
+    same loss/update formulas. XLA may fuse the scan body differently from
+    the standalone step program, so parity is ulp-level (observed 2e-7
+    relative on the optimizer-update path), not bit-exact: the first epoch
+    (identical initial params) must match exactly, later epochs to a tight
+    float32 tolerance."""
+    step = _fit(
+        _cfg(synthetic_dataset, **{"train.data_cache": "device"}),
+        tmp_path,
+        "step",
+    )
+    scan = _fit(
+        _cfg(
+            synthetic_dataset,
+            **{"train.data_cache": "device", "train.dispatch": "epoch"},
+        ),
+        tmp_path,
+        "scan",
+    )
+    assert len(step) == len(scan) == 2
+    for s, e in zip(step, scan):
+        np.testing.assert_allclose(s["train/loss"], e["train/loss"], rtol=1e-5)
+        np.testing.assert_allclose(s["val/loss"], e["val/loss"], rtol=1e-5)
+        np.testing.assert_allclose(
+            s["val/f1_score"], e["val/f1_score"], rtol=1e-4
+        )
+
+
+def test_epoch_dispatch_cosine_and_step_logs(synthetic_dataset, tmp_path):
+    """Cosine LR (set per step INSIDE the scan) and the per-step loss logs
+    must match step dispatch: identical step grid, ulp-level loss parity."""
+    import json
+
+    over = {
+        "train.data_cache": "device",
+        "train.scheduler.type": "cosine",
+        "train.scheduler.warmup_steps": "2",
+        "train.log_every_n_steps": "1",
+    }
+    step = _fit(_cfg(synthetic_dataset, **over), tmp_path, "cstep")
+    scan = _fit(
+        _cfg(synthetic_dataset, **{**over, "train.dispatch": "epoch"}),
+        tmp_path,
+        "cscan",
+    )
+    for s, e in zip(step, scan):
+        np.testing.assert_allclose(s["train/loss"], e["train/loss"], rtol=1e-5)
+        assert s["lr"] == e["lr"]  # host-computed cosine grid: exact
+
+    def step_logs(tag):
+        lines = (
+            (tmp_path / tag / "metrics.jsonl").read_text().strip().splitlines()
+        )
+        return [
+            (m["step"], m["train/loss_step"])
+            for m in map(json.loads, lines)
+            if "train/loss_step" in m
+        ]
+
+    a, b = step_logs("cstep"), step_logs("cscan")
+    assert a and [x[0] for x in a] == [x[0] for x in b]
+    np.testing.assert_allclose(
+        [x[1] for x in a], [x[1] for x in b], rtol=1e-5
+    )
+
+
+def test_epoch_dispatch_requires_device_cache(synthetic_dataset, tmp_path):
+    cfg = _cfg(synthetic_dataset, **{"train.dispatch": "epoch"})
+    model = Models["conv_vad"](MultiLabelEncoder(cfg.data.classes), cfg)
+    with pytest.raises(ValueError, match="data_cache=device"):
+        Trainer(model=model, config=cfg, run_dir=tmp_path / "bad")
+
+
+def test_bad_dispatch_value_rejected(synthetic_dataset, tmp_path):
+    cfg = _cfg(synthetic_dataset, **{"train.dispatch": "batch"})
+    model = Models["conv_vad"](MultiLabelEncoder(cfg.data.classes), cfg)
+    with pytest.raises(ValueError, match="dispatch"):
+        Trainer(model=model, config=cfg, run_dir=tmp_path / "bad2")
+
+
 def test_multihost_rejected(synthetic_dataset, monkeypatch):
     cfg = _cfg(synthetic_dataset, **{"train.data_cache": "device"})
     enc = MultiLabelEncoder(cfg.data.classes)

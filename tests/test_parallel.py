@@ -651,3 +651,58 @@ def test_device_cache_train_step_no_gather_collectives(
         params, opt_state, batch, jax.random.key(0)
     )
     assert np.isfinite(float(loss))
+
+
+def test_epoch_scan_under_mesh_contract_and_run(tp_model, synthetic_dataset):
+    """train.dispatch=epoch under a data=8 mesh: the whole-epoch lax.scan
+    keeps the same collective contract as the per-step program (local crop
+    gathers, dp gradient psums, zero permutes) and executes one 3-step
+    epoch to finite losses."""
+    _require_8_devices()
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from segma_tpu.data.device_cache import DeviceAudioCache
+    from segma_tpu.data.file_dataset import SegmaFileDataset
+    from segma_tpu.train import make_epoch_fn, make_optimizer
+
+    cfg = load_config(
+        CONFIG_DIR / "default.yml",
+        [
+            f"data.dataset_path={synthetic_dataset}",
+            "data.classes=[male,female,key_child,other_child]",
+            "audio.chunk_duration_s=1.0",
+        ],
+    )
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    mesh = make_mesh(data=8, model=1)
+    cache = DeviceAudioCache.build(ds.train, synthetic_dataset, 16_000)
+    cache.place(mesh)
+
+    optimizer = make_optimizer(tp_model, 1e-3)
+    epoch_fn = make_epoch_fn(tp_model, optimizer, cache=cache)
+    params = shard_params(jax.tree.map(jnp.array, tp_model.params), mesh)
+    opt_state = jax.jit(optimizer.init)(params)
+    sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+    offsets_e = jax.device_put(np.zeros((3, 8), np.int32), sh)
+    y_e = jax.device_put(np.zeros((3, 8, 49, 4), np.float32), sh)
+    lrs = jax.device_put(
+        np.full(3, 1e-3, np.float32), NamedSharding(mesh, PartitionSpec())
+    )
+    key = jax.random.key(0)
+    hlo = (
+        epoch_fn.lower(params, opt_state, key, offsets_e, y_e, lrs)
+        .compile()
+        .as_text()
+    )
+    counts = _collective_counts(hlo)
+    assert counts["collective-permute"] == 0, counts
+    assert counts["all-gather"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
+    assert counts["all-reduce"] >= 1, counts  # dp gradient psum
+
+    params, opt_state, key, losses, per_label = epoch_fn(
+        params, opt_state, key, offsets_e, y_e, lrs
+    )
+    assert losses.shape == (3,) and np.all(np.isfinite(np.asarray(losses)))
