@@ -143,6 +143,117 @@ def analyze_one(
     return out
 
 
+def analyze_train_one(
+    name: str, batch_size: int, chain: int, measure: bool, rounds: int
+) -> dict[str, Any]:
+    """FLOPs + device time for the FULL train step (forward + loss +
+    backward + optimizer update) — the number the train-loop rows in
+    BENCH_REPORT.md should be judged against, not the forward-only MFU.
+
+    Timing scans ``chain`` steps in one dispatch with (params, opt_state)
+    carried through — the same shape as ``train.dispatch=epoch``'s
+    whole-epoch scan, so the measured ms/step is exactly what that mode
+    achieves per batch on device."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from segma_tpu.train import make_optimizer, make_train_step
+
+    model = build_model(name)
+    chunk_f = model.config.audio.chunk_duration_f
+    x_shape = jax.ShapeDtypeStruct((batch_size, chunk_f), jnp.float32)
+    # logit grid from the model itself (199 rows per 4 s chunk for the
+    # standard geometry; hubert/wavlm strict frames differ)
+    logits_shape = jax.eval_shape(
+        lambda p, x: model.apply(p, x, train=False), model.params, x_shape
+    )
+    y_shape = jax.ShapeDtypeStruct(
+        (batch_size, logits_shape.shape[1], len(model.label_encoder.base_labels)),
+        jnp.float32,
+    )
+
+    optimizer = make_optimizer(model, 1e-3)
+    train_step = make_train_step(model, optimizer)
+    opt_state = jax.eval_shape(optimizer.init, model.params)
+    t0 = time.perf_counter()
+    compiled = train_step.lower(
+        model.params, opt_state, {"x": x_shape, "y": y_shape}, jax.random.key(0)
+    ).compile()
+    compile_s = time.perf_counter() - t0
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops_step = float(cost.get("flops", 0.0))
+    out: dict[str, Any] = {
+        "model": name,
+        "mode": "train_step",
+        "batch": batch_size,
+        "gflops_per_step": round(flops_step / 1e9, 2),
+        "audio_s_per_step": batch_size * chunk_f / 16_000,
+        "compile_s": round(compile_s, 1),
+        "backend": jax.devices()[0].platform,
+    }
+    if not measure:
+        return out
+
+    def chained(p: Any, o: Any, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        def body(carry: Any, i: jnp.ndarray) -> tuple[Any, None]:
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+
+            def loss_fn(pp: Any) -> Any:
+                logits = model.apply(
+                    pp,
+                    x + i.astype(jnp.float32) * 1e-6,
+                    train=True,
+                    rngs={"dropout": sub},
+                )
+                total, _ = model.loss(logits, y)
+                return total
+
+            grads = jax.grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), None
+
+        (params, _, _), _ = jax.lax.scan(
+            body, (p, o, jax.random.key(0)), jnp.arange(chain)
+        )
+        # force a data dependency on the whole chain (CLAUDE.md: blocking
+        # alone under-reports through the relay)
+        return sum(jnp.asarray(v).mean() for v in jax.tree.leaves(params))
+
+    run = jax.jit(chained)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        (rng.standard_normal((batch_size, chunk_f)) * 0.1).astype(np.float32)
+    )
+    y = jax.device_put(
+        (rng.random((batch_size,) + y_shape.shape[1:]) > 0.5).astype(np.float32)
+    )
+    params = jax.device_put(model.params)
+    opt = jax.jit(optimizer.init)(params)
+    float(run(params, opt, x, y))  # compile + warm
+    walls = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        float(run(params, opt, x, y))
+        walls.append(time.perf_counter() - t0)
+    best = min(walls)
+    ms_step = best / chain * 1e3
+    tflops = flops_step * chain / best / 1e12
+    out.update(
+        device_ms_per_step=round(ms_step, 2),
+        achieved_tflops=round(tflops, 2),
+        xrt_device_only=round(out["audio_s_per_step"] / (ms_step / 1e3), 0),
+        walls_s=[round(w, 3) for w in walls],
+        chain=chain,
+    )
+    return out
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -152,6 +263,12 @@ def main() -> int:
     parser.add_argument("--chain", type=int, default=16)
     parser.add_argument("--rounds", type=int, default=3)
     parser.add_argument("--measure", action="store_true")
+    parser.add_argument(
+        "--train",
+        action="store_true",
+        help="analyze the full train step (fwd+bwd+update) instead of the "
+        "inference forward",
+    )
     parser.add_argument("--peak-tflops", type=float, default=V5E_PEAK_BF16_TFLOPS)
     parser.add_argument("--json", type=Path, default=None)
     args = parser.parse_args()
@@ -165,8 +282,9 @@ def main() -> int:
     enable_compilation_cache()
 
     rows = []
+    analyze = analyze_train_one if args.train else analyze_one
     for name in args.models:
-        row = analyze_one(
+        row = analyze(
             name, args.batch_size, args.chain, args.measure, args.rounds
         )
         if args.measure:
