@@ -295,8 +295,10 @@ def make_epoch_fn(
     return jax.jit(epoch_fn, donate_argnums=(0, 1))
 
 
-def make_eval_step(model: SegmentationModel, cache: Any = None) -> Callable:
-    """Jitted validation step: loss terms + F1 sufficient statistics.
+def _make_eval_body(model: SegmentationModel, waveforms: Callable) -> Callable:
+    """The validation computation, shared by per-batch dispatch
+    (:func:`make_eval_step`) and the whole-epoch scan
+    (:func:`make_val_epoch_fn`): loss terms + F1 sufficient statistics.
 
     Powerset models additionally return subset-class statistics for the
     reference's ``partial_*`` validation metrics (``models/base.py:204-317``:
@@ -307,25 +309,21 @@ def make_eval_step(model: SegmentationModel, cache: Any = None) -> Callable:
     build implements them.
     """
 
-    waveforms = _waveform_source(cache)
-
-    def eval_step(params, batch):
-        logits = model.apply(params, waveforms(batch["x"]), train=False)
-        total, per_label = model.loss(logits, batch["y"])
+    def eval_body(params, x, y):
+        logits = model.apply(params, waveforms(x), train=False)
+        total, per_label = model.loss(logits, y)
         # per-base-label probabilities (powerset models marginalize here)
         frame_logits = model.inference_transform(logits)
         probs = jax.nn.sigmoid(frame_logits).reshape(-1, frame_logits.shape[-1])
-        targets = batch["y"].reshape(-1, batch["y"].shape[-1])
+        targets = y.reshape(-1, y.shape[-1])
         counts = binary_counts(probs, targets)
 
         subset_stats = None
         if model.powerset is not None:
             n_classes = logits.shape[-1]
             lut = jnp.asarray(model.powerset.multihot_lut())
-            bits = 2 ** jnp.arange(batch["y"].shape[-1], dtype=jnp.int32)
-            class_ids = lut[
-                (batch["y"] > 0.5).astype(jnp.int32) @ bits
-            ].reshape(-1)
+            bits = 2 ** jnp.arange(y.shape[-1], dtype=jnp.int32)
+            class_ids = lut[(y > 0.5).astype(jnp.int32) @ bits].reshape(-1)
             flat_logits = logits.reshape(-1, n_classes)
             target_oh = jax.nn.one_hot(class_ids, n_classes)
             # CE weighted onto the single-label class prefix (torch
@@ -351,7 +349,54 @@ def make_eval_step(model: SegmentationModel, cache: Any = None) -> Callable:
             subset_stats = (partial_loss, subset_counts, subset_probs, class_ids)
         return total, per_label, counts, probs, subset_stats
 
+    return eval_body
+
+
+def make_eval_step(model: SegmentationModel, cache: Any = None) -> Callable:
+    """Jitted per-batch validation step (see :func:`_make_eval_body`)."""
+    body = _make_eval_body(model, _waveform_source(cache))
+
+    def eval_step(params, batch):
+        return body(params, batch["x"], batch["y"])
+
     return jax.jit(eval_step)
+
+
+def make_val_epoch_fn(
+    model: SegmentationModel, cache: Any, need_scores: bool = False
+) -> Callable:
+    """Build the jitted whole-VALIDATION-pass function (``train.dispatch=
+    epoch``): one ``lax.scan`` over :func:`_make_eval_body` replaces one
+    dispatch per val batch. With the audio HBM-resident
+    (``train.data_cache=device``) the whole pass uploads just ``(S, B)``
+    int32 offsets + ``(S, B, T, L)`` labels.
+
+    Outputs are the per-step eval tuples stacked along the step axis, so
+    the host aggregation in ``Trainer._val_epoch`` consumes them with the
+    SAME formulas as per-batch dispatch. The full per-frame score matrices
+    (``probs``/``subset_probs``/``class_ids``) are only materialized when
+    ``need_scores`` (auroc/roc requested) — otherwise XLA dead-code
+    eliminates them and only scalars/counters leave the device.
+    """
+    body = _make_eval_body(model, _waveform_source(cache))
+
+    def val_epoch(params, offsets_e, y_e):
+        def one_step(carry, xs):
+            offsets, y = xs
+            total, per_label, counts, probs, subset_stats = body(
+                params, offsets, y
+            )
+            if not need_scores:
+                probs = None
+                if subset_stats is not None:
+                    p_loss, s_counts, _, _ = subset_stats
+                    subset_stats = (p_loss, s_counts, None, None)
+            return carry, (total, per_label, counts, probs, subset_stats)
+
+        _, outs = jax.lax.scan(one_step, 0, (offsets_e, y_e))
+        return outs
+
+    return jax.jit(val_epoch)
 
 
 @dataclass
@@ -403,8 +448,9 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.optimizer)
         self.eval_step = make_eval_step(self.model)
         # train.dispatch=epoch: built in fit() once the device cache is
-        # placed (the scan body gathers crops from it)
+        # placed (the scan bodies gather crops from it)
         self.epoch_fn: Callable | None = None
+        self.val_epoch_fn: Callable | None = None
         if tc.dispatch not in ("step", "epoch"):
             raise ValueError(
                 f"train.dispatch must be 'step' or 'epoch', got {tc.dispatch!r}"
@@ -578,6 +624,53 @@ class Trainer:
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         return params, opt_state, mean_loss, key
 
+    def _val_outputs(self, params: Any, loader: Any) -> Any:
+        """Yield ``(eval outputs, targets)`` per val batch.
+
+        Per-batch dispatch path: one jitted ``eval_step`` per batch.
+        Scan path (``train.dispatch=epoch`` with a device-cached val set):
+        ONE ``lax.scan`` dispatch for the whole pass, its stacked outputs
+        sliced back into per-step tuples so the caller's aggregation is
+        byte-for-byte the same code either way."""
+        if self.val_epoch_fn is None:
+            for batch in loader:
+                yield self.eval_step(params, self._put(batch)), batch["y"]
+            return
+        offs, ys = [], []
+        for batch in loader:
+            offs.append(batch["x"])
+            ys.append(batch["y"])
+        if not offs:
+            return
+        offsets_e, y_e = np.stack(offs), np.stack(ys)
+        if self.mesh is not None:
+            # step axis unsharded (scan iterates it); batch axis over data
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+            offsets_e = jax.device_put(offsets_e, sh)
+            y_e = jax.device_put(y_e, sh)
+        totals, per_labels, counts, probs, subset_stats = self.val_epoch_fn(
+            params, offsets_e, y_e
+        )
+        for i in range(len(offs)):
+            step_subset = None
+            if subset_stats is not None:
+                p_loss, s_counts, s_probs, s_ids = subset_stats
+                step_subset = (
+                    p_loss[i],
+                    jax.tree.map(lambda a: a[i], s_counts),
+                    None if s_probs is None else s_probs[i],
+                    None if s_ids is None else s_ids[i],
+                )
+            yield (
+                totals[i],
+                per_labels[i],
+                jax.tree.map(lambda a: a[i], counts),
+                None if probs is None else probs[i],
+                step_subset,
+            ), ys[i]
+
     def _val_epoch(self, params: Any, loader: Any) -> dict[str, float]:
         tc = self.config.train
         labels = self.model.label_encoder.base_labels
@@ -592,10 +685,9 @@ class Trainer:
         partial_losses: list = []
         subset_counts_acc: dict[str, Any] | None = None
         all_subset_probs, all_subset_ids = [], []
-        for batch in loader:
-            total, per_label, counts, probs, subset_stats = self.eval_step(
-                params, self._put(batch)
-            )
+        for (total, per_label, counts, probs, subset_stats), y in (
+            self._val_outputs(params, loader)
+        ):
             losses.append(total)
             per_labels.append(per_label)
             if counts_acc is None:
@@ -604,7 +696,7 @@ class Trainer:
                 counts_acc = jax.tree.map(lambda a, b: a + b, counts_acc, counts)
             if need_scores:
                 all_probs.append(np.asarray(probs))
-                all_targets.append(batch["y"].reshape(-1, len(labels)))
+                all_targets.append(np.asarray(y).reshape(-1, len(labels)))
             if subset_stats is not None:
                 p_loss, s_counts, s_probs, s_ids = subset_stats
                 partial_losses.append(p_loss)
@@ -835,6 +927,15 @@ class Trainer:
         if v_cache is not None:
             v_cache.place(self.mesh)
             self.eval_step = make_eval_step(self.model, cache=v_cache)
+            if tc.dispatch == "epoch":
+                need_scores = (
+                    tc.validation_metric == "auroc"
+                    or "auroc" in tc.extra_val_metrics
+                    or "roc" in tc.extra_val_metrics
+                )
+                self.val_epoch_fn = make_val_epoch_fn(
+                    self.model, v_cache, need_scores=need_scores
+                )
         max_epochs = self.max_epochs or tc.max_epochs
         # cosine schedule state: the global step counter survives resume
         self._global_step = start_epoch * len(train_loader)

@@ -257,6 +257,74 @@ def test_epoch_dispatch_cosine_and_step_logs(synthetic_dataset, tmp_path):
     )
 
 
+def test_epoch_dispatch_val_scores_parity(synthetic_dataset, tmp_path):
+    """auroc (need_scores=True) under the val epoch scan: the full per-frame
+    score matrices ride the single scan dispatch and the host aggregation
+    (rank-based AUROC over the concatenated pass) matches step dispatch."""
+    over = {
+        "train.validation_metric": "auroc",
+        "train.extra_val_metrics": "[loss,f1_score,auroc]",
+        "train.data_cache": "device",
+    }
+    step = _fit(_cfg(synthetic_dataset, **over), tmp_path, "astep")
+    scan = _fit(
+        _cfg(synthetic_dataset, **{**over, "train.dispatch": "epoch"}),
+        tmp_path,
+        "ascan",
+    )
+    for s, e in zip(step, scan):
+        for k in ("val/loss", "val/f1_score"):
+            np.testing.assert_allclose(s[k], e[k], rtol=1e-5, err_msg=k)
+        # AUROC is a RANK statistic: the scan body's different XLA fusion
+        # shifts probs at ulp level (same 2e-7 as the train path), which can
+        # flip near-tied rank orderings — bounded but not ulp-proportional.
+        np.testing.assert_allclose(
+            s["val/auroc"], e["val/auroc"], atol=5e-3, err_msg="val/auroc"
+        )
+
+
+def test_epoch_dispatch_powerset_partial_parity(synthetic_dataset, tmp_path):
+    """Powerset subset_stats (partial_* metrics) ride the val epoch scan:
+    per-step tuples sliced from the stacked scan outputs must aggregate to
+    the same partial_loss / partial_f1 / partial_auroc as step dispatch."""
+    over = {
+        "model.name": "powerset_vad",
+        "model.config": "{hidden: 32, depth: 1, dtype: f32, max_set_size: 2}",
+        "train.extra_val_metrics": "[loss,f1_score,partial_loss,auroc]",
+        "train.data_cache": "device",
+    }
+
+    def fit_ps(cfg, tag):
+        enc = MultiLabelEncoder(cfg.data.classes)
+        model = Models["powerset_vad"](enc, cfg)
+        ds = SegmaFileDataset.from_config(cfg)
+        ds.load(use_cache=False)
+        dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+        trainer = Trainer(model=model, config=cfg, run_dir=tmp_path / tag)
+        return trainer.fit(dm)["history"]
+
+    step = fit_ps(_cfg(synthetic_dataset, **over), "pstep")
+    scan = fit_ps(
+        _cfg(synthetic_dataset, **{**over, "train.dispatch": "epoch"}), "pscan"
+    )
+    keys = (
+        "val/loss",
+        "val/partial_loss",
+        "val/partial_f1_score",
+        "val/partial_auroc",
+    )
+    for s, e in zip(step, scan):
+        for k in keys:
+            assert k in s and k in e, k
+            # partial_auroc is a RANK statistic over subset probs — ulp-level
+            # scan-fusion shifts can flip near-tied orderings (same tolerance
+            # rationale as val/auroc above).
+            atol = 5e-3 if k == "val/partial_auroc" else 0
+            np.testing.assert_allclose(
+                s[k], e[k], rtol=1e-5, atol=atol, err_msg=k
+            )
+
+
 def test_epoch_dispatch_requires_device_cache(synthetic_dataset, tmp_path):
     cfg = _cfg(synthetic_dataset, **{"train.dispatch": "epoch"})
     model = Models["conv_vad"](MultiLabelEncoder(cfg.data.classes), cfg)
