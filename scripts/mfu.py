@@ -45,6 +45,14 @@ CONFIGS = {
         "model.name=surgical_hydra",
         "model.config.encoder=whisper_base_random",
     ],
+    # opt-in fast_context: encoder runs on the chunk's 200 mel frames
+    # instead of Whisper's fixed 30 s padding — quantifies exactly what the
+    # reference-faithful padding costs in device time and MFU
+    "whisper_fast": [
+        "model.name=surgical_hydra",
+        "model.config.encoder=whisper_base_random",
+        "model.config.fast_context=true",
+    ],
     "hubert": [
         "model.name=surgical_hubert_hydra",
         "model.config.wav_encoder=hubert_base_random",
@@ -60,12 +68,12 @@ CONFIGS = {
 V5E_PEAK_BF16_TFLOPS = 197.0  # per chip (v5e: 394 int8 TOPS / 197 bf16)
 
 
-def build_model(name: str) -> Any:
+def build_model(name: str, extra: list[str] | None = None) -> Any:
     from segma_tpu.config import load_config
     from segma_tpu.models import Models
     from segma_tpu.utils.encoders import MultiLabelEncoder
 
-    cfg = load_config(CONFIG_DIR / "default.yml", CONFIGS[name])
+    cfg = load_config(CONFIG_DIR / "default.yml", CONFIGS[name] + (extra or []))
     enc = MultiLabelEncoder(cfg.data.classes)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # random-weights warning expected
@@ -77,13 +85,18 @@ def build_model(name: str) -> Any:
 
 
 def analyze_one(
-    name: str, batch_size: int, chain: int, measure: bool, rounds: int
+    name: str,
+    batch_size: int,
+    chain: int,
+    measure: bool,
+    rounds: int,
+    extra: list[str] | None = None,
 ) -> dict[str, Any]:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    model = build_model(name)
+    model = build_model(name, extra)
     chunk_f = model.config.audio.chunk_duration_f
     shaped = jax.ShapeDtypeStruct((batch_size, chunk_f), jnp.float32)
 
@@ -144,7 +157,12 @@ def analyze_one(
 
 
 def analyze_train_one(
-    name: str, batch_size: int, chain: int, measure: bool, rounds: int
+    name: str,
+    batch_size: int,
+    chain: int,
+    measure: bool,
+    rounds: int,
+    extra: list[str] | None = None,
 ) -> dict[str, Any]:
     """FLOPs + device time for the FULL train step (forward + loss +
     backward + optimizer update) — the number the train-loop rows in
@@ -161,7 +179,7 @@ def analyze_train_one(
 
     from segma_tpu.train import make_optimizer, make_train_step
 
-    model = build_model(name)
+    model = build_model(name, extra)
     chunk_f = model.config.audio.chunk_duration_f
     x_shape = jax.ShapeDtypeStruct((batch_size, chunk_f), jnp.float32)
     # logit grid from the model itself (199 rows per 4 s chunk for the
@@ -269,6 +287,13 @@ def main() -> int:
         help="analyze the full train step (fwd+bwd+update) instead of the "
         "inference forward",
     )
+    parser.add_argument(
+        "--extra",
+        nargs="*",
+        default=[],
+        help="extra config dotlist overrides appended to every model, e.g. "
+        "model.config.lstm.unroll=8 (for A/B measurements)",
+    )
     parser.add_argument("--peak-tflops", type=float, default=V5E_PEAK_BF16_TFLOPS)
     parser.add_argument("--json", type=Path, default=None)
     args = parser.parse_args()
@@ -285,8 +310,15 @@ def main() -> int:
     analyze = analyze_train_one if args.train else analyze_one
     for name in args.models:
         row = analyze(
-            name, args.batch_size, args.chain, args.measure, args.rounds
+            name,
+            args.batch_size,
+            args.chain,
+            args.measure,
+            args.rounds,
+            extra=args.extra,
         )
+        if args.extra:
+            row["extra"] = args.extra
         if args.measure:
             row["mfu_pct"] = round(
                 100.0 * row["achieved_tflops"] / args.peak_tflops, 2

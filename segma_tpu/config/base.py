@@ -98,6 +98,11 @@ class LSTMConfig(BaseConfig):
     num_layers: int
     bidirectional: bool
     dropout: float
+    # lax.scan unroll factor for the sequential LSTM loop: unrolling lets
+    # XLA fuse consecutive per-step matmuls/elementwise into fewer, larger
+    # kernels (the step math is unchanged — same ops, same order). Measured
+    # on the chip at (32, 199, 512): see BENCH_REPORT.md LSTM-unroll row.
+    unroll: int = 1
 
 
 @dataclass
@@ -480,6 +485,25 @@ def _from_dict(cls: type, data: dict, path: str = "config") -> Any:
 # ---------------------------------------------------------------------------
 
 
+def _deep_merge(base: dict, override: dict) -> dict:
+    """Recursively merge ``override`` into ``base`` (dicts merge key-wise,
+    anything else replaces). Matches omegaconf's dotlist-over-YAML merge
+    semantics (reference ``config/base.py:191-219``): a CLI
+    ``model.config.lstm.unroll=8`` must override ONE nested field, not
+    replace the whole ``lstm`` subtree from the per-model YAML."""
+    out = dict(base)
+    for key, value in override.items():
+        if (
+            key in out
+            and isinstance(out[key], dict)
+            and isinstance(value, dict)
+        ):
+            out[key] = _deep_merge(out[key], value)
+        else:
+            out[key] = value
+    return out
+
+
 def _apply_dotlist(config_d: dict, dotlist: list[str]) -> dict:
     """Apply ``a.b.c=value`` overrides in place; values parsed as YAML."""
     for item in dotlist:
@@ -533,9 +557,10 @@ def load_config(config_path: Path | str, cli_extra_args: list[str] = []) -> Conf
             )
         with model_c_p.open("r") as f:
             merged = yaml.safe_load(f)
-        # CLI-supplied model.config.* values win over per-model defaults
+        # CLI-supplied model.config.* values win over per-model defaults,
+        # deep-merged so a nested override keeps its siblings
         partial = config_d["model"].get("config") or {}
-        config_d["model"]["config"] = {**merged, **partial}
+        config_d["model"]["config"] = _deep_merge(merged, partial)
     cfg = _from_dict(Config, config_d)
     _validate_mesh_seq(cfg)
     return cfg

@@ -73,10 +73,12 @@ class BiLSTM(nn.Module):
         # OptimizedLSTMCell_{k} with k following construction order:
         # layer0-fwd, layer0-bwd, layer1-fwd, ... The reference-checkpoint
         # importer (convert_reference._convert_lstm) relies on this order.
+        unroll = max(1, getattr(self.cfg, "unroll", 1))
         for layer in range(self.cfg.num_layers):
             fwd = nn.RNN(
                 nn.OptimizedLSTMCell(self.cfg.hidden_size, dtype=self.dtype),
                 name=f"lstm_fwd_{layer}",
+                unroll=unroll,
             )
             if self.cfg.bidirectional:
                 bwd = nn.RNN(
@@ -84,6 +86,7 @@ class BiLSTM(nn.Module):
                     name=f"lstm_bwd_{layer}",
                     reverse=True,
                     keep_order=True,
+                    unroll=unroll,
                 )
                 x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
             else:

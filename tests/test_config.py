@@ -80,6 +80,20 @@ def test_cli_override_nested_string():
     assert cfg.wandb.name == "hello"
 
 
+def test_cli_override_deep_merges_model_config():
+    """A dotted override of ONE nested model.config field must keep its
+    siblings from the auto-merged per-model YAML (omegaconf semantics) —
+    regression: the shallow {**merged, **partial} merge replaced the whole
+    lstm subtree and errored on lstm.hidden_size missing."""
+    cfg = load_config(
+        CONFIG_DIR / "default.yml", ["model.config.lstm.unroll=8"]
+    )
+    assert cfg.model.config.lstm.unroll == 8
+    # siblings from the per-model YAML survive
+    assert cfg.model.config.lstm.hidden_size > 0
+    assert cfg.model.config.lstm.num_layers > 0
+
+
 def test_missing_file_raises():
     with pytest.raises(FileNotFoundError):
         load_config("does_not_exist.yml")
