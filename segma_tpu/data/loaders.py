@@ -127,6 +127,7 @@ class AudioSegmentationSampler:
                 "data_cache=device is incompatible with host-side audio "
                 "hooks (feature extraction must run inside the jitted step)"
             )
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
         # decoded-audio RAM cache (int16): random crops re-read the same
         # files constantly; decoding each file once removes the dominant
@@ -161,6 +162,16 @@ class AudioSegmentationSampler:
     @property
     def n_windows(self) -> int:
         return self.windows.shape[0]
+
+    def reseed(self, epoch: int) -> None:
+        """Re-derive the crop rng from ``(seed, epoch)`` instead of a stream
+        position. This makes training trajectory-exact under resume: a run
+        preempted at epoch N and resumed sees exactly the crops the
+        uninterrupted run would have seen at N, N+1, ... (the reference's
+        torch DataLoader streams cannot do this — worker rng state is lost
+        on restart). No-op when unseeded."""
+        if self._seed is not None:
+            self.rng = np.random.default_rng((self._seed, epoch))
 
     def sample(self) -> tuple[np.ndarray, np.ndarray]:
         """One (waveform (chunk_f,), targets (n_windows, L)) pair."""
@@ -278,6 +289,14 @@ class PrefetchingLoader:
 
     def __len__(self) -> int:
         return self.n_batches
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed every worker's sampler from ``(worker seed, epoch)`` —
+        called by the Trainer at each epoch boundary so resumed runs replay
+        the uninterrupted run's crop sequence exactly (at num_workers=1;
+        multi-worker batch ORDER is nondeterministic either way)."""
+        for s in (self.sampler, *self.extra_samplers):
+            s.reseed(epoch)
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         samplers = [self.sampler] + self.extra_samplers

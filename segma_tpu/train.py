@@ -982,8 +982,19 @@ class Trainer:
 
         history = []
         interrupted = False
+        # trajectory-exact resume: each epoch's dropout key and crop rng
+        # derive from (seed, epoch) rather than a stream position, so a run
+        # preempted at epoch N and resumed reproduces the uninterrupted
+        # run's batches and masks exactly (bit-identical at num_workers=1;
+        # pinned by tests/test_train.py::test_resume_trajectory_exact).
+        base_key = key
         try:
             for epoch in range(start_epoch, max_epochs):
+                for ldr in (train_loader, val_loader):
+                    set_ep = getattr(ldr, "set_epoch", None)
+                    if set_ep is not None:
+                        set_ep(epoch)
+                key = jax.random.fold_in(base_key, epoch)
                 if epoch == profile_epoch:
                     jax.profiler.start_trace(str(self.run_dir / "profile"))
                 t0 = time.perf_counter()

@@ -332,6 +332,54 @@ def test_trainer_resume(train_cfg, tmp_path):
     assert result["history"][0]["epoch"] == 1
 
 
+def test_resume_trajectory_exact(train_cfg, tmp_path):
+    """Trajectory-exact resume: a run trained 1 epoch, checkpointed, and
+    resumed for 2 more ends with BIT-IDENTICAL params to an uninterrupted
+    3-epoch run. Crops and dropout keys derive from (seed, epoch) — not a
+    stream position lost on restart — so preemption is invisible to the
+    trajectory (num_workers=1 for deterministic batch order)."""
+    import jax
+
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    cfg = train_cfg
+    cfg.train.dataloader.num_workers = 1
+
+    enc = MultiLabelEncoder(cfg.data.classes)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+
+    def leaves(params):
+        trainable, _ = model_a.split_params(params)
+        return [np.asarray(x) for x in jax.tree.leaves(trainable)]
+
+    # uninterrupted 3-epoch run
+    model_a = Models["conv_vad"](enc, cfg)
+    dm_a = SegmentationDataLoader(ds, enc, cfg, model_a.conv_settings)
+    ta = Trainer(model=model_a, config=cfg, run_dir=tmp_path / "a", max_epochs=3)
+    ra = ta.fit(dm_a)
+
+    # 1 epoch, then resume for epochs 1-2 in a fresh Trainer/model
+    model_b = Models["conv_vad"](enc, cfg)
+    dm_b = SegmentationDataLoader(ds, enc, cfg, model_b.conv_settings)
+    tb1 = Trainer(model=model_b, config=cfg, run_dir=tmp_path / "b1", max_epochs=1)
+    tb1.fit(dm_b)
+    model_c = Models["conv_vad"](enc, cfg)
+    dm_c = SegmentationDataLoader(ds, enc, cfg, model_c.conv_settings)
+    tb2 = Trainer(model=model_c, config=cfg, run_dir=tmp_path / "b2", max_epochs=3)
+    rb = tb2.fit(dm_c, resume_from=tmp_path / "b1" / "checkpoints" / "last")
+
+    assert rb["history"][0]["epoch"] == 1
+    for a, b in zip(leaves(ra["params"]), leaves(rb["params"])):
+        np.testing.assert_array_equal(a, b)
+    # and the logged loss trajectory matches too
+    assert [m["train/loss"] for m in ra["history"][1:]] == [
+        m["train/loss"] for m in rb["history"]
+    ]
+
+
 def test_trainer_auroc_metric(train_cfg, tmp_path):
     """validation_metric=auroc computes per-label AUROC and monitors it."""
     from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
