@@ -333,24 +333,6 @@ class CheckpointManager:
         if self.save_last and self.write:
             self._write_last(trainable_params, meta, opt_state, train_state)
 
-    def save_interrupt(
-        self,
-        epoch: int,
-        trainable_params: Any,
-        meta: dict,
-        opt_state: Any = None,
-        train_state: dict | None = None,
-    ) -> Path:
-        """Preemption save: write ONLY ``last/`` (no top-k accounting).
-
-        ``epoch`` is the last COMPLETED epoch (resume redoes the
-        interrupted one); pass -1 if none completed.
-        """
-        meta = {**meta, "epoch": epoch, "interrupted": True}
-        if self.write:
-            self._write_last(trainable_params, meta, opt_state, train_state)
-        return self.last_path
-
     @property
     def last_path(self) -> Path:
         return recover_last_dir(self.dirpath)

@@ -1009,17 +1009,24 @@ class Trainer:
                     signum = getattr(self, "_preempt_signum", None)
                     if signum is not None:
                         self.logger.log({"preempt_signal": signum})
-                    # epoch incomplete: persist params + optimizer state tagged
-                    # with the last COMPLETED epoch so resume redoes this one
-                    trainable, _ = self.model.split_params(params)
-                    path = self.ckpt.save_interrupt(
-                        epoch - 1,
-                        trainable,
-                        meta=self._ckpt_meta(),
-                        opt_state=opt_state,
-                        train_state=train_state_snapshot(),
+                    # Trajectory-exact preemption: mid-epoch params are NOT
+                    # persisted — replaying the interrupted epoch on top of
+                    # partially-advanced params double-applies its first
+                    # steps and diverges from the uninterrupted run (caught
+                    # live by the r4 exact-resume chaos soak). last/ already
+                    # holds the end-of-previous-epoch state (refreshed after
+                    # EVERY completed epoch), so resume redoes this epoch
+                    # from that boundary bit-exactly; if no epoch completed
+                    # yet, the exact redo is a fresh start.
+                    last = self.ckpt.last_path
+                    self.logger.log(
+                        {
+                            "preempted_at_epoch": epoch,
+                            "resume_from": str(last)
+                            if (last / "params.msgpack").exists()
+                            else "fresh",
+                        }
                     )
-                    self.logger.log({"preempted_at_epoch": epoch, "saved": str(path)})
                     interrupted = True
                     break
                 # validation cadence: every N epochs + always the last one

@@ -228,11 +228,13 @@ def test_grad_accum_params_frozen_between_updates(train_cfg):
         np.testing.assert_array_equal(a, np.asarray(b))
 
 
-def test_preemption_saves_resumable_last(train_cfg, tmp_path):
-    """A SIGTERM-style preemption mid-epoch stops after the in-flight step,
-    writes a resumable last/ checkpoint, and a fresh Trainer resumes and
-    finishes (role of SLURM's pre-kill SIGTERM; reference has no in-process
-    handling at all)."""
+def test_preemption_resumes_from_epoch_boundary(train_cfg, tmp_path):
+    """A SIGTERM-style preemption mid-epoch stops after the in-flight step
+    and leaves last/ at the last COMPLETED epoch (mid-epoch params are never
+    persisted — replaying the epoch on top of them would double-apply its
+    first steps); a fresh Trainer resumes from that boundary and finishes
+    (role of SLURM's pre-kill SIGTERM; reference has no in-process handling
+    at all)."""
     import signal
 
     from segma_tpu.checkpoint import load_meta
@@ -248,35 +250,64 @@ def test_preemption_saves_resumable_last(train_cfg, tmp_path):
 
     run_dir = tmp_path / "run"
     trainer = Trainer(model=model, config=train_cfg, run_dir=run_dir)
-    # simulate SIGTERM arriving during the 3rd train step
+    # simulate SIGTERM arriving during the 3rd train step of epoch 1
+    steps_per_epoch = len(dm.train_dataloader())
     orig_step = trainer.train_step
     calls = {"n": 0}
 
     def wrapped(*args):
         calls["n"] += 1
-        if calls["n"] == 3:
+        if calls["n"] == steps_per_epoch + 3:
             trainer._handle_preempt_signal(signal.SIGTERM, None)
         return orig_step(*args)
 
     trainer.train_step = wrapped
     result = trainer.fit(dm)
     assert result["interrupted"] is True
-    assert calls["n"] == 3  # stopped right after the in-flight step
+    assert calls["n"] == steps_per_epoch + 3  # stopped after in-flight step
+    # last/ holds epoch 0 (the completed one), not the interrupted epoch 1
     last = run_dir / "checkpoints" / "last"
     assert (last / "params.msgpack").exists()
     assert (last / "opt_state.msgpack").exists()
-    meta = load_meta(last)
-    assert meta["interrupted"] is True and meta["epoch"] == -1
+    assert load_meta(last)["epoch"] == 0
 
-    # fresh trainer resumes from the preemption save and completes
+    # fresh trainer resumes from the boundary and completes epoch 1
     model2 = Models["conv_vad"](MultiLabelEncoder(train_cfg.data.classes),
                                 train_cfg)
     t2 = Trainer(model=model2, config=train_cfg, run_dir=run_dir,
-                 max_epochs=1)
+                 max_epochs=2)
     result2 = t2.fit(dm, resume_from=last)
     assert result2["interrupted"] is False
-    assert len(result2["history"]) == 1
+    assert [m["epoch"] for m in result2["history"]] == [1]
     assert result2["best_path"] is not None
+
+
+def test_preemption_before_first_epoch_leaves_nothing(train_cfg, tmp_path):
+    """Preempted before any epoch completes: nothing is persisted (a fresh
+    start IS the exact redo) and the run reports interrupted."""
+    import signal
+
+    from segma_tpu.data import SegmaFileDataset, SegmentationDataLoader
+    from segma_tpu.models import Models
+    from segma_tpu.utils.encoders import MultiLabelEncoder
+
+    enc = MultiLabelEncoder(train_cfg.data.classes)
+    model = Models["conv_vad"](enc, train_cfg)
+    ds = SegmaFileDataset.from_config(train_cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, train_cfg, model.conv_settings)
+
+    trainer = Trainer(model=model, config=train_cfg, run_dir=tmp_path / "run")
+    orig_step = trainer.train_step
+
+    def wrapped(*args):
+        trainer._handle_preempt_signal(signal.SIGTERM, None)
+        return orig_step(*args)
+
+    trainer.train_step = wrapped
+    result = trainer.fit(dm)
+    assert result["interrupted"] is True
+    assert not (tmp_path / "run" / "checkpoints" / "last").exists()
 
 
 def test_trainer_fit_smoke(train_cfg, tmp_path):
@@ -378,6 +409,34 @@ def test_resume_trajectory_exact(train_cfg, tmp_path):
     assert [m["train/loss"] for m in ra["history"][1:]] == [
         m["train/loss"] for m in rb["history"]
     ]
+
+    # mid-epoch SIGTERM arm: preempt during epoch 1, resume, finish —
+    # still bit-identical (resume redoes epoch 1 from the epoch-0
+    # boundary; mid-epoch params are never persisted)
+    import signal
+
+    model_d = Models["conv_vad"](enc, cfg)
+    dm_d = SegmentationDataLoader(ds, enc, cfg, model_d.conv_settings)
+    td = Trainer(model=model_d, config=cfg, run_dir=tmp_path / "d", max_epochs=3)
+    steps_per_epoch = len(dm_d.train_dataloader())
+    orig_step = td.train_step
+    calls = {"n": 0}
+
+    def wrapped(*args):
+        calls["n"] += 1
+        if calls["n"] == steps_per_epoch + 2:  # 2nd step of epoch 1
+            td._handle_preempt_signal(signal.SIGTERM, None)
+        return orig_step(*args)
+
+    td.train_step = wrapped
+    rd1 = td.fit(dm_d)
+    assert rd1["interrupted"] is True
+    model_e = Models["conv_vad"](enc, cfg)
+    dm_e = SegmentationDataLoader(ds, enc, cfg, model_e.conv_settings)
+    te = Trainer(model=model_e, config=cfg, run_dir=tmp_path / "e", max_epochs=3)
+    re_ = te.fit(dm_e, resume_from=tmp_path / "d" / "checkpoints" / "last")
+    for a, b in zip(leaves(ra["params"]), leaves(re_["params"])):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_trainer_auroc_metric(train_cfg, tmp_path):
