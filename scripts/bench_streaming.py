@@ -163,12 +163,7 @@ def main() -> None:
         np.asarray(exported.stream_fn.call(np.zeros(chunk_f, np.float32)))
         if getattr(exported, "stream_i16_fn", None) is not None:
             np.asarray(exported.stream_i16_fn.call(np.zeros(chunk_f, np.int16)))
-        # r4+ artifacts trace the batch buckets on int16; r3 ones on f32
-        bdt = (
-            np.int16
-            if exported.manifest.get("stream_batch_dtype") == "int16"
-            else np.float32
-        )
+        bdt = exported.stream_batch_dtype  # int16 r4+, f32 r3 layouts
         for b, fn in sorted((exported.stream_batch_fns or {}).items()):
             np.asarray(fn.call(np.zeros((b, chunk_f), bdt)))
     warm = run_sessions(model, 1, push_s, 4.0, exported=exported, dtype=args.dtype)

@@ -12,9 +12,10 @@ jitted train/eval steps gather the waveform crops from HBM with a vmapped
 ``tests/test_device_cache.py``).
 
 Layout: files are concatenated into one flat 1-D buffer; each file's slot
-is padded to at least ``chunk_f`` samples so a crop of a too-short file
-reads trailing zeros (exactly the host path's zero-padding) instead of the
-next file's samples. Crop starts are drawn in ``[0, len - chunk_f)`` so a
+is sized ``max(metadata duration, chunk_f)`` — the same duration the
+sampler draws crop starts from — so crops of short OR truncated files read
+trailing zeros (exactly the host path's zero-padding) instead of the next
+file's samples. Crop starts are drawn in ``[0, duration - chunk_f)`` so a
 crop never crosses a file boundary.
 
 Under a mesh the buffer is replicated (audio datasets at these scales are
@@ -32,7 +33,11 @@ from typing import Any
 import numpy as np
 
 from segma_tpu.data.file_dataset import DatasetSubset
-from segma_tpu.utils.io import get_samples_in_range, read_pcm16_mono
+from segma_tpu.utils.io import (
+    get_samples_in_range,
+    probe_pcm16_mono,
+    read_pcm16_mono,
+)
 
 
 class DeviceAudioCache:
@@ -55,39 +60,49 @@ class DeviceAudioCache:
         cls, subset: DatasetSubset, dataset_path: str | Path, chunk_f: int
     ) -> "DeviceAudioCache":
         wav_dir = Path(dataset_path) / "wav"
-        arrays: list[np.ndarray] = []
-        any_f32 = False
-        for uri in subset.uris:
-            path = (wav_dir / uri).with_suffix(".wav")
-            raw = read_pcm16_mono(path)
-            if raw is None:  # non-PCM16 source: decode + downmix to f32
-                full = get_samples_in_range(path, 0, -1)
-                raw = (
-                    full.mean(axis=0) if full.shape[0] > 1 else full[0]
-                ).astype(np.float32)
-                any_f32 = True
-            arrays.append(raw)
-        if any_f32:
-            # one buffer, one dtype: normalize the PCM16 files on the host
-            # (same /32768.0 the host sampler applies for f32 transport)
-            arrays = [
-                a.astype(np.float32) / 32768.0 if a.dtype == np.int16 else a
-                for a in arrays
-            ]
+        paths = [(wav_dir / uri).with_suffix(".wav") for uri in subset.uris]
+
+        # Pass 1 — header probes only. The buffer dtype is decided before
+        # anything is decoded, and every slot is sized from the SAME
+        # metadata duration the sampler draws crop starts from
+        # (``loaders.py sample()``), NOT from the decoded sample count: a
+        # truncated/corrupt file (fewer samples on disk than the metadata
+        # claims) must read trailing zeros — exactly the host path's
+        # zero-pad — never the next file's audio.
+        any_f32 = not all(probe_pcm16_mono(p) for p in paths)
         bases: list[int] = []
+        slots: list[int] = []
         pos = 0
-        for a in arrays:
+        for dur in subset.durations["audio_duration_f"]:
             bases.append(pos)
-            pos += max(len(a), chunk_f)  # short files: zero-padded slot
+            slot = max(int(dur), chunk_f)  # short files: zero-padded slot
+            slots.append(slot)
+            pos += slot
         if pos >= 2**31:
             raise ValueError(
                 f"device cache would hold {pos} samples (>= 2^31): offsets "
                 "are int32 (TPU x64 is off) — use train.data_cache=host for "
                 "datasets this large"
             )
+
+        # Pass 2 — decode each file straight into its slot and drop it, so
+        # peak host RAM is ~1x the buffer (not decoded-copies + buffer).
         flat = np.zeros(pos, np.float32 if any_f32 else np.int16)
-        for a, b in zip(arrays, bases):
-            flat[b : b + len(a)] = a
+        for path, base, slot in zip(paths, bases, slots):
+            if any_f32:
+                # one buffer, one dtype: full decode normalizes PCM16 by
+                # /32768.0 — bit-identical to the host sampler's division
+                full = get_samples_in_range(path, 0, -1)
+                a = (
+                    full.mean(axis=0) if full.shape[0] > 1 else full[0]
+                ).astype(np.float32)
+            else:
+                a = read_pcm16_mono(path)
+            # crops never start past (metadata duration - chunk_f), so
+            # samples beyond the slot are unreachable — clamp the write
+            # rather than spill into the next file's slot
+            n = min(len(a), slot)
+            flat[base : base + n] = a[:n]
         return cls(flat, np.asarray(bases, np.int32), chunk_f)
 
     @property

@@ -361,6 +361,21 @@ class ExportedPipeline:
     def supports_streaming(self) -> bool:
         return self.stream_fn is not None
 
+    @property
+    def stream_batch_dtype(self) -> "np.dtype":
+        """Input dtype the ``stream_batch<b>.jaxexp`` buckets were traced
+        on: int16 for r4+ artifacts (raw PCM16 across the wire, normalized
+        in the frozen program), float32 for the r3 all-f32 layout (missing
+        manifest key). THE single decode of the manifest key — streaming,
+        serving and the bench all read it from here."""
+        import numpy as np
+
+        return np.dtype(
+            np.int16
+            if self.manifest.get("stream_batch_dtype") == "int16"
+            else np.float32
+        )
+
     def streaming_segmenter(
         self, thresholds: dict | None = None, forward_fn: Callable | None = None
     ) -> Any:

@@ -150,12 +150,7 @@ def _warm_stream_programs(pipeline: Any, batching: bool) -> None:
     if getattr(pipeline, "stream_i16_fn", None) is not None:
         pipeline.stream_i16_fn.call(np.zeros(chunk_f, np.int16))
     if batching:
-        # r4+ artifacts trace the batch buckets on int16; r3 ones on f32
-        bdt = (
-            np.int16
-            if pipeline.manifest.get("stream_batch_dtype") == "int16"
-            else np.float32
-        )
+        bdt = pipeline.stream_batch_dtype  # int16 r4+, f32 r3 layouts
         for b, fn in sorted((pipeline.stream_batch_fns or {}).items()):
             fn.call(np.zeros((b, chunk_f), bdt))
 

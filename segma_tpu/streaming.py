@@ -93,10 +93,15 @@ class ChunkForwardBatcher:
         transform = model.inference_transform
 
         @jax.jit
-        def batch_forward(params, chunks):  # (B, chunk_f) -> (B, T, L)
+        def jitted(params, chunks):  # (B, chunk_f) -> (B, T, L)
             if chunks.dtype == jnp.int16:  # device-side normalization
                 chunks = chunks.astype(jnp.float32) * (1.0 / 32768.0)
             return transform(apply(params, chunks, train=False))
+
+        def batch_forward(params, chunks, n_real):
+            # pad rows ride the same dispatch here (one compiled program
+            # per bucket shape); n_real matters only for per-row fallbacks
+            return jitted(params, chunks)
 
         # powers of two up to max_batch: at most log2(max_batch)+1 compiled
         # shapes for the one jitted program
@@ -127,22 +132,20 @@ class ChunkForwardBatcher:
         fns = dict(exported.stream_batch_fns)
         # r4+ artifacts trace the batch buckets on int16 (what serving
         # sessions buffer — half the bytes/chunk, no host conversion);
-        # a missing manifest key means the r3 all-f32 layout
-        batch_dtype = (
-            np.int16
-            if exported.manifest.get("stream_batch_dtype") == "int16"
-            else np.float32
-        )
+        # r3 all-f32 layouts fall back via the manifest-derived property
+        batch_dtype = exported.stream_batch_dtype
 
-        def batch_forward(_params, chunks):
+        def batch_forward(_params, chunks, n_real):
             chunks = np.asarray(chunks)
             if chunks.dtype != batch_dtype:
                 if batch_dtype == np.float32:
                     chunks = _chunk_to_f32(chunks)  # r3 programs take f32
                 else:
                     # int16-traced buckets can't take a promoted-f32 group
-                    # (mid-stream dtype mix, rare): exact per-row singles
-                    chunks = _chunk_to_f32(chunks)
+                    # (mid-stream dtype mix, rare): exact per-row singles —
+                    # over the REAL rows only, pad rows would each cost a
+                    # full relay dispatch for output nobody reads
+                    chunks = _chunk_to_f32(chunks[:n_real])
                     return np.stack(
                         [np.asarray(single_f32.call(c)) for c in chunks]
                     )
@@ -225,7 +228,7 @@ class ChunkForwardBatcher:
                     )
                     chunks = np.concatenate([chunks, pad])
                 logits = np.asarray(
-                    self._batch_forward(params, jnp.asarray(chunks))
+                    self._batch_forward(params, jnp.asarray(chunks), len(group))
                 )
                 for i, (_, _, done, box) in enumerate(group):
                     box["logits"] = logits[i]

@@ -624,6 +624,19 @@ class Trainer:
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         return params, opt_state, mean_loss, key
 
+    def _need_scores(self) -> bool:
+        """Whether validation needs full per-frame score matrices on the
+        host (auroc/roc) — THE single definition, used both when building
+        the epoch-scan program (``fit``) and when aggregating
+        (``_val_epoch``); divergent copies would yield probs=None into an
+        aggregation that expects arrays."""
+        tc = self.config.train
+        return (
+            tc.validation_metric == "auroc"
+            or "auroc" in tc.extra_val_metrics
+            or "roc" in tc.extra_val_metrics
+        )
+
     def _val_outputs(self, params: Any, loader: Any) -> Any:
         """Yield ``(eval outputs, targets)`` per val batch.
 
@@ -677,7 +690,7 @@ class Trainer:
         wants = lambda m: (  # noqa: E731
             tc.validation_metric == m or m in tc.extra_val_metrics
         )
-        need_scores = wants("auroc") or "roc" in tc.extra_val_metrics
+        need_scores = self._need_scores()
 
         losses, per_labels = [], []
         counts_acc: dict[str, Any] | None = None
@@ -912,6 +925,15 @@ class Trainer:
         # (offsets, labels) cross the host->device link from here on
         t_cache = getattr(train_loader, "device_cache", None)
         v_cache = getattr(val_loader, "device_cache", None)
+        if tc.dispatch == "epoch" and t_cache is None:
+            # fail loudly: silently falling back to per-step dispatch would
+            # ignore the requested mode (and its one-round-trip-per-epoch
+            # saving) with nothing in the logs
+            raise ValueError(
+                "train.dispatch=epoch requires the train loader to carry a "
+                "device_cache (train.data_cache=device through "
+                "SegmentationDataLoader); this loader has none"
+            )
         if t_cache is not None:
             t_cache.place(self.mesh)
             self.train_step = make_train_step(
@@ -928,13 +950,8 @@ class Trainer:
             v_cache.place(self.mesh)
             self.eval_step = make_eval_step(self.model, cache=v_cache)
             if tc.dispatch == "epoch":
-                need_scores = (
-                    tc.validation_metric == "auroc"
-                    or "auroc" in tc.extra_val_metrics
-                    or "roc" in tc.extra_val_metrics
-                )
                 self.val_epoch_fn = make_val_epoch_fn(
-                    self.model, v_cache, need_scores=need_scores
+                    self.model, v_cache, need_scores=self._need_scores()
                 )
         max_epochs = self.max_epochs or tc.max_epochs
         # cosine schedule state: the global step counter survives resume

@@ -115,6 +115,89 @@ def test_short_file_reads_trailing_zeros(tmp_path):
     assert np.all(crop[1000:] == 0)
 
 
+def test_truncated_file_reads_zeros_not_next_file(tmp_path):
+    """Slots are sized from the METADATA duration the sampler draws crop
+    starts from — a truncated file (fewer samples on disk than metadata
+    claims) must gather its real samples + zeros, exactly like the host
+    path's short-read zero-pad, never the next file's audio. Regression:
+    slots used to be sized from the decoded sample count, so a late crop's
+    dynamic_slice slid into the next file's slot."""
+    import wave
+
+    from segma_tpu.data.file_dataset import DatasetSubset
+
+    real = (np.arange(18_000) % 77).astype(np.int16) + 1  # no zeros
+    nxt = np.full(20_000, 999, np.int16)
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    for name, samples in (("a", real), ("b", nxt)):
+        with wave.open(str(wav_dir / f"{name}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16_000)
+            w.writeframes(samples.tobytes())
+    # metadata CLAIMS 20,000 samples for 'a'; the file holds 18,000
+    subset = DatasetSubset(
+        uris=["a", "b"],
+        durations=np.array(
+            [(20_000, 20_000), (20_000, 20_000)],
+            dtype=[("audio_duration_f", "i8"), ("annotated_duration_f", "i8")],
+        ),
+        indexes=[None, None],
+    )
+    chunk_f = 16_000
+    cache = DeviceAudioCache.build(subset, tmp_path, chunk_f)
+    cache.place()
+    # the latest crop the sampler can draw: start = 20_000 - 16_000 = 4_000
+    crop = np.asarray(
+        jax.jit(cache.make_gather())(np.array([4_000], np.int32))
+    )[0]
+    np.testing.assert_array_equal(crop[:14_000], real[4_000:18_000])
+    assert np.all(crop[14_000:] == 0)  # zeros, not file b's 999s
+
+
+def test_mixed_dtype_sources_promote_to_f32(tmp_path):
+    """One non-PCM16 file promotes the whole buffer to normalized f32; the
+    PCM16 files' values stay bit-identical to the host /32768.0 path."""
+    import wave
+
+    from segma_tpu.data.file_dataset import DatasetSubset
+
+    pcm = (np.arange(16_000) % 77).astype(np.int16)
+    stereo = np.zeros((16_000, 2), np.int16)  # 2ch -> not the int16 path
+    stereo[:, 0] = 100
+    stereo[:, 1] = 300
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    with wave.open(str(wav_dir / "m.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16_000)
+        w.writeframes(pcm.tobytes())
+    with wave.open(str(wav_dir / "s.wav"), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16_000)
+        w.writeframes(stereo.tobytes())
+    subset = DatasetSubset(
+        uris=["m", "s"],
+        durations=np.array(
+            [(16_000, 16_000), (16_000, 16_000)],
+            dtype=[("audio_duration_f", "i8"), ("annotated_duration_f", "i8")],
+        ),
+        indexes=[None, None],
+    )
+    cache = DeviceAudioCache.build(subset, tmp_path, 16_000)
+    assert cache.host_flat.dtype == np.float32
+    np.testing.assert_array_equal(
+        cache.host_flat[:16_000], pcm.astype(np.float32) / 32768.0
+    )
+    # stereo file downmixed to mono mean
+    np.testing.assert_allclose(
+        cache.host_flat[16_000 + 5], (100 + 300) / 2 / 32768.0, rtol=1e-6
+    )
+
+
 def test_sampler_offsets_mode(loaded_ds, synthetic_dataset):
     """Device-mode sampler draws the SAME (file, start) sequence as host
     mode and emits (base + start) offsets."""
