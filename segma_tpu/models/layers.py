@@ -68,18 +68,35 @@ class BiLSTM(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, keep: int | None = None
+    ) -> jnp.ndarray:
+        """``keep``: when the caller will only consume ``out[:, :keep]``
+        (the surgical models truncate AFTER the LSTM — reference
+        ``surgical_hydra.py:103-106`` runs the LSTM over whisper's full
+        padded 1500 frames and slices to 199), the LAST layer's forward
+        direction runs on ``x[:, :keep]`` only and the backward direction's
+        output is sliced. Bit-identical to running full-length then
+        slicing: a forward-scan state at t < keep never depends on inputs
+        at t >= keep, while the backward direction still scans the whole
+        tail (its kept outputs DO depend on it). Earlier layers must stay
+        full-length — the next layer's backward direction consumes their
+        outputs beyond ``keep``. Returns length ``keep`` when given.
+        """
         # Cells are constructed in this scope, so their parameters bind as
         # OptimizedLSTMCell_{k} with k following construction order:
         # layer0-fwd, layer0-bwd, layer1-fwd, ... The reference-checkpoint
         # importer (convert_reference._convert_lstm) relies on this order.
         unroll = max(1, getattr(self.cfg, "unroll", 1))
         for layer in range(self.cfg.num_layers):
+            last_layer = layer == self.cfg.num_layers - 1
+            k = keep if (keep is not None and last_layer) else None
             fwd = nn.RNN(
                 nn.OptimizedLSTMCell(self.cfg.hidden_size, dtype=self.dtype),
                 name=f"lstm_fwd_{layer}",
                 unroll=unroll,
             )
+            fwd_in = x[:, :k, :] if k is not None else x
             if self.cfg.bidirectional:
                 bwd = nn.RNN(
                     nn.OptimizedLSTMCell(self.cfg.hidden_size, dtype=self.dtype),
@@ -88,9 +105,12 @@ class BiLSTM(nn.Module):
                     keep_order=True,
                     unroll=unroll,
                 )
-                x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+                bwd_out = bwd(x)
+                if k is not None:
+                    bwd_out = bwd_out[:, :k, :]
+                x = jnp.concatenate([fwd(fwd_in), bwd_out], axis=-1)
             else:
-                x = fwd(x)
+                x = fwd(fwd_in)
             if train and self.cfg.dropout > 0 and layer < self.cfg.num_layers - 1:
                 x = nn.Dropout(self.cfg.dropout, deterministic=False)(x)
         return x

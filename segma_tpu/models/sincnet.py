@@ -129,8 +129,11 @@ class SincNetModule(nn.Module):
         )
         x = nn.LayerNorm(dtype=self.dtype)(x)
         if self.lstm is not None:
+            # only the first n_windows rows survive the final slice and the
+            # heads are positionwise, so the last LSTM layer's forward
+            # direction can skip the tail (bit-identical; see BiLSTM.keep)
             x = BiLSTM(self.lstm, dtype=self.dtype, name="lstm_shared")(
-                x, train=train
+                x, train=train, keep=self.n_windows
             )
         logits = HydraHeads(self.n_labels, name="heads")(x)
         return logits[:, : self.n_windows, :].astype(jnp.float32)

@@ -118,8 +118,14 @@ class WhisperSegModule(nn.Module):
 
         if mixer == "lstm":
             assert self.lstm is not None
+            # after_lstm variants only consume the first n_windows rows, so
+            # the LAST layer's forward direction skips the padded tail —
+            # bit-identical outputs (see BiLSTM.keep), ~1/4 less LSTM work
+            # at whisper's padded 1500 frames
             x = BiLSTM(self.lstm, dtype=self.dtype, name="lstm_shared")(
-                x, train=train
+                x,
+                train=train,
+                keep=self.n_windows if trunc == "after_lstm" else None,
             )
 
         if trunc == "after_lstm":

@@ -39,6 +39,46 @@ def test_bilstm_unroll_matches_unroll1(unroll: int) -> None:
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_bilstm_keep_matches_full_then_slice() -> None:
+    """keep=K must be BIT-identical to running the full length and slicing
+    to [:, :K] — the forward scan's state at t < K never sees t >= K, the
+    backward direction still consumes the whole tail, and intermediate
+    layers stay full-length for the next layer's backward direction."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 37, 24))
+    model = BiLSTM(_cfg(1))
+    params = model.init(jax.random.PRNGKey(4), x)
+
+    full = model.apply(params, x)[:, :11, :]
+    kept = model.apply(params, x, keep=11)
+    np.testing.assert_array_equal(np.asarray(kept), np.asarray(full))
+
+    # keep >= T degenerates to the full run
+    same = model.apply(params, x, keep=37)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(model.apply(params, x)))
+
+    # train mode with inter-layer dropout: the mask is drawn on the
+    # full-length tensor in BOTH variants, so exactness holds there too
+    cfg_d = LSTMConfig(
+        hidden_size=32, num_layers=2, bidirectional=True, dropout=0.5
+    )
+    model_d = BiLSTM(cfg_d)
+    params_d = model_d.init(jax.random.PRNGKey(5), x)
+    rng = {"dropout": jax.random.PRNGKey(6)}
+    full_d = model_d.apply(params_d, x, train=True, rngs=rng)[:, :11, :]
+    kept_d = model_d.apply(params_d, x, train=True, keep=11, rngs=rng)
+    np.testing.assert_array_equal(np.asarray(kept_d), np.asarray(full_d))
+
+    # unidirectional variant
+    cfg_u = LSTMConfig(
+        hidden_size=16, num_layers=2, bidirectional=False, dropout=0.0
+    )
+    model_u = BiLSTM(cfg_u)
+    params_u = model_u.init(jax.random.PRNGKey(7), x)
+    full_u = model_u.apply(params_u, x)[:, :11, :]
+    kept_u = model_u.apply(params_u, x, keep=11)
+    np.testing.assert_array_equal(np.asarray(kept_u), np.asarray(full_u))
+
+
 def test_bilstm_unroll_param_tree_unchanged(unroll: int = 8) -> None:
     """Unroll must not change parameter names/shapes — the reference
     checkpoint importer relies on the OptimizedLSTMCell_{k} layout."""
