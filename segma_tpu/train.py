@@ -518,6 +518,7 @@ class Trainer:
         ``lax.scan``. Same values, same order as the step loop — only the
         dispatch granularity changes."""
         tc = self.config.train
+        self._epoch_completed = False
         if self._preempt_requested:  # signal arrived between epochs
             return params, opt_state, float("nan"), key
         offs, ys = [], []
@@ -577,6 +578,10 @@ class Trainer:
                 self.logger.log(step_metrics)
         # same program as the step loop's jnp.mean(jnp.stack(losses))
         mean_loss = float(jnp.mean(losses)) if n_steps else float("nan")
+        # the scan always runs the WHOLE epoch (a signal inside the single
+        # dispatch can't interrupt it) — the preempt branch may checkpoint
+        # this epoch as a completed boundary
+        self._epoch_completed = True
         return params, opt_state, mean_loss, key
 
     def _train_epoch(
@@ -584,6 +589,7 @@ class Trainer:
     ) -> tuple:
         if self.epoch_fn is not None:
             return self._train_epoch_scan(params, opt_state, loader, key)
+        self._epoch_completed = False
         losses = []
         tc = self.config.train
         every = tc.log_every_n_steps
@@ -621,6 +627,11 @@ class Trainer:
                 self.logger.log(step_metrics)
             if self._preempt_requested:
                 break
+        else:
+            # every step ran (no preemption break): a completed boundary
+            # the preempt branch may checkpoint even if the signal landed
+            # during the final step
+            self._epoch_completed = True
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         return params, opt_state, mean_loss, key
 
@@ -1026,19 +1037,36 @@ class Trainer:
                     signum = getattr(self, "_preempt_signum", None)
                     if signum is not None:
                         self.logger.log({"preempt_signal": signum})
-                    # Trajectory-exact preemption: mid-epoch params are NOT
-                    # persisted — replaying the interrupted epoch on top of
+                    # Trajectory-exact preemption: resume must continue from
+                    # an EPOCH BOUNDARY — replaying an epoch on top of
                     # partially-advanced params double-applies its first
                     # steps and diverges from the uninterrupted run (caught
-                    # live by the r4 exact-resume chaos soak). last/ already
-                    # holds the end-of-previous-epoch state (refreshed after
-                    # EVERY completed epoch), so resume redoes this epoch
-                    # from that boundary bit-exactly; if no epoch completed
-                    # yet, the exact redo is a fresh start.
+                    # live by the r4 exact-resume chaos soak). Two cases:
+                    if self._epoch_completed:
+                        # the epoch ran to completion before the flag check
+                        # (always true under dispatch=epoch — a signal can't
+                        # interrupt the single scan dispatch): checkpoint it
+                        # as the boundary, losing nothing. Validation is
+                        # skipped, matching the non-val refresh_last path.
+                        trainable, _ = self.model.split_params(params)
+                        self.ckpt.refresh_last(
+                            epoch,
+                            trainable,
+                            meta=self._ckpt_meta(),
+                            opt_state=opt_state,
+                            train_state=train_state_snapshot(),
+                        )
+                    # else: mid-epoch stop — params are NOT persisted; last/
+                    # already holds the end-of-previous-epoch state
+                    # (refreshed after every completed epoch), so resume
+                    # redoes this epoch from that boundary bit-exactly; if
+                    # no epoch completed yet, the exact redo is a fresh
+                    # start.
                     last = self.ckpt.last_path
                     self.logger.log(
                         {
                             "preempted_at_epoch": epoch,
+                            "epoch_completed": self._epoch_completed,
                             "resume_from": str(last)
                             if (last / "params.msgpack").exists()
                             else "fresh",

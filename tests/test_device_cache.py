@@ -302,6 +302,53 @@ def test_epoch_dispatch_trajectory_parity(synthetic_dataset, tmp_path):
         )
 
 
+def test_epoch_dispatch_preempt_saves_completed_epoch(
+    synthetic_dataset, tmp_path
+):
+    """Under dispatch=epoch a SIGTERM can't interrupt the single scan
+    dispatch — the epoch always completes. The preempt branch must then
+    checkpoint it as a boundary (losing nothing; resume continues at the
+    NEXT epoch) instead of discarding a finished epoch."""
+    import signal
+
+    from segma_tpu.checkpoint import load_meta
+
+    cfg = _cfg(
+        synthetic_dataset,
+        **{"train.data_cache": "device", "train.dispatch": "epoch"},
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+    trainer = Trainer(model=model, config=cfg, run_dir=tmp_path / "run")
+
+    # deliver the signal "during" epoch 0's scan: the flag is only read
+    # after _train_epoch returns, so setting it right after the scan body
+    # is indistinguishable from a signal landing mid-dispatch
+    orig_scan = trainer._train_epoch_scan
+
+    def scan_with_signal(params, opt_state, loader, key):
+        out = orig_scan(params, opt_state, loader, key)
+        trainer._handle_preempt_signal(signal.SIGTERM, None)
+        return out
+
+    trainer._train_epoch_scan = scan_with_signal
+    result = trainer.fit(dm)
+    assert result["interrupted"] is True
+    last = tmp_path / "run" / "checkpoints" / "last"
+    assert (last / "params.msgpack").exists()
+    # epoch 0 completed and was saved as the boundary -> resume at epoch 1
+    assert load_meta(last)["epoch"] == 0
+
+    model2 = Models["conv_vad"](enc, cfg)
+    dm2 = SegmentationDataLoader(ds, enc, cfg, model2.conv_settings)
+    t2 = Trainer(model=model2, config=cfg, run_dir=tmp_path / "run2")
+    r2 = t2.fit(dm2, resume_from=last)
+    assert r2["history"][0]["epoch"] == 1
+
+
 def test_epoch_dispatch_cosine_and_step_logs(synthetic_dataset, tmp_path):
     """Cosine LR (set per step INSIDE the scan) and the per-step loss logs
     must match step dispatch: identical step grid, ulp-level loss parity."""
