@@ -12,6 +12,11 @@ This script reports both ingredients:
   by ``i * 1e-6`` to defeat CSE), so the ~80 ms relay dispatch latency of
   this environment amortizes to noise and ``jax.block_until_ready``'s
   unreliability through the relay is bypassed by forcing a scalar output.
+  A NULL BASELINE (an identity fn through the same harness) is subtracted:
+  the chained wall still carries dispatch/chain + the per-iteration
+  perturb-add and output-mean (~1.5 ms at chain 16 in a fast window —
+  3.5x conv_vad's actual 0.6 ms forward). ``*_raw`` fields keep the
+  uncorrected values.
 
 MFU = achieved FLOP/s / peak. Peak defaults to TPU v5e bf16 (197 TFLOP/s
 per chip); override with ``--peak-tflops`` for other chips.
@@ -144,16 +149,244 @@ def analyze_one(
         float(run(params, x))  # the float() forces real execution (CLAUDE.md)
         walls.append(time.perf_counter() - t0)
     best = min(walls)
-    ms_fwd = best / chain * 1e3
-    tflops = flops_fwd * chain / best / 1e12
+    # Null-baseline: the chained wall includes a floor that is NOT the
+    # model — the dispatch round-trip amortized over `chain` plus the
+    # per-iteration perturb-add and output-mean (~1.5 ms at chain 16 in a
+    # fast window; measured 3.5x of conv_vad's actual forward). An
+    # identity fn through the SAME harness measures exactly that floor;
+    # subtract it. Raw (uncorrected) values stay in the row.
+    null_ms = _time_chained(lambda p, xx: xx, params, x, chain, rounds)
+    ms_raw = best / chain * 1e3
+    ms_fwd = max(0.0, ms_raw - null_ms)
+    tflops = flops_fwd / (ms_fwd / 1e3) / 1e12 if ms_fwd else 0.0
     out.update(
-        device_ms_per_forward=round(ms_fwd, 2),
+        device_ms_per_forward=round(ms_fwd, 3),
+        device_ms_per_forward_raw=round(ms_raw, 3),
+        harness_floor_ms=round(null_ms, 3),
         achieved_tflops=round(tflops, 2),
-        xrt_device_only=round(out["audio_s_per_forward"] / (ms_fwd / 1e3), 0),
+        xrt_device_only=round(out["audio_s_per_forward"] / (ms_fwd / 1e3), 0)
+        if ms_fwd
+        else None,
         walls_s=[round(w, 3) for w in walls],
         chain=chain,
     )
     return out
+
+
+def _mean_all(out: Any) -> Any:
+    import jax
+    import jax.numpy as jnp
+
+    return sum(
+        jnp.asarray(v).astype(jnp.float32).mean() for v in jax.tree.leaves(out)
+    )
+
+
+def _time_chained(
+    fn: Any, params: Any, x: Any, chain: int, rounds: int
+) -> float:
+    """Best-of-``rounds`` device ms for ONE application of ``fn(params, x)``,
+    measured as ``chain`` applications inside a single dispatch (same
+    loop-variant-input trick as ``analyze_one`` — the scan body perturbs the
+    input by ``i * 1e-6`` so XLA cannot hoist the computation out of the
+    loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(p: Any, xx: jnp.ndarray) -> jnp.ndarray:
+        def body(carry: jnp.ndarray, i: jnp.ndarray) -> tuple[jnp.ndarray, None]:
+            out = fn(p, xx + (i.astype(jnp.float32) * 1e-6).astype(xx.dtype))
+            return carry + _mean_all(out), None
+
+        tot, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(chain))
+        return tot
+
+    run = jax.jit(chained)
+    float(run(params, x))  # compile + warm
+    walls = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        float(run(params, x))  # float() forces execution through the relay
+        walls.append(time.perf_counter() - t0)
+    return min(walls) / chain * 1e3
+
+
+def segment_plan(
+    name: str, model: Any, wav: Any
+) -> list[tuple[str, Any, Any]]:
+    """Ordered ``(segment, fn(params, x), input)`` triples whose composition
+    is the model forward — each is timed separately by ``--segments``.
+    Inputs are computed once (un-timed) by chaining the stages; ``params`` is
+    the model's full top-level tree so closures stay weight-free."""
+    import jax
+    import jax.numpy as jnp
+
+    if name not in CONFIGS:
+        raise ValueError(f"no segment plan for {name!r}")
+    module = model.module
+    dtype = module.dtype
+    plan: list[tuple[str, Any, Any]] = []
+
+    if name == "conv_vad":
+        from segma_tpu.ops.melspec import log_mel_spectrogram
+
+        # the module is one fused compact body; time the mel frontend alone
+        # and let the report's "other" row carry the conv stack + heads
+        plan.append(("log_mel", lambda p, w: log_mel_spectrogram(w), wav))
+        return plan
+
+    if name in ("whisper_padded", "whisper_fast"):
+        from segma_tpu.models.layers import BiLSTM, HydraHeads, LayerWeightedSum
+        from segma_tpu.models.whisper.encoder import WhisperEncoder
+        from segma_tpu.ops.melspec import (
+            log_mel_spectrogram,
+            whisper_input_features,
+        )
+
+        if module.fast_context:
+
+            def mel_fn(p: Any, w: jnp.ndarray) -> jnp.ndarray:
+                return jnp.swapaxes(log_mel_spectrogram(w), 1, 2)
+
+        else:
+
+            def mel_fn(p: Any, w: jnp.ndarray) -> jnp.ndarray:
+                return whisper_input_features(w)
+
+        enc = WhisperEncoder(module.enc_cfg, dtype)
+
+        def enc_fn(p: Any, feats: jnp.ndarray) -> Any:
+            return enc.apply({"params": p["encoder"]}, feats, output_hidden_states=True)
+
+        feats = jax.jit(mel_fn)(model.params, wav)
+        _, hidden = jax.jit(enc_fn)(model.params, feats)
+        n_layers = module.enc_cfg.n_layers
+        mix = LayerWeightedSum(n_layers=n_layers, reduction=module.reduction)
+        stacked = jnp.stack(hidden[1:], axis=0)
+
+        def mix_fn(p: Any, s: jnp.ndarray) -> jnp.ndarray:
+            return mix.apply({"params": p["layer_mix"]}, s)
+
+        x = jax.jit(mix_fn)(model.params, stacked)
+        lstm = BiLSTM(module.lstm, dtype=dtype)
+        keep = module.n_windows
+
+        def lstm_fn(p: Any, xx: jnp.ndarray) -> jnp.ndarray:
+            return lstm.apply({"params": p["lstm_shared"]}, xx, keep=keep)
+
+        lstm_out = jax.jit(lstm_fn)(model.params, x)
+        heads = HydraHeads(module.n_labels)
+
+        def head_fn(p: Any, h: jnp.ndarray) -> jnp.ndarray:
+            return heads.apply({"params": p["heads"]}, h)
+
+        plan.append(("mel_frontend", mel_fn, wav))
+        plan.append(("encoder", enc_fn, feats))
+        plan.append(("layer_mix", mix_fn, stacked))
+        plan.append(("bilstm", lstm_fn, x))
+        plan.append(("heads", head_fn, lstm_out))
+        return plan
+
+    if name in ("hubert", "wavlm"):
+        from segma_tpu.models.hubert.encoder import FeatureExtractor
+        from segma_tpu.models.layers import HydraHeads, LayerWeightedSum
+
+        fe = FeatureExtractor(module.enc_cfg, dtype)
+
+        def fe_fn(p: Any, w: jnp.ndarray) -> jnp.ndarray:
+            return fe.apply({"params": p["feature_extractor"]}, w)
+
+        if name == "hubert":
+            from segma_tpu.models.hubert.encoder import HubertTransformer
+
+            tr = HubertTransformer(module.enc_cfg, dtype)
+        else:
+            from segma_tpu.models.wavlm.encoder import WavLMTransformer
+
+            tr = WavLMTransformer(module.enc_cfg, dtype)
+
+        def tr_fn(p: Any, feats: jnp.ndarray) -> Any:
+            return tr.apply({"params": p["encoder"]}, feats, output_hidden_states=True)
+
+        feats = jax.jit(fe_fn)(model.params, wav)
+        _, hidden = jax.jit(tr_fn)(model.params, feats)
+        stacked = jnp.stack(hidden[1:], axis=0)
+        mix = LayerWeightedSum(
+            n_layers=module.enc_cfg.n_layers, reduction=module.reduction
+        )
+        heads = HydraHeads(module.n_labels)
+
+        def head_fn(p: Any, s: jnp.ndarray) -> jnp.ndarray:
+            return heads.apply(
+                {"params": p["heads"]}, mix.apply({"params": p["layer_mix"]}, s)
+            )
+
+        plan.append(("conv_frontend", fe_fn, wav))
+        plan.append(("transformer", tr_fn, feats))
+        plan.append(("layer_mix+heads", head_fn, stacked))
+        return plan
+
+    raise ValueError(f"no segment plan for {name!r}")
+
+
+def analyze_segments_one(
+    name: str,
+    batch_size: int,
+    chain: int,
+    rounds: int,
+    extra: list[str] | None = None,
+) -> dict[str, Any]:
+    """Per-stage device timing (``--segments``): where does the forward's
+    time actually go? Each stage is timed with the same chained-scan harness
+    as the full forward; "other_ms" is full minus the stages (fusion
+    boundaries, casts, slicing)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    model = build_model(name, extra)
+    chunk_f = model.config.audio.chunk_duration_f
+    rng = np.random.default_rng(0)
+    wav = jax.device_put(
+        (rng.standard_normal((batch_size, chunk_f)) * 0.1).astype(np.float32)
+    )
+    params = jax.device_put(model.params)
+
+    def full_fn(p: Any, w: jnp.ndarray) -> jnp.ndarray:
+        return model.apply(p, w, train=False)
+
+    def identity(p: Any, x: Any) -> Any:
+        return x
+
+    # Every chained measurement carries a floor that is NOT the stage's
+    # compute: the dispatch round-trip amortized over `chain` iterations
+    # plus the harness's per-iteration perturb-add and output-mean. Small
+    # stages (a 0.1 ms head) would otherwise read as ~the floor (~1.4 ms in
+    # a fast window). Time an IDENTITY fn on the same input per stage and
+    # subtract — raw values are kept alongside.
+    full_raw = _time_chained(full_fn, params, wav, chain, rounds)
+    full_null = _time_chained(identity, params, wav, chain, rounds)
+    full_ms = max(0.0, full_raw - full_null)
+    raw: dict[str, float] = {}
+    segs: dict[str, float] = {}
+    for seg_name, fn, x in segment_plan(name, model, wav):
+        t = _time_chained(fn, params, x, chain, rounds)
+        null = _time_chained(identity, params, x, chain, rounds)
+        raw[seg_name] = round(t, 3)
+        segs[seg_name] = round(max(0.0, t - null), 3)
+    other = full_ms - sum(segs.values())
+    return {
+        "model": name,
+        "mode": "segments",
+        "batch": batch_size,
+        "chain": chain,
+        "full_ms": round(full_ms, 3),
+        "full_raw_ms": round(full_raw, 3),
+        "segments_ms": segs,
+        "segments_raw_ms": raw,
+        "other_ms": round(other, 3),
+        "backend": jax.devices()[0].platform,
+    }
 
 
 def analyze_train_one(
@@ -243,7 +476,28 @@ def analyze_train_one(
         # alone under-reports through the relay)
         return sum(jnp.asarray(v).mean() for v in jax.tree.leaves(params))
 
+    # Null-baseline (see analyze_one): same scan shape — per-iteration
+    # input perturb + key split, params read once at the end — with the
+    # train step itself removed; measures the dispatch round-trip / chain
+    # plus the harness's per-iteration work, which is NOT the step's cost.
+    def null_chained(
+        p: Any, o: Any, x: jnp.ndarray, y: jnp.ndarray
+    ) -> jnp.ndarray:
+        def body(
+            carry: tuple[jnp.ndarray, Any], i: jnp.ndarray
+        ) -> tuple[tuple[jnp.ndarray, Any], None]:
+            acc, key = carry
+            key, _ = jax.random.split(key)
+            acc = acc + (x + i.astype(jnp.float32) * 1e-6).mean()
+            return (acc, key), None
+
+        (acc, _), _ = jax.lax.scan(
+            body, (jnp.float32(0), jax.random.key(0)), jnp.arange(chain)
+        )
+        return acc + sum(jnp.asarray(v).mean() for v in jax.tree.leaves(p))
+
     run = jax.jit(chained)
+    null_run = jax.jit(null_chained)
     rng = np.random.default_rng(0)
     x = jax.device_put(
         (rng.standard_normal((batch_size, chunk_f)) * 0.1).astype(np.float32)
@@ -254,18 +508,29 @@ def analyze_train_one(
     params = jax.device_put(model.params)
     opt = jax.jit(optimizer.init)(params)
     float(run(params, opt, x, y))  # compile + warm
+    float(null_run(params, opt, x, y))
     walls = []
+    nulls = []
     for _ in range(rounds):
         t0 = time.perf_counter()
         float(run(params, opt, x, y))
         walls.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(null_run(params, opt, x, y))
+        nulls.append(time.perf_counter() - t0)
     best = min(walls)
-    ms_step = best / chain * 1e3
-    tflops = flops_step * chain / best / 1e12
+    null_ms = min(nulls) / chain * 1e3
+    ms_raw = best / chain * 1e3
+    ms_step = max(0.0, ms_raw - null_ms)
+    tflops = flops_step / (ms_step / 1e3) / 1e12 if ms_step else 0.0
     out.update(
-        device_ms_per_step=round(ms_step, 2),
+        device_ms_per_step=round(ms_step, 3),
+        device_ms_per_step_raw=round(ms_raw, 3),
+        harness_floor_ms=round(null_ms, 3),
         achieved_tflops=round(tflops, 2),
-        xrt_device_only=round(out["audio_s_per_step"] / (ms_step / 1e3), 0),
+        xrt_device_only=round(out["audio_s_per_step"] / (ms_step / 1e3), 0)
+        if ms_step
+        else None,
         walls_s=[round(w, 3) for w in walls],
         chain=chain,
     )
@@ -288,6 +553,12 @@ def main() -> int:
         "inference forward",
     )
     parser.add_argument(
+        "--segments",
+        action="store_true",
+        help="per-stage device timing (frontend / transformer / lstm / "
+        "heads) instead of the whole-forward MFU — implies --measure",
+    )
+    parser.add_argument(
         "--extra",
         nargs="*",
         default=[],
@@ -298,7 +569,7 @@ def main() -> int:
     parser.add_argument("--json", type=Path, default=None)
     args = parser.parse_args()
 
-    if not args.measure:
+    if not args.measure and not args.segments:
         # FLOPs analysis needs no accelerator; force the local CPU so this
         # mode never touches (or waits on) the TPU tunnel
         import jax
@@ -307,6 +578,19 @@ def main() -> int:
     enable_compilation_cache()
 
     rows = []
+    if args.segments:
+        for name in args.models:
+            row = analyze_segments_one(
+                name, args.batch_size, args.chain, args.rounds, extra=args.extra
+            )
+            if args.extra:
+                row["extra"] = args.extra
+            print(json.dumps(row), flush=True)
+            rows.append(row)
+        if args.json:
+            args.json.write_text(json.dumps(rows, indent=1))
+        return 0
+
     analyze = analyze_train_one if args.train else analyze_one
     for name in args.models:
         row = analyze(
