@@ -289,7 +289,14 @@ class TrainConfig(BaseConfig):
     # (tests/test_device_cache.py); single-controller only (multi-host
     # controllers hold disjoint file shards). Biggest win when the
     # host->device link is slow or leaky (CLAUDE.md relay retention).
+    # "auto" picks per subset from header probes alone: "device" when the
+    # projected buffer fits device_cache_budget_gb AND the run is
+    # single-controller, else "host" (the decision is logged).
     data_cache: str = "host"
+    # data_cache=auto HBM budget for ONE subset's audio buffer, leaving
+    # the rest of the chip for params/optimizer/activations (v5e: 16 GB).
+    # Explicit data_cache=device ignores this (you asked, it uploads).
+    device_cache_budget_gb: float = 12.0
     # "step" dispatches one jitted call per batch; "epoch" (requires
     # data_cache=device) runs the WHOLE epoch as one lax.scan dispatch —
     # every batch's (offsets, labels) upload in one transfer and zero

@@ -56,19 +56,22 @@ class DeviceAudioCache:
         self.buf: Any = None  # jax.Array after place()
 
     @classmethod
-    def build(
+    def plan(
         cls, subset: DatasetSubset, dataset_path: str | Path, chunk_f: int
-    ) -> "DeviceAudioCache":
+    ) -> tuple[bool, list[Path], list[int], list[int], int]:
+        """Pass 1 — header probes only, nothing decoded: buffer dtype +
+        per-file slot layout + total samples. ``train.data_cache=auto``
+        uses ``plan_nbytes`` (this pass alone) to decide device vs host
+        BEFORE allocating anything."""
         wav_dir = Path(dataset_path) / "wav"
         paths = [(wav_dir / uri).with_suffix(".wav") for uri in subset.uris]
 
-        # Pass 1 — header probes only. The buffer dtype is decided before
-        # anything is decoded, and every slot is sized from the SAME
-        # metadata duration the sampler draws crop starts from
-        # (``loaders.py sample()``), NOT from the decoded sample count: a
-        # truncated/corrupt file (fewer samples on disk than the metadata
-        # claims) must read trailing zeros — exactly the host path's
-        # zero-pad — never the next file's audio.
+        # The buffer dtype is decided before anything is decoded, and every
+        # slot is sized from the SAME metadata duration the sampler draws
+        # crop starts from (``loaders.py sample()``), NOT from the decoded
+        # sample count: a truncated/corrupt file (fewer samples on disk
+        # than the metadata claims) must read trailing zeros — exactly the
+        # host path's zero-pad — never the next file's audio.
         any_f32 = not all(probe_pcm16_mono(p) for p in paths)
         bases: list[int] = []
         slots: list[int] = []
@@ -78,6 +81,23 @@ class DeviceAudioCache:
             slot = max(int(dur), chunk_f)  # short files: zero-padded slot
             slots.append(slot)
             pos += slot
+        return any_f32, paths, bases, slots, pos
+
+    @classmethod
+    def plan_nbytes(
+        cls, subset: DatasetSubset, dataset_path: str | Path, chunk_f: int
+    ) -> int:
+        """Projected buffer bytes from header probes alone (no decode)."""
+        any_f32, _, _, _, pos = cls.plan(subset, dataset_path, chunk_f)
+        return pos * (4 if any_f32 else 2)
+
+    @classmethod
+    def build(
+        cls, subset: DatasetSubset, dataset_path: str | Path, chunk_f: int
+    ) -> "DeviceAudioCache":
+        any_f32, paths, bases, slots, pos = cls.plan(
+            subset, dataset_path, chunk_f
+        )
         if pos >= 2**31:
             raise ValueError(
                 f"device cache would hold {pos} samples (>= 2^31): offsets "

@@ -407,13 +407,46 @@ class SegmentationDataLoader:
             batch_size = batch_size // n_procs
 
         data_cache = self.config.train.data_cache
-        if data_cache not in ("host", "device"):
+        if data_cache not in ("host", "device", "auto"):
             raise DataLoaderError(
-                f"train.data_cache must be 'host' or 'device', "
+                f"train.data_cache must be 'host', 'device' or 'auto', "
                 f"got {data_cache!r}"
             )
+        decision = data_cache
+        if data_cache == "auto":
+            # resolve from header probes alone (plan_nbytes decodes
+            # nothing): device when the projected buffer fits the budget
+            # and the run is single-controller, host otherwise
+            from segma_tpu.data.device_cache import DeviceAudioCache
+
+            budget = int(self.config.train.device_cache_budget_gb * 1e9)
+            if n_procs > 1:
+                decision = "host"
+                reason = "multi-host controllers hold disjoint file shards"
+            else:
+                planned = DeviceAudioCache.plan_nbytes(
+                    subset,
+                    self.config.data.dataset_path,
+                    self.config.audio.chunk_duration_f,
+                )
+                if planned <= budget:
+                    decision = "device"
+                    reason = (
+                        f"{planned / 1e6:.1f} MB fits the "
+                        f"{budget / 1e9:.1f} GB budget"
+                    )
+                else:
+                    decision = "host"
+                    reason = (
+                        f"{planned / 1e9:.2f} GB exceeds "
+                        f"train.device_cache_budget_gb="
+                        f"{self.config.train.device_cache_budget_gb}"
+                    )
+            decision_note = f"auto -> {decision} ({reason})"
+        else:
+            decision_note = None
         device_cache = None
-        if data_cache == "device":
+        if decision == "device":
             if n_procs > 1:
                 raise DataLoaderError(
                     "train.data_cache=device needs a single controller "
@@ -456,6 +489,8 @@ class SegmentationDataLoader:
         # the Trainer places this on the device/mesh and builds its jitted
         # steps' gathers from it (train.py wires it up in fit())
         loader.device_cache = device_cache
+        # data_cache=auto: how this subset resolved (Trainer logs it)
+        loader.data_cache_decision = decision_note
         return loader
 
     def train_dataloader(self) -> PrefetchingLoader:

@@ -455,10 +455,13 @@ class Trainer:
             raise ValueError(
                 f"train.dispatch must be 'step' or 'epoch', got {tc.dispatch!r}"
             )
-        if tc.dispatch == "epoch" and tc.data_cache != "device":
+        if tc.dispatch == "epoch" and tc.data_cache == "host":
+            # "auto" passes here; if it resolves to host at fit() time
+            # (budget exceeded / multi-host) the loader-side check there
+            # rejects it with the resolution in the message
             raise ValueError(
                 "train.dispatch=epoch scans over HBM-resident crops — it "
-                "requires train.data_cache=device"
+                "requires train.data_cache=device (or auto within budget)"
             )
         self.ckpt = CheckpointManager(
             self.run_dir / "checkpoints",
@@ -936,14 +939,20 @@ class Trainer:
         # (offsets, labels) cross the host->device link from here on
         t_cache = getattr(train_loader, "device_cache", None)
         v_cache = getattr(val_loader, "device_cache", None)
+        for which, ldr in (("train", train_loader), ("val", val_loader)):
+            note = getattr(ldr, "data_cache_decision", None)
+            if note:  # data_cache=auto: record how each subset resolved
+                self.logger.log({f"data_cache_{which}": note})
         if tc.dispatch == "epoch" and t_cache is None:
             # fail loudly: silently falling back to per-step dispatch would
             # ignore the requested mode (and its one-round-trip-per-epoch
             # saving) with nothing in the logs
+            resolved = getattr(train_loader, "data_cache_decision", None)
             raise ValueError(
                 "train.dispatch=epoch requires the train loader to carry a "
                 "device_cache (train.data_cache=device through "
                 "SegmentationDataLoader); this loader has none"
+                + (f" — data_cache resolved {resolved}" if resolved else "")
             )
         if t_cache is not None:
             t_cache.place(self.mesh)

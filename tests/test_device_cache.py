@@ -508,3 +508,101 @@ def test_host_hook_incompatible(loaded_ds, synthetic_dataset):
             host_hook=lambda x: x,
             device_bases=cache.bases,
         )
+
+
+# -- train.data_cache=auto: budget-resolved device/host pick ------------------
+
+
+def test_plan_nbytes_matches_build(loaded_ds, synthetic_dataset):
+    chunk_f = 16_000
+    planned = DeviceAudioCache.plan_nbytes(
+        loaded_ds.train, synthetic_dataset, chunk_f
+    )
+    built = DeviceAudioCache.build(loaded_ds.train, synthetic_dataset, chunk_f)
+    assert planned == built.nbytes
+
+
+def _dm(cfg):
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    return SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+
+
+def test_auto_within_budget_resolves_device(synthetic_dataset):
+    cfg = _cfg(synthetic_dataset, **{"train.data_cache": "auto"})
+    loader = _dm(cfg).train_dataloader()
+    assert loader.device_cache is not None
+    assert "auto -> device" in loader.data_cache_decision
+
+
+def test_auto_over_budget_falls_back_to_host(synthetic_dataset):
+    cfg = _cfg(
+        synthetic_dataset,
+        **{
+            "train.data_cache": "auto",
+            # fixture audio is a few hundred KB; 1e-6 GB = 1 KB budget
+            "train.device_cache_budget_gb": "0.000001",
+        },
+    )
+    loader = _dm(cfg).train_dataloader()
+    assert loader.device_cache is None
+    assert "auto -> host" in loader.data_cache_decision
+    assert "device_cache_budget_gb" in loader.data_cache_decision
+
+
+def test_auto_multihost_falls_back_to_host(synthetic_dataset, monkeypatch):
+    cfg = _cfg(synthetic_dataset, **{"train.data_cache": "auto"})
+    dm = _dm(cfg)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    loader = dm.train_dataloader()  # no error, unlike explicit "device"
+    assert loader.device_cache is None
+    assert "auto -> host" in loader.data_cache_decision
+
+
+def test_epoch_dispatch_auto_over_budget_errors_with_resolution(
+    synthetic_dataset, tmp_path
+):
+    # dispatch=epoch passes the Trainer's init check under "auto", but an
+    # over-budget resolution to host must fail loudly at fit() with the
+    # resolution in the message — never silently degrade to step dispatch
+    cfg = _cfg(
+        synthetic_dataset,
+        **{
+            "train.data_cache": "auto",
+            "train.device_cache_budget_gb": "0.000001",
+            "train.dispatch": "epoch",
+            "train.max_epochs": "1",
+        },
+    )
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+    trainer = Trainer(model=model, config=cfg, run_dir=tmp_path / "auto_ep")
+    with pytest.raises(ValueError, match="auto -> host"):
+        trainer.fit(dm)
+
+
+def test_auto_trajectory_identical_to_explicit_device(
+    synthetic_dataset, tmp_path
+):
+    # auto-within-budget must be the SAME path as explicit device — pin it
+    # with the loss trajectory
+    losses_dev = _fit(
+        _cfg(synthetic_dataset, **{"train.data_cache": "device"}),
+        tmp_path,
+        "expl",
+    )
+    losses_auto = _fit(
+        _cfg(synthetic_dataset, **{"train.data_cache": "auto"}),
+        tmp_path,
+        "auto",
+    )
+    assert len(losses_dev) == len(losses_auto) == 2
+    for d, a in zip(losses_dev, losses_auto):
+        assert d["train/loss"] == a["train/loss"]
+        assert d["val/loss"] == a["val/loss"]
+        assert d["val/f1_score"] == a["val/f1_score"]
