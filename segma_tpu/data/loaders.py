@@ -423,6 +423,11 @@ class SegmentationDataLoader:
             if n_procs > 1:
                 decision = "host"
                 reason = "multi-host controllers hold disjoint file shards"
+            elif self.host_hook is not None:
+                # host-side audio hooks run on the host by definition;
+                # auto must resolve (never error like explicit "device")
+                decision = "host"
+                reason = "host_hook requires host-side waveforms"
             else:
                 planned = DeviceAudioCache.plan_nbytes(
                     subset,

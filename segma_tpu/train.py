@@ -594,6 +594,7 @@ class Trainer:
             return self._train_epoch_scan(params, opt_state, loader, key)
         self._epoch_completed = False
         losses = []
+        n_seen = 0
         tc = self.config.train
         every = tc.log_every_n_steps
         labels = self.model.label_encoder.base_labels
@@ -628,12 +629,14 @@ class Trainer:
                 for i, label in enumerate(labels):
                     step_metrics[f"train/loss_step_{label}"] = float(per_label[i])
                 self.logger.log(step_metrics)
+            n_seen += 1
             if self._preempt_requested:
                 break
-        else:
-            # every step ran (no preemption break): a completed boundary
-            # the preempt branch may checkpoint even if the signal landed
-            # during the final step
+        # every step ran: a completed boundary the preempt branch may
+        # checkpoint — counted (not for/else) so a signal landing during
+        # the FINAL step still classifies the epoch as complete (the break
+        # fires on the last iteration too and would skip an else-clause)
+        if n_seen == len(loader):
             self._epoch_completed = True
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         return params, opt_state, mean_loss, key

@@ -349,6 +349,44 @@ def test_epoch_dispatch_preempt_saves_completed_epoch(
     assert r2["history"][0]["epoch"] == 1
 
 
+def test_step_dispatch_preempt_during_final_step_saves_epoch(
+    synthetic_dataset, tmp_path
+):
+    """Step dispatch: a SIGTERM landing during the FINAL batch of an epoch
+    still means every step ran — the epoch must classify as completed and
+    be checkpointed as the boundary (the loop's preempt break fires on the
+    last iteration too, so a for/else would misclassify it mid-epoch)."""
+    import signal
+
+    from segma_tpu.checkpoint import load_meta
+
+    cfg = _cfg(synthetic_dataset)  # defaults: data_cache=auto, dispatch=step
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
+    n_batches = len(dm.train_dataloader())
+    trainer = Trainer(model=model, config=cfg, run_dir=tmp_path / "run")
+
+    calls = {"n": 0}
+    orig_put = trainer._put
+
+    def put_with_signal(batch):
+        calls["n"] += 1
+        if calls["n"] == n_batches:  # the FINAL train step of epoch 0
+            trainer._handle_preempt_signal(signal.SIGTERM, None)
+        return orig_put(batch)
+
+    trainer._put = put_with_signal
+    result = trainer.fit(dm)
+    assert result["interrupted"] is True
+    last = tmp_path / "run" / "checkpoints" / "last"
+    assert (last / "params.msgpack").exists()
+    # all steps ran -> completed boundary saved; resume continues at 1
+    assert load_meta(last)["epoch"] == 0
+
+
 def test_epoch_dispatch_cosine_and_step_logs(synthetic_dataset, tmp_path):
     """Cosine LR (set per step INSIDE the scan) and the per-step loss logs
     must match step dispatch: identical step grid, ulp-level loss parity."""
@@ -456,7 +494,12 @@ def test_epoch_dispatch_powerset_partial_parity(synthetic_dataset, tmp_path):
 
 
 def test_epoch_dispatch_requires_device_cache(synthetic_dataset, tmp_path):
-    cfg = _cfg(synthetic_dataset, **{"train.dispatch": "epoch"})
+    # explicit host (the default is auto, which epoch dispatch accepts at
+    # init — it fails at fit() only if the resolution lands on host)
+    cfg = _cfg(
+        synthetic_dataset,
+        **{"train.dispatch": "epoch", "train.data_cache": "host"},
+    )
     model = Models["conv_vad"](MultiLabelEncoder(cfg.data.classes), cfg)
     with pytest.raises(ValueError, match="data_cache=device"):
         Trainer(model=model, config=cfg, run_dir=tmp_path / "bad")
@@ -537,6 +580,16 @@ def test_auto_within_budget_resolves_device(synthetic_dataset):
     assert "auto -> device" in loader.data_cache_decision
 
 
+def test_default_data_cache_is_auto(synthetic_dataset):
+    # the DEFAULT ships the device-cache win: an unconfigured run resolves
+    # per subset (device here — the fixture fits the budget) and logs it
+    cfg = _cfg(synthetic_dataset)
+    assert cfg.train.data_cache == "auto"
+    loader = _dm(cfg).train_dataloader()
+    assert loader.device_cache is not None
+    assert "auto -> device" in loader.data_cache_decision
+
+
 def test_auto_over_budget_falls_back_to_host(synthetic_dataset):
     cfg = _cfg(
         synthetic_dataset,
@@ -550,6 +603,22 @@ def test_auto_over_budget_falls_back_to_host(synthetic_dataset):
     assert loader.device_cache is None
     assert "auto -> host" in loader.data_cache_decision
     assert "device_cache_budget_gb" in loader.data_cache_decision
+
+
+def test_auto_host_hook_falls_back_to_host(synthetic_dataset):
+    # a host-side audio hook forces host waveforms; auto must resolve to
+    # host (explicit "device" + hook is a hard error, auto never errors)
+    cfg = _cfg(synthetic_dataset)  # default: auto
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(
+        ds, enc, cfg, model.conv_settings, host_hook=lambda x: x
+    )
+    loader = dm.train_dataloader()
+    assert loader.device_cache is None
+    assert "auto -> host (host_hook" in loader.data_cache_decision
 
 
 def test_auto_multihost_falls_back_to_host(synthetic_dataset, monkeypatch):

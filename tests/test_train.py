@@ -242,6 +242,10 @@ def test_preemption_resumes_from_epoch_boundary(train_cfg, tmp_path):
     from segma_tpu.models import Models
     from segma_tpu.utils.encoders import MultiLabelEncoder
 
+    # host path: the test instruments trainer.train_step, which the
+    # device-cache path rebuilds inside fit() (device-path preemption has
+    # its own tests in test_device_cache.py)
+    train_cfg.train.data_cache = "host"
     enc = MultiLabelEncoder(train_cfg.data.classes)
     model = Models["conv_vad"](enc, train_cfg)
     ds = SegmaFileDataset.from_config(train_cfg)
@@ -291,6 +295,9 @@ def test_preemption_before_first_epoch_leaves_nothing(train_cfg, tmp_path):
     from segma_tpu.models import Models
     from segma_tpu.utils.encoders import MultiLabelEncoder
 
+    # host path: the wrapper below relies on train_step not being rebuilt
+    # in fit() (the device-cache path rebuilds it)
+    train_cfg.train.data_cache = "host"
     enc = MultiLabelEncoder(train_cfg.data.classes)
     model = Models["conv_vad"](enc, train_cfg)
     ds = SegmaFileDataset.from_config(train_cfg)
@@ -377,6 +384,10 @@ def test_resume_trajectory_exact(train_cfg, tmp_path):
 
     cfg = train_cfg
     cfg.train.dataloader.num_workers = 1
+    # host path: the SIGTERM arm instruments trainer.train_step, which the
+    # device-cache path rebuilds inside fit(); device-path exact resume is
+    # pinned in test_device_cache.py
+    cfg.train.data_cache = "host"
 
     enc = MultiLabelEncoder(cfg.data.classes)
     ds = SegmaFileDataset.from_config(cfg)
@@ -826,6 +837,9 @@ def test_int16_transport_bit_parity(train_cfg, tmp_path):
 
     cfg = train_cfg
     cfg.train.transport = "int16"
+    # transport is a HOST-path concept (what each batch ships); the device
+    # cache bypasses per-batch waveform shipping entirely
+    cfg.train.data_cache = "host"
     enc = MultiLabelEncoder(cfg.data.classes)
     model = Models["conv_vad"](enc, cfg)
     params0 = model.init_params(jax.random.key(0))
