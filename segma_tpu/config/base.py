@@ -290,15 +290,22 @@ class TrainConfig(BaseConfig):
     # controllers hold disjoint file shards). Biggest win when the
     # host->device link is slow or leaky (CLAUDE.md relay retention).
     # "auto" (the default) picks per subset from header probes alone:
-    # "device" when the projected buffer fits device_cache_budget_gb AND
-    # the run is single-controller, else "host" (the decision is logged).
-    # Within budget, auto IS the device path — same code, same pinned
-    # bit-identical trajectory — so the measured ~5x epoch-time win on
-    # transfer-bound models is on by default; set "host" to opt out.
+    # "device" when the projected buffer fits the remaining
+    # device_cache_budget_gb, stays under the int32 gather-offset range
+    # (2^31 samples), fits available host RAM (building decodes ~1x the
+    # buffer on the host before the upload), AND the run is
+    # single-controller; else "host" (the decision is logged). Auto never
+    # errors. Within budget, auto IS the device path — same code, same
+    # pinned bit-identical trajectory — so the measured ~5x epoch-time win
+    # on transfer-bound models is on by default; set "host" to opt out.
+    # Batch contract: device-path batches carry {"offsets", "y"}; host-path
+    # batches carry {"x", "y"} (loaders.BatchContractError on a mismatch).
     data_cache: str = "auto"
-    # data_cache=auto HBM budget for ONE subset's audio buffer, leaving
-    # the rest of the chip for params/optimizer/activations (v5e: 16 GB).
-    # Explicit data_cache=device ignores this (you asked, it uploads).
+    # data_cache=auto HBM budget for ALL subsets' audio buffers JOINTLY
+    # (train + val), leaving the rest of the chip for params/optimizer/
+    # activations (v5e: 16 GB). Building also needs up to this much host
+    # RAM transiently. Explicit data_cache=device ignores this (you asked,
+    # it uploads).
     device_cache_budget_gb: float = 12.0
     # "step" dispatches one jitted call per batch; "epoch" (requires
     # data_cache=device) runs the WHOLE epoch as one lax.scan dispatch —

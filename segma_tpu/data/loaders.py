@@ -37,6 +37,15 @@ from segma_tpu.utils.io import get_samples_in_range
 class DataLoaderError(Exception): ...
 
 
+class BatchContractError(DataLoaderError):
+    """A batch was wired into a step built for the OTHER data_cache mode.
+
+    Host batches carry waveforms under ``"x"``; device-cache batches carry
+    flat-buffer offsets under ``"offsets"`` (never ``"x"``) — the distinct
+    keys turn a mode mismatch into this typed error at trace time instead
+    of an ``IndexError`` deep inside a model's first conv."""
+
+
 def generate_frames(
     conv_settings: ConvolutionSettings,
     sample_rate: int,
@@ -56,6 +65,18 @@ def windows_to_targets(windows: np.ndarray, index: IntervalIndex) -> np.ndarray:
 
 
 DEFAULT_CACHE_GB = 8.0  # one source for the gate AND the budget
+
+
+def _mem_available_bytes() -> int | None:
+    """Host MemAvailable (bytes), or None where /proc/meminfo is absent."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except (OSError, ValueError, IndexError):
+        return None
+    return None
 
 
 class AudioCache:
@@ -234,6 +255,12 @@ class AudioSegmentationSampler:
 
     def sample_batch(self, batch_size: int) -> dict[str, np.ndarray]:
         xs, ys = zip(*(self.sample() for _ in range(batch_size)))
+        if self._device_bases is not None:
+            # device-cache batches carry flat-buffer OFFSETS, keyed
+            # distinctly from host waveform batches ("x") so wiring one
+            # into a step built for the other raises BatchContractError
+            # at trace time (see train._batch_input)
+            return {"offsets": np.stack(xs), "y": np.stack(ys)}
         if any(x.dtype != xs[0].dtype for x in xs):
             # mixed sources under transport=int16 (some files not PCM16):
             # promote the whole batch to normalized f32 — np.stack's own
@@ -352,6 +379,12 @@ class SegmentationDataLoader:
         self.conv_settings = conv_settings
         self.host_hook = host_hook
         self.seed = seed if seed is not None else config.train.seed
+        # data_cache=auto: bytes already committed to device buffers by
+        # OTHER subsets (train before val) — the budget bounds the SUM of
+        # this factory's subsets, not each one independently. Keyed by
+        # seed_offset (one per subset) so re-building a loader is
+        # idempotent, not double-counted.
+        self._planned_device_bytes: dict[int, int] = {}
 
         if not dataset.is_loaded():
             dataset.load()
@@ -429,24 +462,47 @@ class SegmentationDataLoader:
                 decision = "host"
                 reason = "host_hook requires host-side waveforms"
             else:
-                planned = DeviceAudioCache.plan_nbytes(
+                any_f32, _, _, _, pos = DeviceAudioCache.plan(
                     subset,
                     self.config.data.dataset_path,
                     self.config.audio.chunk_duration_f,
                 )
-                if planned <= budget:
+                planned = pos * (4 if any_f32 else 2)
+                self._planned_device_bytes.pop(seed_offset, None)
+                remaining = budget - sum(self._planned_device_bytes.values())
+                avail = _mem_available_bytes()
+                if pos >= 2**31:
+                    # gather offsets are int32 (TPU x64 off): auto must
+                    # RESOLVE, never trip DeviceAudioCache.build's error
+                    decision = "host"
+                    reason = (
+                        f"{pos} planned samples exceed the int32 offset "
+                        "range (2^31) of the device gather"
+                    )
+                elif planned > remaining:
+                    decision = "host"
+                    reason = (
+                        f"{planned / 1e9:.2f} GB exceeds the remaining "
+                        f"budget {max(remaining, 0) / 1e9:.2f} GB "
+                        f"(train.device_cache_budget_gb="
+                        f"{self.config.train.device_cache_budget_gb} bounds "
+                        "ALL subsets jointly)"
+                    )
+                elif avail is not None and planned > 0.8 * avail:
+                    # building the cache decodes ~1x the buffer into host
+                    # RAM before the upload; auto must not OOM the host
+                    decision = "host"
+                    reason = (
+                        f"building needs ~{planned / 1e9:.2f} GB host RAM "
+                        f"but only {avail / 1e9:.2f} GB is available"
+                    )
+                else:
                     decision = "device"
                     reason = (
                         f"{planned / 1e6:.1f} MB fits the "
-                        f"{budget / 1e9:.1f} GB budget"
+                        f"{remaining / 1e9:.1f} GB remaining budget"
                     )
-                else:
-                    decision = "host"
-                    reason = (
-                        f"{planned / 1e9:.2f} GB exceeds "
-                        f"train.device_cache_budget_gb="
-                        f"{self.config.train.device_cache_budget_gb}"
-                    )
+                    self._planned_device_bytes[seed_offset] = planned
             decision_note = f"auto -> {decision} ({reason})"
         else:
             decision_note = None

@@ -203,6 +203,35 @@ def _waveform_source(cache: Any) -> Callable:
     return from_cache
 
 
+def _batch_input(batch: dict, cache: Any) -> Any:
+    """The step's input array from a loader batch, contract-checked.
+
+    Host batches carry waveforms under ``"x"``; device-cache batches carry
+    flat-buffer offsets under ``"offsets"`` (``loaders.sample_batch``).
+    Wiring one into a step built for the other raises a typed
+    :class:`~segma_tpu.data.loaders.BatchContractError` at trace time —
+    never a shape error inside the model. Runs under jit: dict keys are
+    pytree STRUCTURE, so this costs nothing per step."""
+    from segma_tpu.data.loaders import BatchContractError
+
+    if cache is None:
+        if "x" not in batch:
+            raise BatchContractError(
+                "batch carries device-cache offsets (key 'offsets') but "
+                "this step was built without one — pass the loader's cache "
+                "(make_train_step(..., cache=loader.device_cache) after "
+                "cache.place()) or set train.data_cache=host"
+            )
+        return batch["x"]
+    if "offsets" not in batch:
+        raise BatchContractError(
+            "step was built with a device cache but the batch carries host "
+            "waveforms (key 'x') — use the device-cache loader's batches, "
+            "or build the step with cache=None"
+        )
+    return batch["offsets"]
+
+
 def make_train_step(
     model: SegmentationModel,
     optimizer: optax.GradientTransformation,
@@ -214,7 +243,7 @@ def make_train_step(
     def train_step(params, opt_state, batch, dropout_key):
         def loss_fn(p):
             logits = model.apply(
-                p, waveforms(batch["x"]), train=True,
+                p, waveforms(_batch_input(batch, cache)), train=True,
                 rngs={"dropout": dropout_key},
             )
             total, per_label = model.loss(logits, batch["y"])
@@ -357,7 +386,7 @@ def make_eval_step(model: SegmentationModel, cache: Any = None) -> Callable:
     body = _make_eval_body(model, _waveform_source(cache))
 
     def eval_step(params, batch):
-        return body(params, batch["x"], batch["y"])
+        return body(params, _batch_input(batch, cache), batch["y"])
 
     return jax.jit(eval_step)
 
@@ -526,7 +555,7 @@ class Trainer:
             return params, opt_state, float("nan"), key
         offs, ys = [], []
         for batch in loader:
-            offs.append(batch["x"])
+            offs.append(batch["offsets"])
             ys.append(batch["y"])
         n_steps = len(offs)
         if n_steps == 0:
@@ -668,7 +697,7 @@ class Trainer:
             return
         offs, ys = [], []
         for batch in loader:
-            offs.append(batch["x"])
+            offs.append(batch["offsets"])
             ys.append(batch["y"])
         if not offs:
             return

@@ -219,11 +219,14 @@ def test_sampler_offsets_mode(loaded_ds, synthetic_dataset):
     dev = AudioSegmentationSampler(**kw, device_bases=cache.bases)
     hb = host.sample_batch(4)
     db = dev.sample_batch(4)
-    assert db["x"].shape == (4,) and db["x"].dtype == np.int32
+    # device batches carry offsets under a DISTINCT key (no "x"): a step
+    # built for waveforms must fail the contract check, not a conv shape
+    assert "x" not in db
+    assert db["offsets"].shape == (4,) and db["offsets"].dtype == np.int32
     np.testing.assert_array_equal(hb["y"], db["y"])  # same rng draws
     # offsets decode back to the host waveforms exactly
     cache.place()
-    crops = np.asarray(jax.jit(cache.make_gather())(db["x"]))
+    crops = np.asarray(jax.jit(cache.make_gather())(db["offsets"]))
     np.testing.assert_allclose(
         crops.astype(np.float32) / 32768.0, hb["x"], atol=0
     )
@@ -628,6 +631,67 @@ def test_auto_multihost_falls_back_to_host(synthetic_dataset, monkeypatch):
     loader = dm.train_dataloader()  # no error, unlike explicit "device"
     assert loader.device_cache is None
     assert "auto -> host" in loader.data_cache_decision
+
+
+def test_auto_int32_overflow_falls_back_to_host(synthetic_dataset, monkeypatch):
+    """>= 2^31 planned samples exceed the int32 gather-offset range:
+    explicit 'device' errors at build, so auto must resolve to host —
+    2^31 int16 samples is ~4.3 GB, far under the default 12 GB budget, so
+    the byte check alone would have crashed a previously-working
+    unconfigured run (r4 advisor finding, high)."""
+    cfg = _cfg(synthetic_dataset, **{"train.data_cache": "auto"})
+    dm = _dm(cfg)
+    real_plan = DeviceAudioCache.plan.__func__
+
+    def fake_plan(cls, subset, dataset_path, chunk_f):
+        any_f32, paths, bases, slots, _ = real_plan(
+            cls, subset, dataset_path, chunk_f
+        )
+        return any_f32, paths, bases, slots, 2**31
+
+    monkeypatch.setattr(
+        DeviceAudioCache, "plan", classmethod(fake_plan)
+    )
+    loader = dm.train_dataloader()
+    assert loader.device_cache is None
+    assert "int32 offset range" in loader.data_cache_decision
+
+
+def test_auto_budget_is_joint_over_subsets(synthetic_dataset):
+    """device_cache_budget_gb bounds the SUM of subsets: when train's
+    buffer consumes most of it, val must resolve to host instead of
+    jointly exceeding HBM (r4 advisor finding, low)."""
+    cfg = _cfg(synthetic_dataset, **{"train.data_cache": "auto"})
+    dm = _dm(cfg)
+    train_planned = DeviceAudioCache.plan_nbytes(
+        dm.dataset.train, cfg.data.dataset_path, cfg.audio.chunk_duration_f
+    )
+    val_planned = DeviceAudioCache.plan_nbytes(
+        dm.dataset.val, cfg.data.dataset_path, cfg.audio.chunk_duration_f
+    )
+    assert val_planned > 0
+    cfg.train.device_cache_budget_gb = (
+        train_planned + val_planned / 2
+    ) / 1e9
+    t_loader = dm.train_dataloader()
+    v_loader = dm.val_dataloader()
+    assert t_loader.device_cache is not None
+    assert v_loader.device_cache is None
+    assert "remaining" in v_loader.data_cache_decision
+
+
+def test_auto_low_host_ram_falls_back_to_host(synthetic_dataset, monkeypatch):
+    """Building the cache decodes ~1x the buffer into host RAM first; when
+    MemAvailable can't take it, auto resolves to host instead of OOMing
+    at loader construction (r4 advisor finding, low)."""
+    import segma_tpu.data.loaders as loaders_mod
+
+    cfg = _cfg(synthetic_dataset, **{"train.data_cache": "auto"})
+    dm = _dm(cfg)
+    monkeypatch.setattr(loaders_mod, "_mem_available_bytes", lambda: 1024)
+    loader = dm.train_dataloader()
+    assert loader.device_cache is None
+    assert "host RAM" in loader.data_cache_decision
 
 
 def test_epoch_dispatch_auto_over_budget_errors_with_resolution(

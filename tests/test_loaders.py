@@ -87,9 +87,12 @@ def test_virtual_epoch_size(cfg, loaded_ds):
 
 
 def test_dataloader_iteration(cfg, loaded_ds):
+    """Host-path batch contract: waveforms under "x"."""
     enc = MultiLabelEncoder(CLASSES)
+    cfg.train.data_cache = "host"
     dm = SegmentationDataLoader(loaded_ds, enc, cfg, CS)
     loader = dm.train_dataloader()
+    assert loader.device_cache is None
     assert len(loader) == 25 // 4
     n = 0
     for batch in loader:
@@ -98,6 +101,58 @@ def test_dataloader_iteration(cfg, loaded_ds):
         n += 1
         if n >= 3:
             break
+
+
+def test_dataloader_auto_device_contract(cfg, loaded_ds):
+    """data_cache=auto resolves to device for the (in-budget) fixture and
+    batches then carry flat-buffer OFFSETS under a distinct key — never
+    "x" (regression: the r4 auto default silently changed batch["x"]'s
+    meaning and consumers crashed inside their first conv)."""
+    assert cfg.train.data_cache == "auto"  # the shipped default
+    enc = MultiLabelEncoder(CLASSES)
+    dm = SegmentationDataLoader(loaded_ds, enc, cfg, CS)
+    loader = dm.train_dataloader()
+    assert loader.device_cache is not None
+    assert "auto -> device" in loader.data_cache_decision
+    for batch in loader:
+        assert "x" not in batch
+        assert batch["offsets"].shape == (4,)
+        assert batch["offsets"].dtype == np.int32
+        assert batch["y"].shape == (4, 199, 4)
+        break
+
+
+def test_batch_contract_mismatch_raises_typed_error(cfg, loaded_ds):
+    """Wiring a device-cache batch into a waveform step (or vice versa)
+    raises BatchContractError at trace time, not an IndexError inside the
+    model (regression: tests/test_sincnet.py died in SincConv)."""
+    import jax
+
+    from segma_tpu.data.loaders import BatchContractError
+    from segma_tpu.models import Models
+    from segma_tpu.train import make_optimizer, make_train_step
+
+    enc = MultiLabelEncoder(CLASSES)
+    model = Models["conv_vad"](enc, cfg)
+    params = model.init_params(jax.random.key(0))
+    opt = make_optimizer(model, 1e-3)
+    opt_state = opt.init(params)
+
+    dm = SegmentationDataLoader(loaded_ds, enc, cfg, model.conv_settings)
+    loader = dm.train_dataloader()  # auto -> device for the tiny fixture
+    batch = next(iter(loader))
+    step_no_cache = make_train_step(model, opt)
+    with pytest.raises(BatchContractError, match="device-cache offsets"):
+        step_no_cache(params, opt_state, batch, jax.random.key(1))
+
+    loader.device_cache.place()
+    step_cached = make_train_step(model, opt, cache=loader.device_cache)
+    host_batch = {
+        "x": np.zeros((4, 64_000), np.float32),
+        "y": np.asarray(batch["y"]),
+    }
+    with pytest.raises(BatchContractError, match="host\\s+waveforms"):
+        step_cached(params, opt_state, host_batch, jax.random.key(1))
 
 
 def test_audio_cache_matches_uncached(cfg, loaded_ds):
@@ -121,6 +176,7 @@ def test_audio_cache_matches_uncached(cfg, loaded_ds):
 def test_multi_worker_loader(cfg, loaded_ds):
     """num_workers > 1 still yields exactly n_batches well-formed batches."""
     enc = MultiLabelEncoder(CLASSES)
+    cfg.train.data_cache = "host"
     cfg.train.dataloader.num_workers = 3
     dm = SegmentationDataLoader(loaded_ds, enc, cfg, CS)
     loader = dm.train_dataloader()
@@ -153,6 +209,7 @@ def test_workers_share_one_audio_cache(cfg, loaded_ds):
     from segma_tpu.models.base import ConvolutionSettings
     from segma_tpu.utils.encoders import MultiLabelEncoder
 
+    cfg.train.data_cache = "host"  # the decoded-audio RAM cache is host-path
     cfg.train.dataloader.num_workers = 3
     enc = MultiLabelEncoder(cfg.data.classes)
     cs = ConvolutionSettings((320,), (320,), (0,))

@@ -632,7 +632,7 @@ def test_device_cache_train_step_no_gather_collectives(
     opt_state = jax.jit(optimizer.init)(params)
     batch = shard_batch(
         {
-            "x": np.zeros(8, np.int32),  # flat-buffer offsets
+            "offsets": np.zeros(8, np.int32),  # flat-buffer offsets
             "y": np.zeros((8, 49, 4), np.float32),
         },
         mesh,

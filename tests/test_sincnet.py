@@ -112,15 +112,22 @@ def test_sincnet_learns(model, synthetic_dataset):
     m = Models["sincnet_hydra"](enc, cfg)
     params = m.init_params(jax.random.key(0))
     opt = make_optimizer(m, cfg.train.lr)
-    step = make_train_step(m, opt)
     opt_state = opt.init(params)
 
     ds = SegmaFileDataset.from_config(cfg)
     ds.load(use_cache=False)
     dm = SegmentationDataLoader(ds, enc, cfg, m.conv_settings)
+    loader = dm.train_dataloader()
+    # data_cache=auto resolved to device for this tiny set: a direct
+    # consumer builds its step FROM the loader's cache (the Trainer does
+    # the same wiring in fit())
+    cache = loader.device_cache
+    if cache is not None:
+        cache.place()
+    step = make_train_step(m, opt, cache=cache)
     losses = []
     key = jax.random.key(1)
-    for i, batch in enumerate(dm.train_dataloader()):
+    for i, batch in enumerate(loader):
         if i >= 12:
             break
         key, sub = jax.random.split(key)
