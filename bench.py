@@ -79,8 +79,60 @@ def probe_device(timeout_s: float = 240.0) -> str:
     return box["dev"]
 
 
+def probe_link(upload_mb: float = 8.0, reps: int = 3) -> dict:
+    """Measured link-quality telemetry for the bench record.
+
+    The tunnel's bandwidth varies ~3x hour-to-hour (CLAUDE.md): without
+    these fields a slow window is indistinguishable from a real transport
+    regression in the round-over-round record (r3 9084x vs r4 3737x on
+    identical code). Reports:
+      - upload_mb_s: host->device bandwidth (best of ``reps`` timed
+        device_puts, completion forced by a data-dependent scalar fetch —
+        block_until_ready does not reliably force the relay);
+      - dispatch_ms: per-call round-trip latency (median of 10 tiny jitted
+        calls, warm);
+      - compile_cache_entries: persistent-cache state (cold cache explains
+        slow warmups, not slow steady state).
+    Keep uploads small and few: the relay client RETAINS every transfer
+    payload in host RSS (CLAUDE.md), so this probe leaks ~reps*upload_mb.
+    """
+    stats: dict = {}
+    f = jax.jit(lambda x: x.sum())
+    payload = np.ones(int(upload_mb * 1e6 // 4), np.float32)
+    _ = float(f(np.ones((8,), np.float32)))  # compile the tiny program
+    ups = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        buf = jax.device_put(payload)
+        _ = float(f(buf))  # data dependency: forces the upload to land
+        ups.append(time.perf_counter() - t0)
+        del buf
+    stats["upload_mb_s"] = round(payload.nbytes / 1e6 / min(ups), 2)
+    small = np.ones((8,), np.float32)
+    lats = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _ = float(f(small))
+        lats.append(time.perf_counter() - t0)
+    stats["dispatch_ms"] = round(sorted(lats)[len(lats) // 2] * 1e3, 1)
+    cache_dir = Path.home() / ".cache" / "segma_tpu_xla"
+    stats["compile_cache_entries"] = (
+        len(list(cache_dir.iterdir())) if cache_dir.is_dir() else 0
+    )
+    # window-quality verdict for the re-run policy (BENCH_REPORT.md):
+    # healthy windows measure >=20 MB/s and <=120 ms dispatch; below that,
+    # throughput numbers reflect the tunnel, not the code
+    stats["window"] = (
+        "healthy"
+        if stats["upload_mb_s"] >= 20.0 and stats["dispatch_ms"] <= 120.0
+        else "degraded"
+    )
+    return stats
+
+
 def main() -> None:
     probe_device()
+    link_pre = probe_link()
     cfg = load_config(CONFIG_DIR / "default.yml", ["model.name=conv_vad"])
     enc = MultiLabelEncoder(cfg.data.classes)
     model = Models["conv_vad"](enc, cfg)
@@ -151,11 +203,14 @@ def main() -> None:
             "error": f"{type(e).__name__}: {e}"[:500]
         }
 
+    link_post = probe_link()  # the window can shift mid-bench: record both
+
     result = {
         "metric": "conv-frontend VAD sliding-window inference (audio-sec/sec/chip)",
         "value": round(adpcm_xrt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(adpcm_xrt / TARGET_XRT, 4),
+        "link": {"pre": link_pre, "post": link_post},
         # exact-numerics figure at top level: int16 transport, bit-identical
         # logits to the f32 path (normalization happens on device)
         "exact_int16_value": round(int16_xrt, 2),
