@@ -104,10 +104,11 @@ class AudioAnnotation:
         )
 
     def __str__(self) -> str:
+        p = self.PRECISION
         return (
-            f"Annot for '{self.uid}': from {round(self.start_time_s, self.PRECISION)} s "
-            f"to {round(self.end_time_s, self.PRECISION)} | "
-            f"seg duration: {round(self.duration_s, self.PRECISION)} | label: {self.label}"
+            f"{self.uid}: [{round(self.start_time_s, p)} s, "
+            f"{round(self.end_time_s, p)} s] "
+            f"({round(self.duration_s, p)} s) label={self.label}"
         )
 
     def __repr__(self) -> str:

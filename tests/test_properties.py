@@ -254,3 +254,87 @@ def test_evaluator_identity(items):
     m(annots, annots, uri="u")
     assert abs(m) == pytest.approx(1.0)
     assert m.der() == pytest.approx(0.0)
+
+
+# -- device-cache offset math (round-5 VERDICT item 6) -------------------------
+#
+# The flat-buffer slot layout is the highest-consequence address arithmetic
+# in the training path: a slot sized from the wrong duration lets a crop's
+# dynamic_slice slide into the NEXT file's audio (the real pre-c1418c1
+# bug). Property: for randomized (disk length, metadata duration, channel
+# layout) mixtures, every crop start the sampler can draw gathers exactly
+# what the host path reads — real samples + trailing zeros, bit for bit.
+
+_counter = [0]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    files=st.lists(
+        st.tuples(
+            st.integers(1, 3000),  # samples actually on disk
+            st.integers(1, 3000),  # metadata-claimed duration (may differ)
+            st.booleans(),  # stereo? (forces the f32 buffer path)
+        ),
+        min_size=2,
+        max_size=4,
+    ),
+    chunk_f=st.integers(40, 1200),
+)
+def test_device_cache_crops_match_host_reads(files, chunk_f, tmp_path_factory):
+    import wave
+
+    from segma_tpu.data.device_cache import DeviceAudioCache
+    from segma_tpu.data.file_dataset import DatasetSubset
+    from segma_tpu.utils.io import get_samples_in_range, read_pcm16_mono
+
+    _counter[0] += 1
+    root = tmp_path_factory.mktemp("devcache") / f"ex{_counter[0]}"
+    wav_dir = root / "wav"
+    wav_dir.mkdir(parents=True)
+    uris, durs = [], []
+    for i, (disk_len, meta_dur, stereo) in enumerate(files):
+        # per-file unique, nowhere-zero content: zero-pad reads and
+        # cross-slot reads are both detectable
+        mono = ((np.arange(disk_len) * 31 + 997 * (i + 1)) % 1000 + 1).astype(
+            np.int16
+        )
+        data = np.repeat(mono, 2) if stereo else mono
+        with wave.open(str(wav_dir / f"f{i}.wav"), "wb") as w:
+            w.setnchannels(2 if stereo else 1)
+            w.setsampwidth(2)
+            w.setframerate(16_000)
+            w.writeframes(data.tobytes())
+        uris.append(f"f{i}")
+        durs.append((meta_dur, meta_dur))
+    subset = DatasetSubset(
+        uris=uris,
+        durations=np.array(
+            durs,
+            dtype=[("audio_duration_f", "i8"), ("annotated_duration_f", "i8")],
+        ),
+        indexes=[None] * len(uris),
+    )
+    cache = DeviceAudioCache.build(subset, root, chunk_f)
+    flat, bases = cache.host_flat, cache.bases
+    f32 = flat.dtype == np.float32
+
+    for i, (disk_len, meta_dur, stereo) in enumerate(files):
+        path = wav_dir / f"f{i}.wav"
+        # every start the sampler can draw: rng.integers(0, max(1, high))
+        high = max(1, meta_dur - chunk_f)
+        for start in {0, high // 2, high - 1}:
+            got = np.asarray(flat[bases[i] + start : bases[i] + start + chunk_f])
+            assert got.shape == (chunk_f,), "crop crossed the buffer end"
+            # host oracle: the sampler's uncached read + zero-pad
+            if f32:
+                w = get_samples_in_range(path, start, chunk_f)
+                want = (w.mean(axis=0) if w.shape[0] > 1 else w[0]).astype(
+                    np.float32
+                )
+            else:
+                want = read_pcm16_mono(path)[start : start + chunk_f]
+            want = np.pad(want, (0, chunk_f - want.shape[0]))
+            # bit-for-bit: any mismatch is either a slot-boundary crossing
+            # (next file's samples) or a normalization drift
+            np.testing.assert_array_equal(got, want)
