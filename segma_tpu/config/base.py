@@ -286,18 +286,21 @@ class TrainConfig(BaseConfig):
     # the whole subset's audio to HBM ONCE (int16 when all sources are
     # 16-bit PCM) and ships only (crop offsets, labels) per batch — the
     # jitted steps gather crops on device. Bit-identical trajectories
-    # (tests/test_device_cache.py); single-controller only (multi-host
-    # controllers hold disjoint file shards). Biggest win when the
-    # host->device link is slow or leaky (CLAUDE.md relay retention).
-    # "auto" (the default) picks per subset from header probes alone:
-    # "device" when the projected buffer fits the remaining
-    # device_cache_budget_gb, stays under the int32 gather-offset range
-    # (2^31 samples), fits available host RAM (building decodes ~1x the
-    # buffer on the host before the upload), AND the run is
-    # single-controller; else "host" (the decision is logged). Auto never
-    # errors. Within budget, auto IS the device path — same code, same
-    # pinned bit-identical trajectory — so the measured ~5x epoch-time win
-    # on transfer-bound models is on by default; set "host" to opt out.
+    # (tests/test_device_cache.py). Multi-host composes: each controller
+    # uploads its file shard as one row of a global buffer and crops
+    # gather locally inside shard_map (tests/test_multihost.py). Biggest
+    # win when the host->device link is slow or leaky (CLAUDE.md relay
+    # retention). "auto" (the default) picks per subset from header
+    # probes alone: "device" when the projected per-chip buffer fits the
+    # remaining device_cache_budget_gb, stays under the int32
+    # gather-offset range (2^31 samples), and — single-controller only,
+    # since MemAvailable must not steer a cross-host decision — fits
+    # available host RAM (building decodes ~1x the buffer on the host
+    # before the upload); else "host" (the decision is logged, and is
+    # bit-deterministic across controllers). Auto never errors. Within
+    # budget, auto IS the device path — same code, same pinned
+    # bit-identical trajectory — so the measured ~5x epoch-time win on
+    # transfer-bound models is on by default; set "host" to opt out.
     # Batch contract: device-path batches carry {"offsets", "y"}; host-path
     # batches carry {"x", "y"} (loaders.BatchContractError on a mismatch).
     data_cache: str = "auto"

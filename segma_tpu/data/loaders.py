@@ -431,6 +431,7 @@ class SegmentationDataLoader:
         )
         n_batches = max(1, global_spe // batch_size)  # drop_last
 
+        global_subset = subset  # pre-shard view: cache plans need ALL shards
         if n_procs > 1:
             subset = DatasetSubset(
                 uris=subset.uris[pid::n_procs],
@@ -446,80 +447,116 @@ class SegmentationDataLoader:
                 f"got {data_cache!r}"
             )
         decision = data_cache
-        if data_cache == "auto":
-            # resolve from header probes alone (plan_nbytes decodes
-            # nothing): device when the projected buffer fits the budget
-            # and the run is single-controller, host otherwise
+        decision_note = None
+        buffer_contract: tuple[bool, int] | None = None
+        if data_cache == "auto" and self.host_hook is not None:
+            # host-side audio hooks run on the host by definition; resolve
+            # BEFORE any planning (plan probes every file's header — waste
+            # when the outcome is already decided)
+            decision = "host"
+            decision_note = "auto -> host (host_hook requires host-side waveforms)"
+        if data_cache == "device" or decision == "auto":
+            # header probes only (plan decodes nothing). Multi-host: every
+            # controller computes ALL processes' shard plans from the SAME
+            # global file list, so the device/host decision and the
+            # cross-process buffer contract (one dtype, one padded row
+            # length = the max shard) are bit-deterministic — a divergent
+            # decision would desynchronize collective counts and hang
             from segma_tpu.data.device_cache import DeviceAudioCache
 
-            budget = int(self.config.train.device_cache_budget_gb * 1e9)
-            if n_procs > 1:
-                decision = "host"
-                reason = "multi-host controllers hold disjoint file shards"
-            elif self.host_hook is not None:
-                # host-side audio hooks run on the host by definition;
-                # auto must resolve (never error like explicit "device")
-                decision = "host"
-                reason = "host_hook requires host-side waveforms"
-            else:
-                any_f32, _, _, _, pos = DeviceAudioCache.plan(
-                    subset,
+            plans = [
+                DeviceAudioCache.plan(
+                    s,
                     self.config.data.dataset_path,
                     self.config.audio.chunk_duration_f,
                 )
-                planned = pos * (4 if any_f32 else 2)
-                self._planned_device_bytes.pop(seed_offset, None)
-                remaining = budget - sum(self._planned_device_bytes.values())
-                avail = _mem_available_bytes()
-                if pos >= 2**31:
-                    # gather offsets are int32 (TPU x64 off): auto must
-                    # RESOLVE, never trip DeviceAudioCache.build's error
-                    decision = "host"
-                    reason = (
-                        f"{pos} planned samples exceed the int32 offset "
-                        "range (2^31) of the device gather"
-                    )
-                elif planned > remaining:
-                    decision = "host"
-                    reason = (
-                        f"{planned / 1e9:.2f} GB exceeds the remaining "
-                        f"budget {max(remaining, 0) / 1e9:.2f} GB "
-                        f"(train.device_cache_budget_gb="
-                        f"{self.config.train.device_cache_budget_gb} bounds "
-                        "ALL subsets jointly)"
-                    )
-                elif avail is not None and planned > 0.8 * avail:
-                    # building the cache decodes ~1x the buffer into host
-                    # RAM before the upload; auto must not OOM the host
-                    decision = "host"
-                    reason = (
-                        f"building needs ~{planned / 1e9:.2f} GB host RAM "
-                        f"but only {avail / 1e9:.2f} GB is available"
-                    )
-                else:
-                    decision = "device"
-                    reason = (
-                        f"{planned / 1e6:.1f} MB fits the "
-                        f"{remaining / 1e9:.1f} GB remaining budget"
-                    )
-                    self._planned_device_bytes[seed_offset] = planned
+                for s in (
+                    [
+                        DatasetSubset(
+                            uris=global_subset.uris[p::n_procs],
+                            durations=global_subset.durations[p::n_procs],
+                            indexes=global_subset.indexes[p::n_procs],
+                        )
+                        for p in range(n_procs)
+                    ]
+                    if n_procs > 1
+                    else [subset]
+                )
+            ]
+            force_f32 = any(p[0] for p in plans)
+            max_pos = max(p[4] for p in plans)
+            buffer_contract = (force_f32, max_pos)
+            # per-DEVICE bytes: each chip holds one (padded) process row
+            planned = max_pos * (4 if force_f32 else 2)
+            local_plan = plans[pid] if n_procs > 1 else plans[0]
+            if data_cache == "device" and max_pos >= 2**31:
+                # raise DETERMINISTICALLY on every controller (max_pos
+                # comes from the global file list): letting only the
+                # oversized shard's build() throw would leave the other
+                # processes hanging at their first collective
+                raise DataLoaderError(
+                    f"train.data_cache=device: {max_pos} planned samples "
+                    "exceed the int32 offset range (2^31) of the device "
+                    "gather — use data_cache=host (or auto, which resolves "
+                    "to host)"
+                )
+        if decision == "auto":
+            budget = int(self.config.train.device_cache_budget_gb * 1e9)
+            self._planned_device_bytes.pop(seed_offset, None)
+            remaining = budget - sum(self._planned_device_bytes.values())
+            # host-RAM guard is single-controller only: MemAvailable
+            # differs across hosts and the decision must not diverge;
+            # a multi-host build decodes only ~1/n of the data anyway
+            avail = _mem_available_bytes() if n_procs == 1 else None
+            if max_pos >= 2**31:
+                # gather offsets are int32 (TPU x64 off): auto must
+                # RESOLVE, never trip the explicit-device hard error
+                decision = "host"
+                reason = (
+                    f"{max_pos} planned samples exceed the int32 "
+                    "offset range (2^31) of the device gather"
+                )
+            elif planned > remaining:
+                decision = "host"
+                reason = (
+                    f"{planned / 1e9:.2f} GB exceeds the remaining "
+                    f"budget {max(remaining, 0) / 1e9:.2f} GB "
+                    f"(train.device_cache_budget_gb="
+                    f"{self.config.train.device_cache_budget_gb} bounds "
+                    "ALL subsets jointly)"
+                )
+            elif avail is not None and planned > 0.8 * avail:
+                # building the cache decodes ~1x the buffer into host
+                # RAM before the upload; auto must not OOM the host
+                decision = "host"
+                reason = (
+                    f"building needs ~{planned / 1e9:.2f} GB host RAM "
+                    f"but only {avail / 1e9:.2f} GB is available"
+                )
+            else:
+                decision = "device"
+                reason = (
+                    f"{planned / 1e6:.1f} MB fits the "
+                    f"{remaining / 1e9:.1f} GB remaining budget"
+                ) + (
+                    f" (per-process rows over {n_procs} controllers)"
+                    if n_procs > 1
+                    else ""
+                )
+                self._planned_device_bytes[seed_offset] = planned
             decision_note = f"auto -> {decision} ({reason})"
-        else:
-            decision_note = None
         device_cache = None
         if decision == "device":
-            if n_procs > 1:
-                raise DataLoaderError(
-                    "train.data_cache=device needs a single controller "
-                    "(multi-host processes hold disjoint file shards; no "
-                    "replicated buffer exists) — use data_cache=host"
-                )
             from segma_tpu.data.device_cache import DeviceAudioCache
 
+            force_f32, max_pos = buffer_contract
             device_cache = DeviceAudioCache.build(
                 subset,
                 self.config.data.dataset_path,
                 self.config.audio.chunk_duration_f,
+                force_f32=force_f32,
+                pad_to=max_pos,
+                plan=local_plan,
             )
 
         shared_cache = AudioCache(budget_bytes=int(DEFAULT_CACHE_GB * 1e9))

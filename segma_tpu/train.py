@@ -186,21 +186,42 @@ def _device_waveform(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _waveform_source(cache: Any) -> Callable:
-    """How a batch's ``x`` becomes device waveforms inside the jitted steps.
+    """How a batch's input becomes device waveforms inside the jitted steps.
 
     Host path: ``x`` IS the waveform batch (f32, or int16 normalized on
-    device). Device-cache path (``train.data_cache=device``): ``x`` is a
-    ``(B,)`` int32 vector of flat-buffer offsets; the crops are gathered
-    from the HBM-resident buffer the closure captures — only offsets and
-    labels ever cross the host->device link."""
+    device); ``buf`` is ignored. Device-cache path
+    (``train.data_cache=device``): ``x`` is a ``(B,)`` int32 vector of
+    flat-buffer offsets and ``buf`` is the HBM-resident audio buffer,
+    passed as an ARGUMENT (a multi-host global array may not be closed
+    over inside jit) — only offsets and labels ever cross the
+    host->device link."""
     if cache is None:
-        return _device_waveform
-    gather = cache.make_gather()
 
-    def from_cache(x: jnp.ndarray) -> jnp.ndarray:
-        return _device_waveform(gather(x))
+        def host(x: jnp.ndarray, buf: Any = None) -> jnp.ndarray:
+            return _device_waveform(x)
+
+        return host
+    gather = cache.gather_fn()
+
+    def from_cache(x: jnp.ndarray, buf: Any) -> jnp.ndarray:
+        return _device_waveform(gather(buf, x))
 
     return from_cache
+
+
+def _bind_cache_buf(jitted: Any, cache: Any) -> Callable:
+    """Bind the placed cache buffer as a jitted step's trailing argument.
+
+    JAX forbids closing over arrays that span non-addressable devices
+    (the multi-host row buffer), so cached steps take ``cache_buf``
+    explicitly; this wrapper keeps every call site's signature unchanged
+    and forwards ``.lower`` for the HLO-contract tests."""
+
+    def bound(*args: Any) -> Any:
+        return jitted(*args, cache.buf)
+
+    bound.lower = lambda *args: jitted.lower(*args, cache.buf)
+    return bound
 
 
 def _batch_input(batch: dict, cache: Any) -> Any:
@@ -240,10 +261,11 @@ def make_train_step(
     """Build the jitted train step (donated params/opt_state)."""
     waveforms = _waveform_source(cache)
 
-    def train_step(params, opt_state, batch, dropout_key):
+    def train_step(params, opt_state, batch, dropout_key, cache_buf=None):
         def loss_fn(p):
             logits = model.apply(
-                p, waveforms(_batch_input(batch, cache)), train=True,
+                p, waveforms(_batch_input(batch, cache), cache_buf),
+                train=True,
                 rngs={"dropout": dropout_key},
             )
             total, per_label = model.loss(logits, batch["y"])
@@ -256,7 +278,8 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, per_label
 
-    return jax.jit(train_step, donate_argnums=(0, 1))
+    jitted = jax.jit(train_step, donate_argnums=(0, 1))
+    return jitted if cache is None else _bind_cache_buf(jitted, cache)
 
 
 def _set_lr_traced(opt_state: Any, lr: jnp.ndarray) -> Any:
@@ -295,33 +318,36 @@ def make_epoch_fn(
     """
     waveforms = _waveform_source(cache)
 
-    def one_step(carry, xs):
-        params, opt_state, key = carry
-        offsets, y, lr = xs
-        opt_state = _set_lr_traced(opt_state, lr)
-        key, sub = jax.random.split(key)
+    def epoch_fn(params, opt_state, key, offsets_e, y_e, lrs_e, cache_buf):
+        def one_step(carry, xs):
+            params, opt_state, key = carry
+            offsets, y, lr = xs
+            opt_state = _set_lr_traced(opt_state, lr)
+            key, sub = jax.random.split(key)
 
-        def loss_fn(p):
-            logits = model.apply(
-                p, waveforms(offsets), train=True, rngs={"dropout": sub}
-            )
-            total, per_label = model.loss(logits, y)
-            return total, per_label
+            def loss_fn(p):
+                logits = model.apply(
+                    p,
+                    waveforms(offsets, cache_buf),
+                    train=True,
+                    rngs={"dropout": sub},
+                )
+                total, per_label = model.loss(logits, y)
+                return total, per_label
 
-        (loss, per_label), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state, key), (loss, per_label)
+            (loss, per_label), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), (loss, per_label)
 
-    def epoch_fn(params, opt_state, key, offsets_e, y_e, lrs_e):
         (params, opt_state, key), (losses, per_label) = jax.lax.scan(
             one_step, (params, opt_state, key), (offsets_e, y_e, lrs_e)
         )
         return params, opt_state, key, losses, per_label
 
-    return jax.jit(epoch_fn, donate_argnums=(0, 1))
+    return _bind_cache_buf(jax.jit(epoch_fn, donate_argnums=(0, 1)), cache)
 
 
 def _make_eval_body(model: SegmentationModel, waveforms: Callable) -> Callable:
@@ -338,8 +364,8 @@ def _make_eval_body(model: SegmentationModel, waveforms: Callable) -> Callable:
     build implements them.
     """
 
-    def eval_body(params, x, y):
-        logits = model.apply(params, waveforms(x), train=False)
+    def eval_body(params, x, y, cache_buf=None):
+        logits = model.apply(params, waveforms(x, cache_buf), train=False)
         total, per_label = model.loss(logits, y)
         # per-base-label probabilities (powerset models marginalize here)
         frame_logits = model.inference_transform(logits)
@@ -385,10 +411,11 @@ def make_eval_step(model: SegmentationModel, cache: Any = None) -> Callable:
     """Jitted per-batch validation step (see :func:`_make_eval_body`)."""
     body = _make_eval_body(model, _waveform_source(cache))
 
-    def eval_step(params, batch):
-        return body(params, _batch_input(batch, cache), batch["y"])
+    def eval_step(params, batch, cache_buf=None):
+        return body(params, _batch_input(batch, cache), batch["y"], cache_buf)
 
-    return jax.jit(eval_step)
+    jitted = jax.jit(eval_step)
+    return jitted if cache is None else _bind_cache_buf(jitted, cache)
 
 
 def make_val_epoch_fn(
@@ -409,11 +436,11 @@ def make_val_epoch_fn(
     """
     body = _make_eval_body(model, _waveform_source(cache))
 
-    def val_epoch(params, offsets_e, y_e):
+    def val_epoch(params, offsets_e, y_e, cache_buf):
         def one_step(carry, xs):
             offsets, y = xs
             total, per_label, counts, probs, subset_stats = body(
-                params, offsets, y
+                params, offsets, y, cache_buf
             )
             if not need_scores:
                 probs = None
@@ -425,7 +452,7 @@ def make_val_epoch_fn(
         _, outs = jax.lax.scan(one_step, 0, (offsets_e, y_e))
         return outs
 
-    return jax.jit(val_epoch)
+    return _bind_cache_buf(jax.jit(val_epoch), cache)
 
 
 @dataclass
@@ -584,9 +611,20 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec
 
             sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
-            offsets_e = jax.device_put(offsets_e, sh)
-            y_e = jax.device_put(y_e, sh)
-            lrs = jax.device_put(lrs, NamedSharding(self.mesh, PartitionSpec()))
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            if self.n_processes > 1:
+                # each controller holds only its (S, B/n) rows of the
+                # global epoch; lrs are identical everywhere (cosine is
+                # deterministic, plateau reads a replicated scalar)
+                offsets_e = jax.make_array_from_process_local_data(
+                    sh, offsets_e
+                )
+                y_e = jax.make_array_from_process_local_data(sh, y_e)
+                lrs = jax.make_array_from_process_local_data(rep, lrs)
+            else:
+                offsets_e = jax.device_put(offsets_e, sh)
+                y_e = jax.device_put(y_e, sh)
+                lrs = jax.device_put(lrs, rep)
         params, opt_state, key, losses, per_label = self.epoch_fn(
             params, opt_state, key, offsets_e, y_e, lrs
         )
@@ -707,8 +745,14 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec
 
             sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
-            offsets_e = jax.device_put(offsets_e, sh)
-            y_e = jax.device_put(y_e, sh)
+            if self.n_processes > 1:
+                offsets_e = jax.make_array_from_process_local_data(
+                    sh, offsets_e
+                )
+                y_e = jax.make_array_from_process_local_data(sh, y_e)
+            else:
+                offsets_e = jax.device_put(offsets_e, sh)
+                y_e = jax.device_put(y_e, sh)
         totals, per_labels, counts, probs, subset_stats = self.val_epoch_fn(
             params, offsets_e, y_e
         )

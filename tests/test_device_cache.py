@@ -515,7 +515,13 @@ def test_bad_dispatch_value_rejected(synthetic_dataset, tmp_path):
         Trainer(model=model, config=cfg, run_dir=tmp_path / "bad2")
 
 
-def test_multihost_rejected(synthetic_dataset, monkeypatch):
+def test_multihost_explicit_device_builds_local_shard(
+    synthetic_dataset, monkeypatch
+):
+    """Explicit data_cache=device under multiple controllers builds THIS
+    process's shard with the cross-process row contract (no more
+    build-time rejection; the real two-process run is exercised by
+    tests/test_multihost.py)."""
     cfg = _cfg(synthetic_dataset, **{"train.data_cache": "device"})
     enc = MultiLabelEncoder(cfg.data.classes)
     model = Models["conv_vad"](enc, cfg)
@@ -523,8 +529,11 @@ def test_multihost_rejected(synthetic_dataset, monkeypatch):
     ds.load(use_cache=False)
     dm = SegmentationDataLoader(ds, enc, cfg, model.conv_settings)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
-    with pytest.raises(DataLoaderError, match="single controller"):
-        dm.train_dataloader()
+    loader = dm.train_dataloader()
+    cache = loader.device_cache
+    assert cache is not None
+    assert len(cache.bases) == len(ds.train.uris[0::2])
+    assert cache.pad_to >= len(cache.host_flat)
 
 
 def test_bad_data_cache_value_rejected(synthetic_dataset):
@@ -624,13 +633,33 @@ def test_auto_host_hook_falls_back_to_host(synthetic_dataset):
     assert "auto -> host (host_hook" in loader.data_cache_decision
 
 
-def test_auto_multihost_falls_back_to_host(synthetic_dataset, monkeypatch):
+def test_auto_multihost_resolves_device_with_local_shard(
+    synthetic_dataset, monkeypatch
+):
+    """Multi-host composes (round-4 VERDICT item 3): auto resolves to
+    device per-process rows when every shard's plan fits, and the built
+    cache covers exactly THIS controller's file shard, padded to the
+    cross-process maximum so the global row shapes agree. The decision
+    uses only cross-process-deterministic inputs (never MemAvailable)."""
+    import segma_tpu.data.loaders as loaders_mod
+
     cfg = _cfg(synthetic_dataset, **{"train.data_cache": "auto"})
     dm = _dm(cfg)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
-    loader = dm.train_dataloader()  # no error, unlike explicit "device"
-    assert loader.device_cache is None
-    assert "auto -> host" in loader.data_cache_decision
+    # a divergent-across-hosts input must not be consulted under multihost
+    monkeypatch.setattr(
+        loaders_mod,
+        "_mem_available_bytes",
+        lambda: (_ for _ in ()).throw(AssertionError("consulted MemAvailable")),
+    )
+    loader = dm.train_dataloader()
+    assert loader.device_cache is not None
+    assert "per-process rows over 2 controllers" in loader.data_cache_decision
+    cache = loader.device_cache
+    # local shard only (pid 0 -> uris[0::2]), padded row contract
+    full = _dm(cfg).dataset.train
+    assert len(cache.bases) == len(full.uris[0::2])
+    assert cache.pad_to >= len(cache.host_flat)
 
 
 def test_auto_int32_overflow_falls_back_to_host(synthetic_dataset, monkeypatch):
@@ -655,6 +684,30 @@ def test_auto_int32_overflow_falls_back_to_host(synthetic_dataset, monkeypatch):
     loader = dm.train_dataloader()
     assert loader.device_cache is None
     assert "int32 offset range" in loader.data_cache_decision
+
+
+def test_explicit_device_int32_overflow_is_deterministic(
+    synthetic_dataset, monkeypatch
+):
+    """Explicit data_cache=device with an over-2^31 GLOBAL plan raises the
+    hard error in the loader on EVERY controller (computed from the global
+    file list), not just inside the oversized shard's build() — a
+    single-process crash would strand the other controllers at their first
+    collective."""
+    cfg = _cfg(synthetic_dataset, **{"train.data_cache": "device"})
+    dm = _dm(cfg)
+    real_plan = DeviceAudioCache.plan.__func__
+
+    def fake_plan(cls, subset, dataset_path, chunk_f):
+        any_f32, paths, bases, slots, _ = real_plan(
+            cls, subset, dataset_path, chunk_f
+        )
+        return any_f32, paths, bases, slots, 2**31
+
+    monkeypatch.setattr(DeviceAudioCache, "plan", classmethod(fake_plan))
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(DataLoaderError, match="int32 offset range"):
+        dm.train_dataloader()
 
 
 def test_auto_budget_is_joint_over_subsets(synthetic_dataset):
