@@ -66,6 +66,7 @@ def test_shim_inventory_is_complete():
         "profile_inference",
         "save_load_wavlm",
         "save_load_whisper",
+        "validate_real",
     }
     found = {p.stem for p in SCRIPTS.glob("*.py")}
     assert found == set(SHIM_MAINS) | tools
