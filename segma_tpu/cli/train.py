@@ -41,6 +41,32 @@ def build_argparser() -> argparse.ArgumentParser:
     return parser
 
 
+def fast_context_hint(cfg: Config) -> str | None:
+    """One-line steer toward the measured-better whisper operating point.
+
+    The padded 30 s context spends ~7.5x the useful attention/MLP work on
+    padding (BENCH_REPORT.md MFU tables: 4.38 ms vs 75.7 ms per 32x4 s
+    forward, 32.2% vs 19.2% MFU). ``fast_context=true`` removes that waste
+    and is numerically self-consistent as long as training and inference
+    use the same setting — only parity with reference-trained padded
+    checkpoints (``audio.reference_tail`` mode) needs the padded default.
+    Returns the hint for a NEW whisper-family training that left both off,
+    else None."""
+    mc = cfg.model.config
+    if not hasattr(mc, "fast_context") or mc.fast_context:
+        return None
+    if cfg.audio.reference_tail:
+        return None  # parity mode: the padded context is the point
+    return (
+        "hint: model.config.fast_context=true runs the whisper encoder on "
+        "the chunk's own frames instead of the padded 30 s context — "
+        "measured ~17x faster forward (32.2% vs 19.2% MFU at 4 s chunks, "
+        "BENCH_REPORT.md). Numerics differ from the padded reference; use "
+        "it for NEW trainings (train and infer with the same setting), "
+        "keep the default for reference-parity checkpoints."
+    )
+
+
 def run_training(
     cfg: Config,
     tags: list[str],
@@ -61,6 +87,10 @@ def run_training(
     l_encoder = MultiLabelEncoder(labels=cfg.data.classes)
 
     model = Models[cfg.model.name](l_encoder, cfg)
+
+    hint = fast_context_hint(cfg)
+    if hint:
+        log(hint)
 
     log("SegmentationDataLoader initializing ...")
     sfd = SegmaFileDataset.from_config(cfg)

@@ -204,3 +204,24 @@ def test_mesh_seq_divisibility_rejected_at_load():
         ],
     )
     assert cfg2.mesh.seq == 8
+
+
+def test_fast_context_hint_steers_non_parity_whisper_trainings():
+    """Round-4 VERDICT item 4: a NEW whisper-family training that leaves
+    both fast_context and reference_tail off gets a one-line measured
+    recommendation; parity mode, fast_context already on, and non-whisper
+    models get none."""
+    from segma_tpu.cli.train import fast_context_hint
+
+    base = ["model.name=surgical_hydra"]
+    hinted = load_config(CONFIG_DIR / "default.yml", base)
+    hint = fast_context_hint(hinted)
+    assert hint is not None and "fast_context" in hint
+
+    for overrides in (
+        base + ["model.config.fast_context=true"],
+        base + ["audio.reference_tail=true"],
+        ["model.name=conv_vad", "model.config={hidden: 16, depth: 1}"],
+    ):
+        cfg = load_config(CONFIG_DIR / "default.yml", overrides)
+        assert fast_context_hint(cfg) is None, overrides
