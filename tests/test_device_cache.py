@@ -688,6 +688,33 @@ def test_auto_host_hook_falls_back_to_host(synthetic_dataset):
     assert "auto -> host (host_hook" in loader.data_cache_decision
 
 
+def test_auto_host_hook_resolves_without_header_probes(
+    synthetic_dataset, monkeypatch
+):
+    """The host_hook short-circuit decides BEFORE planning: plan() probes
+    every file's header, pure waste when the outcome is already forced."""
+    cfg = _cfg(synthetic_dataset)  # default: auto
+    enc = MultiLabelEncoder(cfg.data.classes)
+    model = Models["conv_vad"](enc, cfg)
+    ds = SegmaFileDataset.from_config(cfg)
+    ds.load(use_cache=False)
+    dm = SegmentationDataLoader(
+        ds, enc, cfg, model.conv_settings, host_hook=lambda x: x
+    )
+    monkeypatch.setattr(
+        DeviceAudioCache,
+        "plan",
+        classmethod(
+            lambda cls, *a, **k: (_ for _ in ()).throw(
+                AssertionError("plan() probed headers despite host_hook")
+            )
+        ),
+    )
+    loader = dm.train_dataloader()
+    assert loader.device_cache is None
+    assert "auto -> host (host_hook" in loader.data_cache_decision
+
+
 def test_auto_multihost_resolves_device_with_local_shard(
     synthetic_dataset, monkeypatch
 ):
