@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> None:
         choices=["int16", "mulaw", "adpcm", "f32"],
     )
     parser.add_argument("--buckets", type=int, nargs="*", default=[8, 32, 128, 512])
-    parser.add_argument("--batch_size", "--batch-size", default=128, type=int)
+    parser.add_argument("--batch_size", "--batch-size", default=64, type=int)
     parser.add_argument(
         "--platforms", nargs="*", default=["cpu", "tpu"],
         help="lowering targets baked into the artifact. NOTE: multi-"

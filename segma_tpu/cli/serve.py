@@ -34,7 +34,7 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--thresholds", default=None)
-    parser.add_argument("--batch_size", "--batch-size", default=128, type=int)
+    parser.add_argument("--batch_size", "--batch-size", default=64, type=int)
     parser.add_argument(
         "--batch-window-ms", type=float, default=0.0,
         help="micro-batch concurrent requests arriving within this window "

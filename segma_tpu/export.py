@@ -131,7 +131,7 @@ def export_inference(
     output_dir: Path | str,
     thresholds: dict | None = None,
     buckets: tuple[int, ...] = (8, 32, 128, 512),
-    batch_size: int = 128,
+    batch_size: int = 64,
     transport: str = "int16",
     platforms: tuple[str, ...] = ("cpu", "tpu"),
     model_version: str | None = None,

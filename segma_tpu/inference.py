@@ -147,7 +147,13 @@ class InferencePipeline:
 
     model: SegmentationModel
     params: Any
-    batch_size: int = 128
+    # 64 is the measured v5e operating point: device MFU peaks there
+    # (hubert 40.2% vs 39.0% @128, whisper_fast 25.5% vs 22.2%) and
+    # end-to-end whisper-base int16 measured 1171x RT @64 vs 1079x
+    # @128 vs 1154x @32 (same n-chunks/window class; BENCH_REPORT.md
+    # r5 operating-point row). Single-chunk latency is unaffected
+    # (the inner batch clamps to min(batch_size, total)).
+    batch_size: int = 64
     mesh: Any = None  # jax.sharding.Mesh | None
     # long files dispatch in segments of at most this many chunks instead of
     # padding to the next power of two (a 600-chunk file would otherwise pad
@@ -906,7 +912,7 @@ def run_inference_on_audios(
     output: Path | str,
     uris: Path | str | None = None,
     thresholds: dict | str | Path | None = None,
-    batch_size: int = 128,
+    batch_size: int = 64,
     recursive: bool = False,
     dump_logits: bool = False,
     rttm_dirname: str = "raw_rttm",
@@ -1101,7 +1107,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument("--output", required=True)
     parser.add_argument("--thresholds", default=None)
-    parser.add_argument("--batch_size", "--batch-size", default=128, type=int)
+    parser.add_argument("--batch_size", "--batch-size", default=64, type=int)
     parser.add_argument("--save-logits", action="store_true")
     parser.add_argument("--recursive", action="store_true")
     parser.add_argument("--rttm-dirname", default="raw_rttm")
@@ -1150,7 +1156,7 @@ def main(argv: list[str] | None = None) -> None:
                     args.checkpoint != parser.get_default("checkpoint"),
                 ),
                 ("--transport", args.transport != "int16"),
-                ("--batch_size", args.batch_size != 128),
+                ("--batch_size", args.batch_size != 64),
                 ("--mesh", args.mesh != "auto"),
                 ("--pack-files", args.pack_files != 1),
             )

@@ -103,7 +103,7 @@ def serve_forever(
     host: str = "127.0.0.1",
     port: int = 8000,
     thresholds: dict | None = None,
-    batch_size: int = 128,
+    batch_size: int = 64,
     batch_window_ms: float = 0.0,
     max_batch: int = 8,
     transport: str = "int16",
