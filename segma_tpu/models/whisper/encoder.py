@@ -111,15 +111,24 @@ def sinusoidal_positions(length: int, channels: int) -> np.ndarray:
 
 class MultiHeadAttention(nn.Module):
     """Transformer MHA: q scaled by head_dim**-0.5. Whisper's k_proj is
-    bias-free (``k_bias=False``); HuBERT's carries a bias."""
+    bias-free (``k_bias=False``); HuBERT's carries a bias.
+
+    The softmax(qkᵀ)·v core goes through ``ops.attention.attention_core``:
+    the Pallas flash kernel on TPU (VMEM-resident online softmax — at the
+    padded 30 s context the einsum path's (B,8,1500,1500) f32 scores are
+    ~2.3 GB of HBM traffic per layer), einsum elsewhere.
+    """
 
     d_model: int
     n_heads: int
     dtype: jnp.dtype = jnp.bfloat16
     k_bias: bool = False
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from segma_tpu.ops.attention import attention_core
+
         head_dim = self.d_model // self.n_heads
         q = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(x)
         k = nn.Dense(
@@ -131,12 +140,14 @@ class MultiHeadAttention(nn.Module):
             b, s, _ = t.shape
             return t.reshape(b, s, self.n_heads, head_dim)
 
-        q, k, v = split(q) * (head_dim**-0.5), split(k), split(v)
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        out = attention_core(
+            split(q),
+            split(k),
+            split(v),
+            sm_scale=head_dim**-0.5,
+            mesh=self.mesh,
+            dtype=self.dtype,
         )
-        attn = nn.softmax(scores, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(x.shape[0], x.shape[1], self.d_model)
         return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
 
@@ -146,12 +157,14 @@ class EncoderLayer(nn.Module):
 
     cfg: WhisperEncoderConfig
     dtype: jnp.dtype = jnp.bfloat16
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="self_attn_layer_norm")(x)
         x = x + MultiHeadAttention(
-            self.cfg.d_model, self.cfg.n_heads, self.dtype, name="self_attn"
+            self.cfg.d_model, self.cfg.n_heads, self.dtype,
+            mesh=self.mesh, name="self_attn",
         )(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
         h = nn.Dense(self.cfg.ffn_dim, dtype=self.dtype, name="fc1")(h)
@@ -212,7 +225,7 @@ class WhisperEncoder(nn.Module):
 
         hidden_states: list[jnp.ndarray] = [x]
         for i in range(cfg.n_layers):
-            x = EncoderLayer(cfg, self.dtype, name=f"layers_{i}")(x)
+            x = EncoderLayer(cfg, self.dtype, mesh=self.mesh, name=f"layers_{i}")(x)
             x = shard_time_axis(x, self.mesh)
             hidden_states.append(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)

@@ -1,0 +1,130 @@
+"""Parity tests for the fused attention core (``ops/attention.py``).
+
+The Pallas flash kernel runs here in interpret mode
+(``pltpu.force_tpu_interpret_mode``) so CPU CI executes the REAL kernel
+code path — padding, segment masking, layout transposes — not a stand-in.
+Parity target: the einsum formulation that the encoder parity suites pin
+against HF torch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+import segma_tpu.ops.attention as attn_mod
+from segma_tpu.ops.attention import (
+    _block,
+    _einsum_core,
+    attention_core,
+    flash_eligible,
+)
+
+
+def _rand_qkv(key, b, s, h, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    shape = (b, s, h, d)
+    return (
+        jax.random.normal(kq, shape, dtype),
+        jax.random.normal(kk, shape, dtype),
+        jax.random.normal(kv, shape, dtype),
+    )
+
+
+@pytest.fixture
+def force_flash(monkeypatch):
+    monkeypatch.setattr(attn_mod, "_FORCE_FLASH", True)
+
+
+@pytest.mark.parametrize(
+    "s", [128, 199, 320], ids=["lane-exact", "fast-context", "padded-2.5x"]
+)
+def test_flash_matches_einsum(force_flash, s):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), 2, s, 2, 64)
+    sm = 64**-0.5
+    ref = _einsum_core(q, k, v, sm, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = attention_core(q, k, v, sm_scale=sm, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_grad_matches_einsum(force_flash):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), 1, 128, 2, 64)
+    sm = 64**-0.5
+
+    def loss(core):
+        def f(qq):
+            return core(qq, k, v, sm).astype(jnp.float32).sum()
+
+        return f
+
+    ref = jax.grad(loss(lambda a, b, c, s: _einsum_core(a, b, c, s, jnp.float32)))(q)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(
+            loss(
+                lambda a, b, c, s: attention_core(
+                    a, b, c, sm_scale=s, dtype=jnp.float32
+                )
+            )
+        )(q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_flash_shard_map_data_mesh(force_flash, monkeypatch):
+    """Data-only mesh: the shard_map branch splits the batch and reassembles.
+
+    Pallas interpret mode inside shard_map deadlocks on the oversubscribed
+    8-device CPU mesh (1 core — same pathology class as the CLAUDE.md
+    rendezvous note), so this pins the PLUMBING (padding, transposes,
+    specs, shard reassembly) with a reference core substituted; the kernel
+    numerics themselves are pinned by the direct interpret tests above.
+    """
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from jax.sharding import Mesh
+
+    def ref_bhsd(q, k, v, sm_scale):
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * sm_scale, k,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.einsum(
+            "bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v
+        )
+
+    monkeypatch.setattr(attn_mod, "_flash_bhsd", ref_bhsd)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), 8, 199, 2, 64)
+    sm = 64**-0.5
+    ref = _einsum_core(q, k, v, sm, jnp.float32)
+    out = attention_core(q, k, v, sm_scale=sm, mesh=mesh, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_eligibility_rules(monkeypatch):
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    monkeypatch.setattr(attn_mod, "_FORCE_FLASH", True)
+    assert flash_eligible(None)
+    # tp/sp meshes keep the einsum path (XLA owns the collectives there)
+    if len(devs) >= 8:
+        tp = Mesh(np.array(devs[:8]).reshape(4, 2), ("data", "model"))
+        assert not flash_eligible(tp)
+        dp = Mesh(np.array(devs[:8]).reshape(8, 1), ("data", "model"))
+        assert flash_eligible(dp)
+    # head_dim must be sublane-aligned
+    assert not flash_eligible(None, head_dim=60)
+    # kill switch wins over everything
+    monkeypatch.setenv("SEGMA_TPU_NO_PALLAS", "1")
+    assert not flash_eligible(None)
+
+
+def test_block_choice_divides():
+    for padded in (128, 256, 512, 1536, 2048, 384):
+        b = _block(padded)
+        assert padded % b == 0 and b % 128 == 0 and b <= 512
