@@ -58,6 +58,7 @@ def test_shim_inventory_is_complete():
     tool/bench script — new shims must be added to SHIM_MAINS."""
     tools = {
         "__init__",
+        "bench_attention",
         "bench_backbones",
         "bench_streaming",
         "chaos_soak",
