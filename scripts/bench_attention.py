@@ -12,8 +12,11 @@ Usage: python scripts/bench_attention.py [--chain 16] [--repeats 3]
 from __future__ import annotations
 
 import argparse
+import sys
 import time
-from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +58,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chain", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--seq",
+        type=int,
+        nargs="*",
+        default=[1500, 199],
+        help="sequence lengths to time at (32, S, 8, 64)",
+    )
     args = ap.parse_args()
     enable_compilation_cache()
 
@@ -65,8 +75,7 @@ def main() -> None:
         return jnp.swapaxes(out, 1, 2)
 
     for tag, (b, s, h, d) in {
-        "whisper-padded (32,1500,8,64)": (32, 1500, 8, 64),
-        "fast-context/hubert (32,199,8,64)": (32, 199, 8, 64),
+        f"(32,{s},8,64)": (32, s, 8, 64) for s in args.seq
     }.items():
         for name, core in [("einsum", einsum), ("flash", flash)]:
             ms = _run(core, b, s, h, d, args.chain, args.repeats)

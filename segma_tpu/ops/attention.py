@@ -14,9 +14,13 @@ This module wraps the kernel behind the same backend gating pattern as
 switch) and handles what the kernel itself does not:
 
 - sequence lengths that are not a multiple of the 128-lane block (Whisper's
-  1500, fast_context's 199): inputs are padded up and the padding is masked
-  out via ``SegmentIds`` (real tokens id 1, pads id 0 — pad queries attend
-  only pad keys, so no row is fully masked, and their rows are sliced away);
+  1500): inputs are padded up and the padding is masked out via
+  ``SegmentIds`` (real tokens id 1, pads id 0 — pad queries attend only pad
+  keys, so no row is fully masked, and their rows are sliced away);
+- short contexts: the kernel only engages at ``seq_len >= _MIN_FLASH_SEQ``
+  — on v5e the einsum path measures FASTER below the crossover (the
+  199-frame fast_context/hubert/wavlm operating points; table below), so
+  the gate is measured, not assumed;
 - the encoders' ``(B, S, H, D)`` head-split layout (kernel wants BHSD);
 - multi-device meshes: a data-axis-only mesh runs the kernel per-shard via
   ``shard_map`` (attention is purely batch-parallel); any mesh that shards
@@ -44,6 +48,20 @@ import jax.numpy as jnp
 
 _LANE = 128  # Pallas TPU flash kernel MIN_BLOCK_SIZE / lane width
 
+# Measured crossover on the live v5e chip (scripts/bench_attention.py,
+# chain-16 scan, bf16, (32, S, 8, 64)): einsum wins at short context
+# where the score tensor is small enough for XLA's fusion to keep in
+# check, flash wins once score traffic dominates —
+#   S=199:  einsum 1.60 ms, flash 1.73 ms   (einsum 1.08x)
+#   S=384:  einsum 1.99 ms, flash 1.91 ms   (~even)
+#   S=512:  einsum 2.37 ms, flash 1.89 ms   (flash 1.26x)
+#   S=768:  einsum 3.38 ms, flash 2.84 ms   (flash 1.19x)
+#   S=1500: einsum 8.87 ms, flash 6.39 ms   (flash 1.39x)
+# Gate the kernel to q/kv sequence lengths >= this; whisper's padded 30 s
+# context (1500) takes the kernel, the 199-frame fast_context/hubert/wavlm
+# operating points keep the (measured-faster) einsum formulation.
+_MIN_FLASH_SEQ = 384
+
 # test hook: force the flash path regardless of backend (used with
 # pltpu.force_tpu_interpret_mode() so CPU tests execute the real kernel)
 _FORCE_FLASH = False
@@ -59,16 +77,22 @@ def _backend_is_tpu() -> bool:
         return False
 
 
-def flash_eligible(mesh: Any = None, head_dim: int = 64) -> bool:
-    """True when the fused kernel should run for this (backend, mesh).
+def flash_eligible(
+    mesh: Any = None, head_dim: int = 64, seq_len: int | None = None
+) -> bool:
+    """True when the fused kernel should run for this (backend, mesh, S).
 
     A data-only mesh is eligible (the kernel runs per batch shard under
     ``shard_map``); meshes that shard heads or sequence (tp/sp) keep the
-    einsum path so XLA owns the collectives.
+    einsum path so XLA owns the collectives. Short sequences
+    (``seq_len < _MIN_FLASH_SEQ``) keep the einsum path too — measured
+    faster on v5e (crossover table above).
     """
     if os.environ.get("SEGMA_TPU_NO_PALLAS"):
         return False
     if head_dim % 8 != 0:
+        return False
+    if seq_len is not None and seq_len < _MIN_FLASH_SEQ and not _FORCE_FLASH:
         return False
     if mesh is not None and any(
         mesh.shape[a] > 1 for a in mesh.axis_names if a != "data"
@@ -175,7 +199,7 @@ def attention_core(
     data-parallel mesh is active) and the einsum formulation elsewhere.
     Returns (B, S, H, D) in ``dtype``.
     """
-    if not flash_eligible(mesh, head_dim=q.shape[-1]):
+    if not flash_eligible(mesh, head_dim=q.shape[-1], seq_len=q.shape[1]):
         return _einsum_core(q, k, v, sm_scale, dtype)
 
     def bshd(qq: jnp.ndarray, kk: jnp.ndarray, vv: jnp.ndarray) -> jnp.ndarray:

@@ -119,6 +119,14 @@ def test_eligibility_rules(monkeypatch):
         assert flash_eligible(dp)
     # head_dim must be sublane-aligned
     assert not flash_eligible(None, head_dim=60)
+    # short contexts keep the measured-faster einsum path; _FORCE_FLASH
+    # (set by this test's monkeypatch) must not mask the gate, so flip it
+    # off for the seq assertions
+    monkeypatch.setattr(attn_mod, "_FORCE_FLASH", False)
+    if attn_mod._backend_is_tpu():
+        assert not flash_eligible(None, seq_len=attn_mod._MIN_FLASH_SEQ - 1)
+    monkeypatch.setattr(attn_mod, "_FORCE_FLASH", True)
+    assert flash_eligible(None, seq_len=199)  # test hook bypasses the gate
     # kill switch wins over everything
     monkeypatch.setenv("SEGMA_TPU_NO_PALLAS", "1")
     assert not flash_eligible(None)
